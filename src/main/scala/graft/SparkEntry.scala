@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.Aggregations
+    operators.Aggregations,
+    operators.Filters,
+    operators.ScalarFns
   )
 
   private lazy val all: Seq[Q] = {

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1.G — scalar function surface (string / datetime / math /
+  * array / map / json).
+  *
+  * Everything here is built-in `org.apache.spark.sql.functions` (or SQL
+  * `expr` over built-ins) — no UDFs — so the whole projection stays inside
+  * WholeStageCodegen and predicates on these tables remain pushable.
+  *
+  * Cross-engine hazards handled (SURVEY.md §2.0): Spark `ceil/floor` on
+  * double return LONG while DuckDB returns DOUBLE (oracle casts to
+  * BIGINT); Spark `signum` returns DOUBLE while DuckDB `sign` returns INT
+  * (we cast to INT); transcendental results (`sqrt/ln/exp/pow`) are cast
+  * to DECIMAL(18,6) on both sides so last-ULP libm differences cannot
+  * surface; `posexplode` is 0-based vs UNNEST WITH ORDINALITY 1-based
+  * (oracle shifts).
+  */
+object ScalarFns extends QueryModule {
+
+  val fnStringSuite = Q(
+    "fn_string_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .part(spark, dir)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          lower($"p_brand").as("brand_lower"),
+          substring($"p_name", 1, 4).as("name_pre4"),
+          concat_ws(":", $"p_brand", $"p_type").as("brand_type"),
+          trim(concat(lit("  "), $"p_name", lit("  "))).as("name_trim"),
+          length($"p_name").as("name_len"),
+          expr("replace(p_name, 'a', '@')").as("name_repl"),
+          element_at(split($"p_name", " "), 1).as("first_word"),
+          regexp_extract($"p_name", "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          $"p_name".like("c%").as("starts_c"),
+          $"p_name".startsWith("w").as("starts_w"),
+          lpad($"p_brand", 10, "*").as("brand_pad"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        UPPER(p_name) AS name_upper,
+        LOWER(p_brand) AS brand_lower,
+        SUBSTRING(p_name, 1, 4) AS name_pre4,
+        CONCAT_WS(':', p_brand, p_type) AS brand_type,
+        TRIM(CONCAT('  ', p_name, '  ')) AS name_trim,
+        LENGTH(p_name) AS name_len,
+        REPLACE(p_name, 'a', '@') AS name_repl,
+        STRING_SPLIT(p_name, ' ')[1] AS first_word,
+        REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        p_name LIKE 'c%' AS starts_c,
+        STARTS_WITH(p_name, 'w') AS starts_w,
+        LPAD(p_brand, 10, '*') AS brand_pad
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  val fnDatetimeSuite = Q(
+    "fn_datetime_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .select(
+          $"event_id",
+          year($"ts").as("y"),
+          month($"ts").as("m"),
+          dayofmonth($"ts").as("d"),
+          hour($"ts").as("h"),
+          date_trunc("month", $"ts").as("month_start"),
+          last_day($"ts".cast(DateType)).as("month_end"),
+          date_add($"ts".cast(DateType), 7).as("plus7"),
+          datediff($"ts".cast(DateType), lit("2024-01-01").cast(DateType)).as("days_since"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+        EXTRACT(year FROM ts) AS y,
+        EXTRACT(month FROM ts) AS m,
+        EXTRACT(day FROM ts) AS d,
+        EXTRACT(hour FROM ts) AS h,
+        CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month_start,
+        LAST_DAY(CAST(ts AS DATE)) AS month_end,
+        CAST(ts AS DATE) + 7 AS plus7,
+        DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+      FROM events ORDER BY event_id
+    """.stripMargin.trim))
+
+  val fnMathSuite = Q(
+    "fn_math_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .part(spark, dir)
+        .select(
+          $"p_partkey",
+          round($"p_retailprice", 1).as("price_round"),
+          abs($"p_size" - 25).as("size_abs"),
+          ceil($"p_retailprice").as("price_ceil"),
+          floor($"p_retailprice").as("price_floor"),
+          dec(sqrt($"p_retailprice"), 18, 6).as("price_sqrt"),
+          dec(log($"p_retailprice"), 18, 6).as("price_ln"),
+          dec(exp($"p_size" / lit(100.0)), 18, 6).as("size_exp"),
+          dec(pow($"p_retailprice", lit(0.5)), 18, 6).as("price_pow"),
+          ($"p_size" % 7).as("size_mod"),
+          signum($"p_retailprice" - 1000.0).cast(IntegerType).as("price_sign"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        ROUND(p_retailprice, 1) AS price_round,
+        ABS(p_size - 25) AS size_abs,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        CAST(SQRT(p_retailprice) AS DECIMAL(18,6)) AS price_sqrt,
+        CAST(LN(p_retailprice) AS DECIMAL(18,6)) AS price_ln,
+        CAST(EXP(p_size / CAST(100.0 AS DOUBLE)) AS DECIMAL(18,6)) AS size_exp,
+        CAST(POW(p_retailprice, 0.5) AS DECIMAL(18,6)) AS price_pow,
+        p_size % 7 AS size_mod,
+        CAST(SIGN(p_retailprice - 1000.0) AS INTEGER) AS price_sign
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  val fnArrayOps = Q(
+    "fn_array_ops",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .embeddings(spark, dir)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          element_at($"embedding", 1).as("first_elem"),
+          slice($"embedding", 1, 8).as("head8"),
+          array_contains($"embedding", 0.0f).as("has_zero"),
+          array_min($"embedding").as("min_elem"),
+          array_max($"embedding").as("max_elem"),
+          transform($"embedding", x => dec(x.cast(DoubleType), 18, 3)).as("rounded3"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+        len(embedding) AS dim,
+        embedding[1] AS first_elem,
+        list_slice(embedding, 1, 8) AS head8,
+        list_contains(embedding, 0.0) AS has_zero,
+        list_min(embedding) AS min_elem,
+        list_max(embedding) AS max_elem,
+        list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3))) AS rounded3
+      FROM embeddings ORDER BY vec_id
+    """.stripMargin.trim))
+
+  val fnExplodePosexplode = Q(
+    "fn_explode_posexplode",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+        .groupBy($"pos")
+        .agg(
+          sum(dec($"val".cast(DoubleType), 18, 6)).as("sum_val"),
+          count(lit(1)).as("n"))
+        .orderBy($"pos")
+    },
+    // DuckDB 1.0.0 has no WITH ORDINALITY; parallel UNNESTs zip, and
+    // range(len) yields 0-based positions matching posexplode.
+    Some("""
+      SELECT pos,
+        SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS sum_val,
+        COUNT(*) AS n
+      FROM (SELECT UNNEST(embedding) AS val,
+                   UNNEST(range(len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY pos
+      ORDER BY pos
+    """.stripMargin.trim))
+
+  val fnMapOps = Q(
+    "fn_map_ops",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .select($"event_id", from_json($"props", MapType(StringType, LongType)).as("m"))
+        .select(
+          $"event_id",
+          map_keys($"m").as("ks"),
+          map_values($"m").as("vs"),
+          element_at($"m", "k").as("k_val"))
+        .orderBy($"event_id")
+    },
+    // events.props is verified single-key {"k": <int>} (FIXTURES.md) —
+    // the oracle reconstructs the map surface from JSON primitives.
+    Some("""
+      SELECT event_id,
+        json_keys(props) AS ks,
+        [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events ORDER BY event_id
+    """.stripMargin.trim))
+
+  val fnJsonExtract = Q(
+    "fn_json_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .select($"event_type", get_json_object($"props", "$.k").cast(LongType).as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count($"k").as("n_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        COUNT(json_extract_string(props, '$.k')) AS n_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
+    fnExplodePosexplode, fnMapOps, fnJsonExtract)
+}
