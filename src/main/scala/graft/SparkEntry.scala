@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Aggregations,
     operators.Filters,
+    operators.Joins,
     operators.ScalarFns
   )
 

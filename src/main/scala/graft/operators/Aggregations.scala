@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** SURVEY.md §2.1.D — aggregation operators.
   *
@@ -48,5 +49,207 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag, l_linestatus
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(aggPricingSummary)
+  val aggMultiDistinct = Q(
+    "agg_multi_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .orders(spark, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_custkey) AS n_custs,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
+  /** min/max/avg/stddev per group, all derived from exact decimal sums
+    * (§2.0 rule 1): avg = sum/count as decimal; stddev from sum, sum of
+    * squares, and count — the final double is cast to DECIMAL(18,6) so
+    * last-ULP differences between engines cannot surface.
+    */
+  val aggStatsDecimal = Q(
+    "agg_stats_decimal",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          min(dec($"l_quantity")).as("min_qty"),
+          max(dec($"l_quantity")).as("max_qty"),
+          sum(dec($"l_quantity")).as("sum_qty"),
+          sum(dec($"l_quantity", 28, 4) * dec($"l_quantity", 28, 4)).as("sum_qty_sq"),
+          count(lit(1)).as("n"))
+        .select(
+          $"l_returnflag",
+          $"min_qty", $"max_qty",
+          ($"sum_qty" / $"n").cast(DecimalType(18, 6)).as("avg_qty"),
+          sqrt(
+            ($"sum_qty_sq".cast(DoubleType) -
+              $"sum_qty".cast(DoubleType) * $"sum_qty".cast(DoubleType) / $"n") /
+              ($"n" - 1))
+            .cast(DecimalType(18, 6)).as("stddev_qty"),
+          $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, min_qty, max_qty,
+        CAST(sum_qty / n AS DECIMAL(18,6)) AS avg_qty,
+        CAST(SQRT((CAST(sum_qty_sq AS DOUBLE)
+                   - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n)
+                  / (n - 1)) AS DECIMAL(18,6)) AS stddev_qty,
+        n
+      FROM (
+        SELECT l_returnflag,
+          MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+          MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS sum_qty_sq,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  val aggRollup = Q(
+    "agg_rollup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          grouping($"n_name").as("g_nation"),
+          grouping($"c_mktsegment").as("g_segment"))
+        .orderBy($"n_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+    },
+    Some("""
+      SELECT n_name, c_mktsegment,
+        COUNT(*) AS n_customers,
+        CAST(GROUPING(n_name) AS TINYINT) AS g_nation,
+        CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_segment
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+    """.stripMargin.trim))
+
+  val aggCube = Q(
+    "agg_cube",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.stripMargin.trim))
+
+  val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .groupingSets(
+          Seq(Seq($"lang"), Seq($"source"), Seq.empty),
+          $"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+    },
+    Some("""
+      SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+    """.stripMargin.trim))
+
+  val aggFiltered = Q(
+    "agg_filtered",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .groupBy($"user_id")
+        .agg(
+          count(when($"event_type" === "click", 1)).as("n_clicks"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+          sum(when($"event_type" === "purchase", dec($"value", 18, 6))).as("purchase_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+        COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val aggPivot = Q(
+    "agg_pivot",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = Tables
+        .events(spark, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      p.select(
+          $"user_id" +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
+  /** HLL++ sketch counts are engine-specific — no DuckDB oracle; the
+    * AggSpec property test asserts each estimate is within the configured
+    * rsd of the exact distinct count.
+    */
+  val aggApproxHll = Q(
+    "agg_approx_hll",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(
+    aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
+    aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll)
 }

@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1.C — the complete join-type matrix.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins broadcast explicitly (`broadcast(nation)`): no
+  *    shuffle of the fact side, plan shows BroadcastHashJoin.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle both sides on the join
+  *    key once — SortMergeJoin; AQE can downgrade to broadcast at runtime
+  *    when a side is small. Aggregation after the join reuses the same
+  *    key partitioning where possible.
+  *  - The theta/band join is a BroadcastNestedLoopJoin with the provably
+  *    small side (supplier) broadcast; the big side streams. At 100 TB a
+  *    band join would instead bucketize acctbal (floor(bal/width)) and
+  *    equi-join on adjacent buckets — noted, not needed at these SFs.
+  *  - The interval self-join is equi-keyed on user_id (shuffle once,
+  *    range predicate evaluated within partitions) — NOT a cross join.
+  *  - As-of is the tagged-union window formulation: one shuffle by
+  *    user_id, no join at all — the scalable alternative to a range join
+  *    whose right side explodes. Cross-validated against DuckDB's native
+  *    ASOF JOIN (different algorithm, same answer).
+  */
+object Joins extends QueryModule {
+
+  val joinBroadcastDims = Q(
+    "join_broadcast_dims",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(dec($"c_acctbal")).as("sum_acctbal"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+        COUNT(*) AS n_customers,
+        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """.stripMargin.trim))
+
+  val joinSortmergeFacts = Q(
+    "join_sortmerge_facts",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
+  val joinLeftOuter = Q(
+    "join_left_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      val cnts = Tables
+        .orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+      Tables
+        .customer(spark, dir)
+        .join(cnts, $"c_custkey" === $"o_custkey", "left_outer")
+        .select($"c_custkey", coalesce($"cnt", lit(0L)).as("order_cnt"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, COALESCE(cnt, 0) AS order_cnt
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  val joinFullOuter = Q(
+    "join_full_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      val s = Tables.supplier(spark, dir).groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      val c = Tables.customer(spark, dir).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+      s.join(c, $"s_nationkey" === $"c_nationkey", "full_outer")
+        .select(
+          coalesce($"s_nationkey", $"c_nationkey").as("nationkey"),
+          coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+          coalesce($"n_customers", lit(0L)).as("n_customers"))
+        .orderBy($"nationkey")
+    },
+    Some("""
+      SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+        COALESCE(n_suppliers, 0) AS n_suppliers,
+        COALESCE(n_customers, 0) AS n_customers
+      FROM (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      FULL OUTER JOIN (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        ON s_nationkey = c_nationkey
+      ORDER BY nationkey
+    """.stripMargin.trim))
+
+  val joinLeftSemi = Q(
+    "join_left_semi",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  val joinLeftAnti = Q(
+    "join_left_anti",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  val joinThetaBand = Q(
+    "join_theta_band",
+    (spark, dir) => {
+      import spark.implicits._
+      broadcast(Tables.supplier(spark, dir))
+        .join(
+          Tables.customer(spark, dir),
+          abs($"s_acctbal" - $"c_acctbal") < 10,
+          "inner")
+        .select(
+          $"s_suppkey",
+          $"c_custkey",
+          dec($"s_acctbal" - $"c_acctbal").as("bal_diff"))
+        .orderBy($"s_suppkey", $"c_custkey")
+    },
+    Some("""
+      SELECT s_suppkey, c_custkey,
+        CAST(s_acctbal - c_acctbal AS DECIMAL(18,2)) AS bal_diff
+      FROM supplier JOIN customer ON ABS(s_acctbal - c_acctbal) < 10
+      ORDER BY s_suppkey, c_custkey
+    """.stripMargin.trim))
+
+  val joinRangeInterval = Q(
+    "join_range_interval",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"ts")
+      val e1 = ev.select(
+        $"user_id",
+        $"event_id".as("id1"),
+        $"ts".as("ts1"))
+      val e2 = ev.select(
+        $"user_id".as("user_id2"),
+        $"event_id".as("id2"),
+        $"ts".as("ts2"))
+      e1.join(
+          e2,
+          $"user_id" === $"user_id2" &&
+            $"ts2" > $"ts1" &&
+            $"ts2" <= $"ts1" + expr("INTERVAL 5 MINUTES"))
+        .select(
+          $"user_id", $"id1", $"id2",
+          expr("timestampdiff(MICROSECOND, ts1, ts2)").as("gap_us"))
+        .orderBy($"user_id", $"id1", $"id2")
+    },
+    Some("""
+      SELECT e1.user_id AS user_id, e1.event_id AS id1, e2.event_id AS id2,
+        CAST(epoch_us(e2.ts) - epoch_us(e1.ts) AS BIGINT) AS gap_us
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      ORDER BY user_id, id1, id2
+    """.stripMargin.trim))
+
+  /** As-of join via tagged-union window: one shuffle by user_id, no join.
+    * Clicks sort before purchases at equal ts ('click' < 'purchase'
+    * lexicographically), making the match inclusive like DuckDB's
+    * `ON p.ts >= c.ts`.
+    */
+  val joinAsof = Q(
+    "join_asof",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_type", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn(
+          "last_click_ts",
+          last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+             c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
+    joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof)
+}
