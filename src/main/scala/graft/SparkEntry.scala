@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Aggregations,
     operators.Filters,
     operators.Joins,
-    operators.ScalarFns
+    operators.ScalarFns,
+    operators.SetOps,
+    operators.Windows
   )
 
   private lazy val all: Seq[Q] = {

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1.F — sort / limit / top-k / set operations / keyed dedup.
+  *
+  * Scale notes (100 TB):
+  *  - `sort_multikey_limit` compiles to TakeOrderedAndProject: each
+  *    partition keeps its local top-20, the driver merges k×partitions
+  *    rows — no global sort, no full shuffle.
+  *  - Set ops on projected single columns shuffle only the (tiny)
+  *    distinct key sets.
+  *  - Keyed dedup is groupBy(keys).min — map-side partial aggregation
+  *    shrinks the shuffle to one row per key per partition. Raw
+  *    `dropDuplicates` is deliberately avoided: its kept row depends on
+  *    partition scan order, which is nondeterministic on a cluster.
+  */
+object SetOps extends QueryModule {
+
+  val sortMultikeyLimit = Q(
+    "sort_multikey_limit",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          (dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey", $"l_linenumber")
+        .limit(20)
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(1 - l_discount AS DECIMAL(18,2)) AS revenue
+      FROM lineitem
+      ORDER BY revenue DESC, l_orderkey, l_linenumber
+      LIMIT 20
+    """.stripMargin.trim))
+
+  val setUnionAll = Q(
+    "set_union_all",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"event_type")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", $"event_type")
+      clicks.unionByName(views).orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  val setUnionDistinct = Q(
+    "set_union_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+        .union(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+        .distinct()
+        .orderBy($"nationkey")
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey
+    """.stripMargin.trim))
+
+  val setIntersect = Q(
+    "set_intersect",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+        .intersect(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey
+    """.stripMargin.trim))
+
+  val setExcept = Q(
+    "set_except",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+        .except(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey
+    """.stripMargin.trim))
+
+  /** Deterministic keyed dedup: keep the minimum event_id per
+    * (user_id, event_type), carrying that row's timestamp via min_by
+    * (deterministic because event_id is unique).
+    */
+  val dedupDropduplicates = Q(
+    "dedup_dropduplicates",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .events(spark, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(
+          min($"event_id").as("keeper_id"),
+          min_by($"ts", $"event_id").as("keeper_ts"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""
+      SELECT user_id, event_type,
+        MIN(event_id) AS keeper_id,
+        ARG_MIN(ts, event_id) AS keeper_ts
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    sortMultikeyLimit, setUnionAll, setUnionDistinct, setIntersect,
+    setExcept, dedupDropduplicates)
+}

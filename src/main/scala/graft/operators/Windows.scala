@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.1.E — window functions.
+  *
+  * Scale notes (100 TB): partitioned windows (per customer / per user)
+  * shuffle once on the partition key and sort within partitions — they
+  * scale linearly with executors. The two GLOBAL windows here
+  * (`win_rank_family`, `win_range_frame`) single-partition by design of
+  * the declared semantics; at 100 TB a global rank would instead use
+  * range-partitioned sort + per-partition offset reconciliation (what
+  * `orderBy.limit` / TakeOrderedAndProject already do for top-k) — noted
+  * on the queries, acceptable at bench scale (`part` is the smallest
+  * fact, 20k rows at sf0.1).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak key, so
+  * ranks, frames, and running sums are reproducible across partitionings
+  * and engines (§2.0 rule 2).
+  */
+object Windows extends QueryModule {
+
+  val winTopkPerGroup = Q(
+    "win_topk_per_group",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables
+        .orders(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", dec($"o_totalprice").as("totalprice"), $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """.stripMargin.trim))
+
+  val winRankFamily = Q(
+    "win_rank_family",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"p_retailprice", $"p_partkey")
+      Tables
+        .part(spark, dir)
+        .select(
+          $"p_partkey",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).cast(DecimalType(18, 6)).as("prnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS prnk,
+        NTILE(4) OVER w AS quartile
+      FROM part
+      WINDOW w AS (ORDER BY p_retailprice, p_partkey)
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  val winLagLead = Q(
+    "win_lag_lead",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables
+        .events(spark, dir)
+        .select(
+          $"event_id", $"user_id", $"ts",
+          lag($"ts", 1).over(w).as("prev_ts"),
+          lead($"ts", 1).over(w).as("next_ts"))
+        .withColumn("gap_us", expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+        LAG(ts, 1) OVER w AS prev_ts,
+        LEAD(ts, 1) OVER w AS next_ts,
+        CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS BIGINT) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  val winMovingRowsFrame = Q(
+    "win_moving_rows_frame",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-6, 0)
+      Tables
+        .orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          sum(dec($"o_totalprice")).over(w).as("moving_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim))
+
+  val winRangeFrame = Q(
+    "win_range_frame",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.orderBy($"p_size").rangeBetween(-5, 5)
+      Tables
+        .part(spark, dir)
+        .select(
+          $"p_partkey", $"p_size",
+          sum(dec($"p_retailprice")).over(w).as("band_revenue"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_size,
+        SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+          OVER (ORDER BY p_size
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS band_revenue
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  val winCumulative = Q(
+    "win_cumulative",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          sum(dec($"o_totalprice")).over(w).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim))
+
+  /** `last_value` needs an explicit full frame — its default frame ends at
+    * CURRENT ROW in both engines, which is almost never what "last value
+    * in the group" means.
+    */
+  val winFirstLastValue = Q(
+    "win_first_last_value",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window
+        .partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables
+        .orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_orderkey"),
+          last($"o_orderkey").over(w).as("last_orderkey"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+        LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
+    winRangeFrame, winCumulative, winFirstLastValue)
+}
