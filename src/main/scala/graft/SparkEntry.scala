@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Joins,
     operators.ScalarFns,
     operators.SetOps,
+    operators.Sources,
     operators.Windows
   )
 

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.SaveMode
+
+/** SURVEY.md §2.1.A — scans, sources, sinks.
+  *
+  * Roundtrip queries write to a scratch dir (overwrite mode, fixed path
+  * per query name) and read back — exercising the writer+reader paths of
+  * each format; the DuckDB oracle reads the ORIGINAL parquet table, so a
+  * pass proves the roundtrip lossless.
+  *
+  * Scale notes (100 TB): all writers here shard by partition (no
+  * coalesce before write); `sink_parquet_partitioned` produces
+  * directory-partitioned layout (`o_year=1995/...`) — the layout that
+  * enables partition pruning on read, which the read-back side exercises
+  * via the `o_year` filter (only matching directories are listed).
+  * The JDBC sink runs against in-JVM embedded Derby (the only DB driver
+  * shipped in /opt/spark/jars); on a cluster the same code points at a
+  * remote DB with `numPartitions`/`partitionColumn` for parallel writes.
+  */
+object Sources extends QueryModule {
+
+  private def scratch(name: String) = s"/tmp/graft_scratch/$name"
+
+  val scanParquetPushdown = Q(
+    "scan_parquet_pushdown",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate", $"l_discount", $"l_quantity")
+        .where(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+            $"l_discount".between(0.05, 0.07))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+      ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
+  val scanCsvRoundtrip = Q(
+    "scan_csv_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val nation = Tables.nation(spark, dir)
+      val path = scratch("csv_nation")
+      nation.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      spark.read
+        .schema(nation.schema)
+        .option("header", "true")
+        .csv(path)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey
+    """.stripMargin.trim))
+
+  val scanJsonRoundtrip = Q(
+    "scan_json_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val region = Tables.region(spark, dir)
+      val path = scratch("json_region")
+      region.write.mode(SaveMode.Overwrite).json(path)
+      spark.read
+        .schema(region.schema)
+        .json(path)
+        .select($"r_regionkey", $"r_name")
+        .orderBy($"r_regionkey")
+    },
+    Some("""
+      SELECT r_regionkey, r_name
+      FROM region ORDER BY r_regionkey
+    """.stripMargin.trim))
+
+  val sinkParquetPartitioned = Q(
+    "sink_parquet_partitioned",
+    (spark, dir) => {
+      import spark.implicits._
+      val path = scratch("parquet_orders_by_year")
+      Tables
+        .orders(spark, dir)
+        .withColumn("o_year", year($"o_orderdate"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("o_year")
+        .parquet(path)
+      spark.read
+        .parquet(path)
+        .where($"o_year" >= 1996)   // partition pruning: only o_year>=1996 dirs are scanned
+        .groupBy($"o_year".cast(LongType).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"), countDistinct($"o_custkey").as("n_custs"))
+        .orderBy($"o_year")
+    },
+    Some("""
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        COUNT(*) AS n_orders,
+        COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders
+      WHERE YEAR(o_orderdate) >= 1996
+      GROUP BY 1 ORDER BY o_year
+    """.stripMargin.trim))
+
+  /** Real JDBC sink+source against embedded Derby (the only JDBC driver
+    * in /opt/spark/jars). Strings become VARCHAR(n): Derby needs explicit
+    * lengths, supplied via createTableColumnTypes.
+    */
+  val sinkJdbcRoundtrip = Q(
+    "sink_jdbc_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val url = s"jdbc:derby:/tmp/graft_scratch/derby_db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables
+        .supplier(spark, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .write.mode(SaveMode.Overwrite)
+        .option("createTableColumnTypes", "s_name VARCHAR(64)")
+        .jdbc(url, "supplier_sink", props)
+      spark.read
+        .jdbc(url, "supplier_sink", props)
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
+    sinkParquetPartitioned, sinkJdbcRoundtrip)
+}
