@@ -17,6 +17,8 @@ object SparkEntry {
     operators.ScalarFns,
     operators.SetOps,
     operators.Sources,
+    operators.TextOps,
+    operators.VectorOps,
     operators.Windows
   )
 

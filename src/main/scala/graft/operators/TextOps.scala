@@ -1,0 +1,416 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY.md §2.1.I (text half) — training-data text pipeline operators:
+  * normalization stats, tokenization, n-grams, exact/near dedup
+  * (md5 / 3-gram Jaccard / MinHash-LSH / SimHash), language-ID heuristic,
+  * quality scoring, token stats, and rolling-hash fingerprints.
+  *
+  * Scale notes (100 TB):
+  *  - Everything tokenizes with built-in split/explode (codegen'd
+  *    Generators) — no UDFs, no driver-side text handling.
+  *  - Exact near-dup (`text_jaccard_simpairs`) equi-joins on shingle —
+  *    the shuffle carries (shingle, doc_id) pairs, never the cross
+  *    product. Still O(sum of per-shingle doc-freq²) in the worst case:
+  *    at 100 TB, `text_minhash_lsh` is the scale path — candidate
+  *    generation by LSH band bucket, constant signatures per doc.
+  *  - Per-doc folds (fingerprint) use integer-exact arithmetic so results
+  *    are independent of partitioning.
+  */
+object TextOps extends QueryModule {
+
+  /** Lowercased whitespace tokens with 0-based position. */
+  private def tokens(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"lang", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+  }
+
+  /** Distinct 3-gram word shingles per doc (window-lead formulation:
+    * one shuffle by doc_id).
+    */
+  private def shingles(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    tokens(spark, dir)
+      .select(
+        $"doc_id",
+        $"tok",
+        lead($"tok", 1).over(w).as("t1"),
+        lead($"tok", 2).over(w).as("t2"))
+      .filter($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      .distinct()
+  }
+
+  val textNormalizeStats = Q(
+    "text_normalize_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          max($"n_chars").as("max_chars"),
+          (sum($"n_chars") / count(lit(1))).cast(DecimalType(18, 4)).as("avg_chars"),
+          sum(length(trim($"text"))).as("sum_trim_len"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(n_chars) AS sum_chars,
+        MAX(n_chars) AS max_chars,
+        CAST(SUM(n_chars) * 1.0 / COUNT(*) AS DECIMAL(18,4)) AS avg_chars,
+        SUM(LENGTH(TRIM(text))) AS sum_trim_len
+      FROM documents GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
+  val textTokenizeWordcount = Q(
+    "text_tokenize_wordcount",
+    (spark, dir) => {
+      import spark.implicits._
+      tokens(spark, dir)
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok")
+        .limit(50)
+    },
+    Some("""
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50
+    """.stripMargin.trim))
+
+  val textNgramBigrams = Q(
+    "text_ngram_bigrams",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bigrams = tokens(spark, dir)
+        .select($"lang", $"tok", lead($"tok", 1).over(w).as("nxt"))
+        .filter($"nxt".isNotNull)
+        .select($"lang", concat_ws(" ", $"tok", $"nxt").as("bigram"))
+        .groupBy($"lang", $"bigram")
+        .agg(count(lit(1)).as("cnt"))
+      val rankw = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bigram")
+      bigrams
+        .withColumn("rn", row_number().over(rankw))
+        .filter($"rn" <= 10)
+        .orderBy($"lang", $"rn")
+    },
+    Some("""
+      SELECT lang, bigram, cnt, rn FROM (
+        SELECT lang, bigram, cnt,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+        FROM (
+          SELECT lang, tok || ' ' || nxt AS bigram, COUNT(*) AS cnt
+          FROM (
+            SELECT lang, tok,
+              LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM (
+              SELECT doc_id, lang,
+                UNNEST(string_split(lower(text), ' ')) AS tok,
+                UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+              FROM documents)
+            WHERE tok <> '')
+          WHERE nxt IS NOT NULL
+          GROUP BY lang, bigram))
+      WHERE rn <= 10
+      ORDER BY lang, rn
+    """.stripMargin.trim))
+
+  val textExactDedup = Q(
+    "text_exact_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .groupBy(md5(lower(trim($"text"))).as("text_hash"))
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+        .orderBy($"text_hash")
+    },
+    Some("""
+      SELECT md5(lower(trim(text))) AS text_hash,
+        MIN(doc_id) AS keeper_id,
+        COUNT(*) AS group_size
+      FROM documents
+      GROUP BY 1 ORDER BY text_hash
+    """.stripMargin.trim))
+
+  /** Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5). The
+    * shingle equi-join makes candidate generation linear in total
+    * shingle occurrences; MinHash-LSH below is the 100-TB path.
+    */
+  val textJaccardSimpairs = Q(
+    "text_jaccard_simpairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = shingles(spark, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("za"), $"d1" === $"za.doc_id")
+        .join(sizes.as("zb"), $"d2" === $"zb.doc_id")
+        .select(
+          $"d1", $"d2", $"i",
+          $"za.n".as("n1"), $"zb.n".as("n2"),
+          ($"i".cast(DoubleType) / ($"za.n" + $"zb.n" - $"i"))
+            .cast(DecimalType(18, 6)).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, pos, tok FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, i, za.n AS n1, zb.n AS n2,
+        CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) AS jaccard
+      FROM inter
+      JOIN sizes za ON d1 = za.doc_id
+      JOIN sizes zb ON d2 = zb.doc_id
+      WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ORDER BY d1, d2
+    """.stripMargin.trim))
+
+  /** MinHash + LSH banding candidate pairs — the scalable near-dup path.
+    * 48 hash fns (murmur3 `hash(shingle, seed)`, fixed seeds 0..47),
+    * 16 bands × 3 rows. Engine-specific hashing → no DuckDB oracle;
+    * TextOpsSpec asserts recall ≥ 0.9 against text_jaccard_simpairs
+    * ground truth at j ≥ 0.6.
+    */
+  val textMinhashLsh = Q(
+    "text_minhash_lsh",
+    (spark, dir) => {
+      import spark.implicits._
+      val numHashes = 48
+      val rowsPerBand = 3
+      val sh = shingles(spark, dir)
+      val sigCols = (0 until numHashes).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
+      val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until numHashes / rowsPerBand).map { b =>
+        val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        sigs.select(
+          $"doc_id",
+          lit(b).as("band"),
+          hash(cols: _*).as("bucket"))
+      }.reduce(_ unionByName _)
+      bands.as("x")
+        .join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
+        .distinct()
+        .orderBy($"d1", $"d2")
+    },
+    None)
+
+  /** SimHash near-dup fingerprint: 32-bit signature from token hashes —
+    * per-bit majority vote of murmur3 token hashes. Engine-specific
+    * hashing → no oracle; TextOpsSpec asserts planted near-dup pairs land
+    * within small Hamming distance.
+    */
+  val dedupSimhash = Q(
+    "dedup_simhash",
+    (spark, dir) => {
+      import spark.implicits._
+      val bits = 32
+      val tok = tokens(spark, dir).select($"doc_id", $"tok", hash($"tok").as("h"))
+      val bitCols = (0 until bits).map { b =>
+        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      }
+      val voted = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val sig = (0 until bits)
+        .map(b => when(col(s"b$b") > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+      voted
+        .select($"doc_id", sig.as("simhash"))
+        .orderBy($"doc_id")
+    },
+    None)
+
+  /** Stopword-marker language-ID heuristic: score each language by
+    * marker-token hits, predict the argmax (ties broken by language
+    * code). Fully deterministic → full oracle.
+    */
+  val textLangidNgram = Q(
+    "text_langid_ngram",
+    (spark, dir) => {
+      import spark.implicits._
+      val markers = Map(
+        "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+        "de" -> Seq("der", "die", "und", "das", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "un"),
+        "fr" -> Seq("le", "la", "les", "et", "un"),
+        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      val tok = tokens(spark, dir)
+      val scores = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        count(when($"tok".isin(ws: _*), 1)).as(s"score_$l")
+      }
+      val scored = tok.groupBy($"doc_id").agg(scores.head, scores.tail: _*)
+      val langs = markers.keys.toSeq.sorted
+      val bestScore = greatest(langs.map(l => col(s"score_$l")): _*)
+      // first alphabetical lang reaching best_score wins ties — matches
+      // the oracle's CASE ... WHEN ordering
+      val predExpr = langs.foldRight(lit("??")) { (l, acc) =>
+        when(col(s"score_$l") === $"best_score", lit(l)).otherwise(acc)
+      }
+      scored
+        .withColumn("best_score", bestScore)
+        .select($"doc_id", $"best_score", predExpr.as("pred_lang"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          COUNT(CASE WHEN tok IN ('der','die','und','das','ein') THEN 1 END) AS score_de,
+          COUNT(CASE WHEN tok IN ('the','a','and','of','fast','slow') THEN 1 END) AS score_en,
+          COUNT(CASE WHEN tok IN ('el','la','los','y','un') THEN 1 END) AS score_es,
+          COUNT(CASE WHEN tok IN ('le','la','les','et','un') THEN 1 END) AS score_fr,
+          COUNT(CASE WHEN tok IN ('de','shi','le','zai','he') THEN 1 END) AS score_zh
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id)
+      SELECT doc_id,
+        GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS best_score,
+        CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+          WHEN score_de THEN 'de'
+          WHEN score_en THEN 'en'
+          WHEN score_es THEN 'es'
+          WHEN score_fr THEN 'fr'
+          ELSE 'zh' END AS pred_lang
+      FROM scored ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Document quality score: length band, punctuation ratio, stopword
+    * ratio, mean token length — combined into a DECIMAL score.
+    */
+  val textQualityScore = Q(
+    "text_quality_score",
+    (spark, dir) => {
+      import spark.implicits._
+      val stop = Seq("the", "a", "and", "of", "value", "data")
+      val tok = tokens(spark, dir)
+      val tokStats = tok.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        count(when($"tok".isin(stop: _*), 1)).as("n_stop"),
+        (sum(length($"tok")).cast(DoubleType) / count(lit(1)))
+          .cast(DecimalType(18, 4)).as("mean_tok_len"))
+      Tables
+        .documents(spark, dir)
+        .join(tokStats, "doc_id")
+        .select(
+          $"doc_id",
+          $"n_tokens",
+          ($"n_stop".cast(DoubleType) / $"n_tokens")
+            .cast(DecimalType(18, 4)).as("stop_ratio"),
+          $"mean_tok_len",
+          ((length($"text") - length(regexp_replace($"text", "[^a-z ]", "")))
+            .cast(DoubleType) / length($"text"))
+            .cast(DecimalType(18, 4)).as("nonalpha_ratio"),
+          when($"n_chars".between(100, 2000), 1).otherwise(0).as("len_ok"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tokstats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          COUNT(CASE WHEN tok IN ('the','a','and','of','value','data') THEN 1 END) AS n_stop,
+          CAST(CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS DECIMAL(18,4)) AS mean_tok_len
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id)
+      SELECT d.doc_id AS doc_id, n_tokens,
+        CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,4)) AS stop_ratio,
+        mean_tok_len,
+        CAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g'))
+             AS DOUBLE) / LENGTH(text) AS DECIMAL(18,4)) AS nonalpha_ratio,
+        CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
+      FROM documents d JOIN tokstats USING (doc_id)
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Token counting: whitespace tokens plus a BPE-ish approximation
+    * (ceil of chars/4 per token, the common LLM rule of thumb) — exact
+    * integer math, full oracle.
+    */
+  val textTokenStats = Q(
+    "text_token_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      tokens(spark, dir)
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("ws_tokens"),
+          sum(ceil(length($"tok").cast(DoubleType) / 4).cast("long")).as("bpe_est_tokens"),
+          max(length($"tok")).as("max_tok_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id, COUNT(*) AS ws_tokens,
+        SUM(CAST(CEIL(CAST(LENGTH(tok) AS DOUBLE) / 4) AS BIGINT)) AS bpe_est_tokens,
+        MAX(LENGTH(tok)) AS max_tok_len
+      FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Polynomial rolling-hash fingerprint: fold (acc*31 + ascii) mod 1e9+7
+    * over the document's characters. Integer-exact sequential fold →
+    * identical in any engine; partition-independent because it's per-row.
+    */
+  val textFingerprintRolling = Q(
+    "text_fingerprint_rolling",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .select(
+          $"doc_id",
+          expr("""aggregate(
+                    transform(sequence(1, length(text)),
+                              i -> ascii(substring(text, i, 1))),
+                    0L,
+                    (acc, c) -> (acc * 31 + c) % 1000000007L)""").as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, LENGTH(text) + 1),
+                           i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      FROM documents ORDER BY doc_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
+    textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
+    textLangidNgram, textQualityScore, textTokenStats,
+    textFingerprintRolling)
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY.md §2.1.I (vector half) — embedding-column operators: norm
+  * stats, per-label centroids, brute-force cosine top-k, multimodal
+  * join+rank, exact embedding near-dup, and the ANN scale path
+  * (random-hyperplane LSH buckets).
+  *
+  * Scale notes (100 TB):
+  *  - Norms/centroids: posexplode + decimal partial aggregation — the
+  *    shuffle carries one row per (group, dim), independent of row count.
+  *  - Cosine top-k broadcasts the (small) probe side; the big side
+  *    streams through one pass — no shuffle of the corpus. Per-probe
+  *    top-k via window on the probe partition.
+  *  - Exact near-dup blocks by label (equi-join) so candidate pairs are
+  *    per-block quadratic, not global; `vec_ann_lsh` is the sublinear
+  *    candidate-generation path for 100 TB (bucket equi-join).
+  *  - Double sums are guarded per §2.0 rule 7: similarity computed in
+  *    double, rounded to 6 dp with id tiebreaks before ranking/output.
+  */
+object VectorOps extends QueryModule {
+
+  /** Embeddings with a double-typed vector and its precomputed L2 norm. */
+  private def withNorm(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables
+      .embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("emb"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)")))
+  }
+
+  private val cosine = (a: String, b: String, na: String, nb: String) =>
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+      (col(na) * col(nb))
+
+  val vecNormsStats = Q(
+    "vec_norms_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val sumsq = Tables
+        .embeddings(spark, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"vec_id", $"label")
+        .agg(sum(($"v".cast(DoubleType) * $"v".cast(DoubleType))
+          .cast(DecimalType(28, 12))).as("sumsq"))
+      sumsq
+        .select($"label",
+          sqrt($"sumsq".cast(DoubleType)).cast(DecimalType(18, 6)).as("norm"))
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"norm").as("sum_norm"))
+        .select(
+          $"label", $"n",
+          ($"sum_norm".cast(DoubleType) / $"n").cast(DecimalType(18, 6)).as("mean_norm"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH sq AS (
+        SELECT vec_id, label,
+          SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS sumsq
+        FROM (SELECT vec_id, label, UNNEST(embedding) AS v FROM embeddings)
+        GROUP BY vec_id, label),
+      norms AS (
+        SELECT label,
+          CAST(SQRT(CAST(sumsq AS DOUBLE)) AS DECIMAL(18,6)) AS norm
+        FROM sq)
+      SELECT label, COUNT(*) AS n,
+        CAST(CAST(SUM(norm) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS mean_norm
+      FROM norms GROUP BY label ORDER BY label
+    """.stripMargin.trim))
+
+  val vecCentroidPerLabel = Q(
+    "vec_centroid_per_label",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .embeddings(spark, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(
+          sum($"v".cast(DoubleType).cast(DecimalType(28, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .select(
+          $"label", $"pos",
+          ($"s".cast(DoubleType) / $"n").cast(DecimalType(18, 8)).as("centroid"))
+        .orderBy($"label", $"pos")
+    },
+    Some("""
+      SELECT label, pos,
+        CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(18,8)) AS centroid
+      FROM (SELECT label,
+              UNNEST(embedding) AS v,
+              UNNEST(range(len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY label, pos ORDER BY label, pos
+    """.stripMargin.trim))
+
+  val vecCosineTopk = Q(
+    "vec_cosine_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some("""
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(q.embedding AS DOUBLE[])), 6) AS cos,
+          ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                     e.vec_id) AS rn
+        FROM embeddings e
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rn <= 5
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
+  val multimodalJoinFilter = Q(
+    "multimodal_join_filter",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val probe = e.filter($"vec_id" === 0)
+        .select($"emb".as("p_emb"), $"nrm".as("p_nrm"))
+      Tables
+        .documents(spark, dir)
+        .filter($"lang" === "en")
+        .join(e, $"doc_id" === $"vec_id")
+        .crossJoin(broadcast(probe))
+        .withColumn("cos", round(cosine("emb", "p_emb", "nrm", "p_nrm"), 6))
+        .select($"doc_id", $"cos", substring($"text", 1, 40).as("snippet"))
+        .orderBy($"cos".desc, $"doc_id")
+        .limit(10)
+    },
+    Some("""
+      SELECT doc_id,
+        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(p.embedding AS DOUBLE[])), 6) AS cos,
+        SUBSTRING(text, 1, 40) AS snippet
+      FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+      WHERE lang = 'en'
+      ORDER BY cos DESC, doc_id
+      LIMIT 10
+    """.stripMargin.trim))
+
+  /** Exact embedding near-dup: same-label pairs with cosine ≥ 0.4 (the corpus has no planted embedding near-dups; 0.4 sits just below the observed same-label max so the result is small but non-trivial).
+    * Label blocking keeps the candidate set per-block quadratic; the
+    * ANN-LSH query below is the sublinear path.
+    */
+  val dedupEmbeddingCosine = Q(
+    "dedup_embedding_cosine",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val a = e.select($"label", $"vec_id".as("d1"), $"emb".as("e1"), $"nrm".as("nrm1"))
+      val b = e.select($"label".as("label2"), $"vec_id".as("d2"), $"emb".as("e2"), $"nrm".as("nrm2"))
+      a.join(b, $"label" === $"label2" && $"d1" < $"d2")
+        .withColumn("cos", round(cosine("e1", "e2", "nrm1", "nrm2"), 6))
+        .filter($"cos" >= 0.4)
+        .select($"label", $"d1", $"d2", $"cos")
+        .orderBy($"label", $"d1", $"d2")
+    },
+    Some("""
+      SELECT a.label AS label, a.vec_id AS d1, b.vec_id AS d2,
+        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+      ORDER BY label, d1, d2
+    """.stripMargin.trim))
+
+  /** ANN via random-hyperplane LSH: 12-bit sign-pattern bucket from
+    * fixed pseudo-random hyperplanes, candidates share a bucket, exact
+    * cosine re-rank within bucket (top-3 per query, queries vec_id<50).
+    * Bucketing is engine-specific only in the sense that the hyperplanes
+    * are code constants — but cosine tie-rounding keeps it deterministic.
+    * No oracle (candidate sets are formulation-specific); VectorOpsSpec
+    * asserts recall against brute-force ground truth.
+    */
+  val vecAnnLsh = Q(
+    "vec_ann_lsh",
+    (spark, dir) => {
+      import spark.implicits._
+      val nPlanes = 12
+      val dim = 64
+      // deterministic pseudo-random hyperplanes (fixed LCG, code constant)
+      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { i =>
+        (0 until dim).map { j =>
+          val x = (i * 2654435761L + j * 40503L + 12345L) % 2000
+          x / 1000.0 - 1.0
+        }
+      }
+      val e = withNorm(spark, dir)
+      val bucketExpr = planes.zipWithIndex
+        .map { case (p, i) =>
+          val dot = expr(
+            s"aggregate(zip_with(emb, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+      val bucketed = e.withColumn("bucket", bucketExpr)
+      val queries = bucketed.filter($"vec_id" < 50)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      bucketed
+        .join(broadcast(queries), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    None)
+
+  def qs: Seq[Q] = Seq(
+    vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
+    dedupEmbeddingCosine, vecAnnLsh)
+}
