@@ -17,6 +17,7 @@ object SparkEntry {
     operators.ScalarFns,
     operators.SetOps,
     operators.Sources,
+    operators.Streaming,
     operators.TextOps,
     operators.VectorOps,
     operators.Windows

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.streaming.StreamTransforms
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1.H — streaming operators, declared through their batch
+  * equivalents (◐ oracles): Structured Streaming's unbounded-table model
+  * guarantees the run-to-completion streaming result equals the batch
+  * result on the same rows, which StreamingSpec proves by feeding the
+  * same transforms through MemoryStream. The transforms themselves live
+  * in `graft.streaming.StreamTransforms` and are shared verbatim between
+  * both paths.
+  */
+object Streaming extends QueryModule {
+
+  val streamTumblingAgg = Q(
+    "stream_tumbling_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .tumblingAgg(Tables.events(spark, dir))
+        .orderBy($"w_start", $"event_type")
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS w_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY w_start, event_type
+    """.stripMargin.trim))
+
+  val streamSlidingAgg = Q(
+    "stream_sliding_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .slidingAgg(Tables.events(spark, dir))
+        .orderBy($"w_start")
+    },
+    // every event belongs to the 4 sliding windows whose starts are the
+    // last 4 ticks of the 15-minute grid at-or-before ts
+    Some("""
+      SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, COUNT(*) AS n_events
+      FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - UNNEST([INTERVAL '0 minutes', INTERVAL '15 minutes',
+                           INTERVAL '30 minutes', INTERVAL '45 minutes']) AS w_start
+        FROM events)
+      GROUP BY w_start
+      ORDER BY w_start
+    """.stripMargin.trim))
+
+  val streamSessionWindow = Q(
+    "stream_session_window",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .sessionAgg(Tables.events(spark, dir))
+        .orderBy($"user_id", $"s_start")
+    },
+    // gaps-and-islands: a new session starts when the gap from the
+    // previous event reaches the 30-minute timeout (session windows are
+    // half-open, so an exactly-30-minute gap closes the session)
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+          CASE WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER w IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT MIN(ts) AS s_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+        user_id,
+        COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, s_start
+    """.stripMargin.trim))
+
+  val streamDedupWatermark = Q(
+    "stream_dedup_watermark",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .dedupByEventId(Tables.events(spark, dir))
+        .orderBy($"event_id")
+    },
+    // event_id is unique, so run-to-completion dedup returns every event
+    Some("""
+      SELECT event_id, user_id, event_type
+      FROM events ORDER BY event_id
+    """.stripMargin.trim))
+
+  /** Batch-window formulation of the per-user "events since last signup"
+    * counter; the flatMapGroupsWithState streaming implementation
+    * (graft.streaming.StatefulOps) must produce identical rows, asserted
+    * in StreamingSpec.
+    */
+  val streamStatefulCustom = Q(
+    "stream_stateful_custom",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grp = sum(when($"event_type" === "signup", 1).otherwise(0)).over(w)
+      val wg = Window.partitionBy($"user_id", $"grp").orderBy($"ts", $"event_id")
+      Tables
+        .events(spark, dir)
+        .withColumn("grp", grp)
+        .withColumn("rn", row_number().over(wg))
+        .select(
+          $"event_id", $"user_id",
+          when($"grp" === 0, $"rn").otherwise($"rn" - 1).as("events_since_signup"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_id, user_id, ts, event_type,
+          SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS grp
+        FROM events),
+      r AS (
+        SELECT event_id, user_id, grp,
+          ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) AS rn
+        FROM g)
+      SELECT event_id, user_id,
+        CASE WHEN grp = 0 THEN rn ELSE rn - 1 END AS events_since_signup
+      FROM r ORDER BY event_id
+    """.stripMargin.trim))
+
+  val streamStaticJoin = Q(
+    "stream_static_join",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .staticEnrich(Tables.events(spark, dir), Tables.customer(spark, dir))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, c_name, c_mktsegment
+      FROM events JOIN customer ON user_id = c_custkey
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(
+    streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
+    streamDedupWatermark, streamStatefulCustom, streamStaticJoin)
+}

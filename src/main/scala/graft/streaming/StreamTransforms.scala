@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.1.H — the streaming transformations, written once as
+  * DataFrame => DataFrame so the SAME code runs:
+  *   - batch (declared queries, DuckDB ◐ oracle on run-to-completion
+  *     semantics — Structured Streaming's unbounded-table model
+  *     guarantees streamed-to-completion == batch on the same rows), and
+  *   - streaming (StreamingSpec feeds MemoryStream through these and
+  *     asserts equivalence, watermark drops, and output modes).
+  *
+  * Watermarks only exist on streaming plans; on batch input they are
+  * skipped (`df.isStreaming` guard) — batch has no late data by
+  * definition.
+  *
+  * Scale notes (100 TB/day of events): every aggregation keys on
+  * (window, ...) or (user_id, ...), so state is partitioned by key
+  * across executors; watermarks bound state size (state store evicts
+  * windows older than the horizon). The stateful per-user transform
+  * keeps O(1) state per user.
+  */
+object StreamTransforms {
+
+  private def watermarked(df: DataFrame, col: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(col, delay) else df
+
+  /** 1-hour tumbling windows: per (window, event_type) count + decimal sum. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    watermarked(events, "ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    watermarked(events, "ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("n_events"))
+
+  /** Per-user sessions with 30-minute inactivity gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    watermarked(events, "ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"))
+
+  /** Exactly-once event ids within the watermark horizon. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    watermarked(events, "ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Enrich the event stream with the static customer dimension. */
+  def staticEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(customer, events("user_id") === customer("c_custkey"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+}
