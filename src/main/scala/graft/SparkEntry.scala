@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Aggregations,
     operators.Filters,
     operators.Joins,
+    operators.Multimodal,
     operators.ScalarFns,
     operators.SetOps,
     operators.Sources,
