@@ -24,28 +24,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object TextOps extends QueryModule {
 
   /** Lowercased whitespace tokens with 0-based position. */
-  private def tokens(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import spark.implicits._
-    Tables
-      .documents(spark, dir)
-      .select($"doc_id", $"lang", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
-      .filter($"tok" =!= "")
-  }
+  def tokens(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
 
   /** Distinct 3-gram word shingles per doc (window-lead formulation:
     * one shuffle by doc_id).
     */
-  private def shingles(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    import spark.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    tokens(spark, dir)
+  def shingles(docs: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokens(docs)
       .select(
-        $"doc_id",
-        $"tok",
-        lead($"tok", 1).over(w).as("t1"),
-        lead($"tok", 2).over(w).as("t2"))
-      .filter($"t2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+        col("doc_id"),
+        col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
   }
 
@@ -77,7 +74,7 @@ object TextOps extends QueryModule {
     "text_tokenize_wordcount",
     (spark, dir) => {
       import spark.implicits._
-      tokens(spark, dir)
+      tokens(Tables.documents(spark, dir))
         .groupBy($"tok")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"tok")
@@ -95,7 +92,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val bigrams = tokens(spark, dir)
+      val bigrams = tokens(Tables.documents(spark, dir))
         .select($"lang", $"tok", lead($"tok", 1).over(w).as("nxt"))
         .filter($"nxt".isNotNull)
         .select($"lang", concat_ws(" ", $"tok", $"nxt").as("bigram"))
@@ -154,7 +151,7 @@ object TextOps extends QueryModule {
     "text_jaccard_simpairs",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shingles(spark, dir).cache()
+      val sh = shingles(Tables.documents(spark, dir)).cache()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -203,29 +200,32 @@ object TextOps extends QueryModule {
     * TextOpsSpec asserts recall ≥ 0.9 against text_jaccard_simpairs
     * ground truth at j ≥ 0.6.
     */
+  def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val numHashes = 48
+    val rowsPerBand = 3
+    val sh = shingles(docs)
+    val sigCols = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(
+        col("doc_id"),
+        lit(b).as("band"),
+        hash(cs: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   val textMinhashLsh = Q(
     "text_minhash_lsh",
     (spark, dir) => {
       import spark.implicits._
-      val numHashes = 48
-      val rowsPerBand = 3
-      val sh = shingles(spark, dir)
-      val sigCols = (0 until numHashes).map(i => min(hash($"shingle", lit(i))).as(s"h$i"))
-      val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = (0 until numHashes / rowsPerBand).map { b =>
-        val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-        sigs.select(
-          $"doc_id",
-          lit(b).as("band"),
-          hash(cols: _*).as("bucket"))
-      }.reduce(_ unionByName _)
-      bands.as("x")
-        .join(bands.as("y"),
-          $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("d1"), $"y.doc_id".as("d2"))
-        .distinct()
-        .orderBy($"d1", $"d2")
+      minhashCandidates(Tables.documents(spark, dir)).orderBy($"d1", $"d2")
     },
     None)
 
@@ -234,22 +234,24 @@ object TextOps extends QueryModule {
     * hashing → no oracle; TextOpsSpec asserts planted near-dup pairs land
     * within small Hamming distance.
     */
+  def simhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bits = 32
+    val tok = tokens(docs).select(col("doc_id"), col("tok"), hash(col("tok")).as("h"))
+    val bitCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val voted = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"b$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
   val dedupSimhash = Q(
     "dedup_simhash",
     (spark, dir) => {
       import spark.implicits._
-      val bits = 32
-      val tok = tokens(spark, dir).select($"doc_id", $"tok", hash($"tok").as("h"))
-      val bitCols = (0 until bits).map { b =>
-        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-      }
-      val voted = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-      val sig = (0 until bits)
-        .map(b => when(col(s"b$b") > 0, 1L << b).otherwise(0L))
-        .reduce(_ + _)
-      voted
-        .select($"doc_id", sig.as("simhash"))
-        .orderBy($"doc_id")
+      simhashSignatures(Tables.documents(spark, dir)).orderBy($"doc_id")
     },
     None)
 
@@ -267,7 +269,7 @@ object TextOps extends QueryModule {
         "es" -> Seq("el", "la", "los", "y", "un"),
         "fr" -> Seq("le", "la", "les", "et", "un"),
         "zh" -> Seq("de", "shi", "le", "zai", "he"))
-      val tok = tokens(spark, dir)
+      val tok = tokens(Tables.documents(spark, dir))
       val scores = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
         count(when($"tok".isin(ws: _*), 1)).as(s"score_$l")
       }
@@ -315,7 +317,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val stop = Seq("the", "a", "and", "of", "value", "data")
-      val tok = tokens(spark, dir)
+      val tok = tokens(Tables.documents(spark, dir))
       val tokStats = tok.groupBy($"doc_id").agg(
         count(lit(1)).as("n_tokens"),
         count(when($"tok".isin(stop: _*), 1)).as("n_stop"),
@@ -362,7 +364,7 @@ object TextOps extends QueryModule {
     "text_token_stats",
     (spark, dir) => {
       import spark.implicits._
-      tokens(spark, dir)
+      tokens(Tables.documents(spark, dir))
         .groupBy($"doc_id")
         .agg(
           count(lit(1)).as("ws_tokens"),

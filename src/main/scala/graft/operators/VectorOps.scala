@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object VectorOps extends QueryModule {
 
   /** Embeddings with a double-typed vector and its precomputed L2 norm. */
-  private def withNorm(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+  def withNorm(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     import spark.implicits._
     Tables
       .embeddings(spark, dir)
@@ -200,38 +200,52 @@ object VectorOps extends QueryModule {
     * No oracle (candidate sets are formulation-specific); VectorOpsSpec
     * asserts recall against brute-force ground truth.
     */
+  /** Bucketed corpus + per-query top-k within shared buckets. `emb` must
+    * be (vec_id, emb: array<double>, nrm); queries are `vec_id < nQueries`.
+    * Multiple small hash tables (union of band buckets) trade shuffle
+    * volume for recall, the standard LSH table-multiplication.
+    */
+  def annLshTopK(emb: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val nTables = 3
+    val planesPerTable = 6
+    val dim = 64
+    // deterministic pseudo-random hyperplanes (fixed LCG, code constant)
+    def plane(t: Int, i: Int): Seq[Double] = (0 until dim).map { j =>
+      val x = ((t * 7919L + i) * 2654435761L + j * 40503L + 12345L) % 2000
+      x / 1000.0 - 1.0
+    }
+    val tables = (0 until nTables).map { t =>
+      val bucketExpr = (0 until planesPerTable)
+        .map { i =>
+          val dot = expr(
+            s"aggregate(zip_with(emb, array(${plane(t, i).mkString(",")}), (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+      emb.select(col("vec_id"), col("emb"), col("nrm"),
+        lit(t).as("tbl"), bucketExpr.as("bucket"))
+    }.reduce(_ unionByName _)
+    val queries = tables.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    tables
+      .join(broadcast(queries),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("emb"), col("q_emb"), col("nrm"), col("q_nrm"))
+      .distinct()   // a pair can collide in several tables — count it once
+      .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   val vecAnnLsh = Q(
     "vec_ann_lsh",
     (spark, dir) => {
       import spark.implicits._
-      val nPlanes = 12
-      val dim = 64
-      // deterministic pseudo-random hyperplanes (fixed LCG, code constant)
-      val planes: Seq[Seq[Double]] = (0 until nPlanes).map { i =>
-        (0 until dim).map { j =>
-          val x = (i * 2654435761L + j * 40503L + 12345L) % 2000
-          x / 1000.0 - 1.0
-        }
-      }
-      val e = withNorm(spark, dir)
-      val bucketExpr = planes.zipWithIndex
-        .map { case (p, i) =>
-          val dot = expr(
-            s"aggregate(zip_with(emb, array(${p.mkString(",")}), (x, y) -> x * y), 0D, (a, v) -> a + v)")
-          when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-        }
-        .reduce(_ + _)
-      val bucketed = e.withColumn("bucket", bucketExpr)
-      val queries = bucketed.filter($"vec_id" < 50)
-        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      bucketed
-        .join(broadcast(queries), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
-        .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select($"q_id", $"vec_id", $"cos", $"rn")
-        .orderBy($"q_id", $"rn")
+      annLshTopK(withNorm(spark, dir), nQueries = 50, k = 3).orderBy($"q_id", $"rn")
     },
     None)
 
