@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the scale behaviors SURVEY.md §4 promises
+  * must actually appear in the executed plans — pushdown reaching the
+  * parquet scan, dimension joins broadcasting, global top-k compiling to
+  * TakeOrderedAndProject, and aggregations running partial+final.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    executedPlan(df).toString
+  }
+
+  test("scan_parquet_pushdown pushes predicates and prunes columns") {
+    val df = operators.Sources.scanParquetPushdown.fn(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate") || scan.contains("IsNotNull"),
+      s"shipdate range not pushed:\n$scan")
+    // column pruning: lineitem has 11 columns, the read schema must not
+    assert(!scan.contains("l_comment") && !scan.contains("l_partkey"),
+      "unreferenced columns not pruned from ReadSchema")
+  }
+
+  test("join_broadcast_dims uses BroadcastHashJoin for both dims") {
+    val p = planString(operators.Joins.joinBroadcastDims.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dims should not sort-merge")
+  }
+
+  test("join_sortmerge_facts shuffles both sides (SMJ or AQE-broadcast)") {
+    val p = planString(operators.Joins.joinSortmergeFacts.fn(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join:\n$p")
+  }
+
+  test("sort_multikey_limit compiles to TakeOrderedAndProject") {
+    val p = operators.SetOps.sortMultikeyLimit.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"global sort not top-k optimized:\n$p")
+  }
+
+  test("agg_pricing_summary runs partial then final hash aggregation") {
+    val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("vec_cosine_topk broadcasts the probe side") {
+    val p = planString(operators.VectorOps.vecCosineTopk.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probes not broadcast:\n$p")
+  }
+
+  test("flagship stays inside whole-stage codegen") {
+    val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
+    // WholeStageCodegenExec renders as a "*(n) " operator prefix
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty,
+      s"no codegen spans:\n$p")
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{StatefulOps, StreamTransforms}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics (SURVEY.md §5.4): the declared batch
+  * equivalents are legitimate oracles only if the SAME transforms
+  * produce the SAME rows when fed through a real stream — proven here
+  * with MemoryStream — and if watermarking actually drops late data.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def batchEvents: DataFrame =
+    Tables.events(spark, sfDir).withColumn("ts", col("ts").cast("timestamp"))
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def loadEvs(): Seq[Ev] = {
+    import spark.implicits._
+    batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  private def runToCompletion(name: String, outputMode: String)(mk: DataFrame => DataFrame)(
+      batches: Seq[Seq[Ev]]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = mk(ms.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_${name}_${System.nanoTime()}")
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: streamed run-to-completion equals batch") {
+    val evs = loadEvs()
+    val streamed = runToCompletion("tumbling", "complete")(StreamTransforms.tumblingAgg)(
+      evs.grouped(evs.size / 3 + 1).toSeq)
+    assert(collectSorted(streamed) == collectSorted(StreamTransforms.tumblingAgg(batchEvents)))
+  }
+
+  test("session window: streamed run-to-completion equals batch") {
+    val evs = loadEvs()
+    val streamed = runToCompletion("sessions", "complete")(StreamTransforms.sessionAgg)(
+      Seq(evs)) // session windows merge within the run; single batch = run-to-completion
+    assert(collectSorted(streamed) == collectSorted(StreamTransforms.sessionAgg(batchEvents)))
+  }
+
+  test("dedup: duplicate deliveries collapse to exactly-once") {
+    val evs = loadEvs().take(200)
+    val streamed = runToCompletion("dedup", "append")(StreamTransforms.dedupByEventId)(
+      Seq(evs, evs, evs.take(50))) // redeliver everything, then a partial replay
+    assert(streamed.count() == 200)
+    assert(collectSorted(streamed) ==
+      collectSorted(StreamTransforms.dedupByEventId(spark.createDataFrame(evs))))
+  }
+
+  test("stream-static join: streamed equals batch") {
+    val evs = loadEvs()
+    val customer = Tables.customer(spark, sfDir)
+    val streamed = runToCompletion("enrich", "append")(
+      df => StreamTransforms.staticEnrich(df, customer))(Seq(evs))
+    assert(collectSorted(streamed) ==
+      collectSorted(StreamTransforms.staticEnrich(batchEvents, customer)))
+  }
+
+  test("stateful events-since-signup: streamed equals declared batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val ms = MemoryStream[StatefulOps.Event]
+    val q = StatefulOps
+      .eventsSinceSignup(spark, ms.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_stateful_${System.nanoTime()}")
+      .start()
+    try {
+      // feed in event-time order split across micro-batches: state carries over
+      evs.map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+        .grouped(evs.size / 4 + 1)
+        .foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("stateful")
+      .select($"event_id", $"user_id", $"events_since_signup")
+    val batch = operators.Streaming.streamStatefulCustom.fn(spark, sfDir)
+    assert(collectSorted(streamed) == collectSorted(batch.select($"event_id", $"user_id", $"events_since_signup")))
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String): Ev = Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.tumblingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_late_${System.nanoTime()}")
+      .start()
+    try {
+      ms.addData(Seq(
+        ev(1, "2024-01-01 10:00:00"),
+        ev(2, "2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, "2024-01-01 12:05:00")))
+      q.processAllAvailable() // watermark advances to 11:55 > window end 11:00
+      ms.addData(Seq(
+        ev(4, "2024-01-01 10:15:00"), // its window closed at 11:00 < wm → dropped
+        ev(5, "2024-01-01 13:00:00")))
+      q.processAllAvailable() // window [10:00,11:00) emits without the late row
+    } finally q.stop()
+    val rows = spark.table("late")
+      .select($"w_start".cast("string"), $"n_events").as[(String, Long)].collect().toMap
+    assert(rows("2024-01-01 10:00:00") == 2L,
+      s"late event was not dropped: $rows")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the no-oracle text operators (SURVEY.md §5.3). */
+class TextOpsSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  /** Exact Jaccard ground-truth pairs at the given threshold. */
+  private def jaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    import spark.implicits._
+    val sh = operators.TextOps.shingles(docs).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("za"), $"d1" === $"za.doc_id")
+      .join(sizes.as("zb"), $"d2" === $"zb.doc_id")
+      .select($"d1", $"d2",
+        ($"i".cast("double") / ($"za.n" + $"zb.n" - $"i")).as("j"))
+      .filter($"j" >= threshold)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    sh.unpersist()
+    pairs
+  }
+
+  test("minhash LSH recalls >= 90% of exact Jaccard pairs at j >= 0.6") {
+    import spark.implicits._
+    val truth = jaccardPairs(0.6)
+    assume(truth.nonEmpty, "no planted near-dup pairs at sf0.001")
+    val candidates = operators.TextOps.minhashCandidates(docs)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash LSH finds ALL exact duplicates (identical docs collide)") {
+    import spark.implicits._
+    // inject exact duplicates: copy of each doc with id offset +100000
+    val dup = docs.withColumn("doc_id", $"doc_id" + 100000L)
+    val corpus = docs.unionByName(dup)
+    val candidates = operators.TextOps.minhashCandidates(corpus)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val missing = ids.filterNot(id => candidates.contains((id, id + 100000L)))
+    assert(missing.isEmpty, s"exact dups missed for ids: ${missing.take(5).mkString(",")}")
+  }
+
+  test("simhash: near-dup pairs are closer in Hamming distance than random pairs") {
+    import spark.implicits._
+    val sig = operators.TextOps.simhashSignatures(docs)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearPairs = jaccardPairs(0.6)
+    assume(nearPairs.nonEmpty, "no planted near-dup pairs at sf0.001")
+    val nearAvg = nearPairs.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
+      .sum.toDouble / nearPairs.size
+    val ids = sig.keys.toSeq.sorted
+    val randomPairs = for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    val randAvg = randomPairs.map { case (a, b) => hamming(sig(a), sig(b)) }
+      .sum.toDouble / randomPairs.size
+    assert(nearAvg < randAvg / 2,
+      s"near-dup avg hamming $nearAvg not well below corpus avg $randAvg")
+  }
+
+  test("simhash of identical documents is identical") {
+    import spark.implicits._
+    val dup = docs.withColumn("doc_id", $"doc_id" + 100000L)
+    val sig = operators.TextOps.simhashSignatures(docs.unionByName(dup))
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    for ((id, s) <- sig if id < 100000L)
+      assert(sig(id + 100000L) == s, s"duplicate of $id hashed differently")
+  }
+
+  test("rolling fingerprint equals a reference fold computed in Scala") {
+    import spark.implicits._
+    val got = operators.TextOps.textFingerprintRolling.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      .map { case (id, text) =>
+        id -> text.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      }
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the no-oracle vector operators. */
+class VectorOpsSpec extends SparkSpecBase {
+
+  test("ann lsh: exact duplicates always collide and rank first") {
+    import spark.implicits._
+    // corpus with each query vector duplicated under id+100000:
+    // identical vectors land in identical buckets in every table, so the
+    // duplicate MUST be retrieved, with cosine 1.0 at rank 1
+    val e = operators.VectorOps.withNorm(spark, sfDir)
+    val dup = e.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = e.unionByName(dup)
+    val res = operators.VectorOps.annLshTopK(corpus, nQueries = 20, k = 3)
+      .select($"q_id", $"vec_id", $"cos", $"rn")
+      .as[(Long, Long, Double, Int)].collect()
+    for (q <- 0L until 20L) {
+      val top = res.filter(r => r._1 == q && r._4 == 1)
+      assert(top.nonEmpty, s"query $q retrieved nothing")
+      assert(top.head._2 == q + 100000L && top.head._3 == 1.0,
+        s"query $q top-1 is ${top.head} not its exact duplicate")
+    }
+  }
+
+  test("ann lsh results are exact within candidate buckets (re-rank correctness)") {
+    import spark.implicits._
+    val res = operators.VectorOps.vecAnnLsh.fn(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect()
+    // ranks are 1..k dense per query and cosine non-increasing
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length),
+        s"ranks not dense for query $q")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"cosine not monotone for query $q")
+    }
+  }
+
+  test("approx_count_distinct within 15% of exact per event_type") {
+    import spark.implicits._
+    val approx = operators.Aggregations.aggApproxHll.fn(spark, sfDir)
+      .select($"event_type", $"approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((t, ex) <- exact) {
+      val ap = approx(t)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.15,
+        s"$t: approx $ap vs exact $ex")
+    }
+  }
+
+  test("decimal centroid equals driver-side computation") {
+    import spark.implicits._
+    val got = operators.VectorOps.vecCentroidPerLabel.fn(spark, sfDir)
+      .select($"label", $"pos", $"centroid".cast("double"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, p, c) => (l, p) -> c }.toMap
+    val raw = Tables.embeddings(spark, sfDir)
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    val byLabel = raw.groupBy(_._1)
+    for (((l, p), c) <- got) {
+      val vals = byLabel(l).map(_._2(p))
+      val mean = vals.map(v => BigDecimal(v.toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vals.size
+      assert(math.abs(mean - c) < 1e-7, s"label $l pos $p: $mean vs $c")
+    }
+  }
+}
