@@ -206,13 +206,17 @@ object TextOps extends QueryModule {
     val sh = shingles(docs)
     val sigCols = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
+    // one (band, bucket) struct per band, exploded in a single pass —
+    // NOT a per-band union, which would recompute the signature
+    // aggregation once per band
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
       val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sigs.select(
-        col("doc_id"),
-        lit(b).as("band"),
-        hash(cs: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), hash(cs: _*).as("bucket"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache() // both sides of the self-join; n_docs × n_bands tiny rows
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -214,7 +214,9 @@ object VectorOps extends QueryModule {
       val x = ((t * 7919L + i) * 2654435761L + j * 40503L + 12345L) % 2000
       x / 1000.0 - 1.0
     }
-    val tables = (0 until nTables).map { t =>
+    // all tables' buckets in ONE projection over one scan, exploded —
+    // not a per-table union, which would rescan and rehash per table
+    val tableStructs = (0 until nTables).map { t =>
       val bucketExpr = (0 until planesPerTable)
         .map { i =>
           val dot = expr(
@@ -222,9 +224,14 @@ object VectorOps extends QueryModule {
           when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
         }
         .reduce(_ + _)
-      emb.select(col("vec_id"), col("emb"), col("nrm"),
-        lit(t).as("tbl"), bucketExpr.as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(t).as("tbl"), bucketExpr.as("bucket"))
+    }
+    val tables = emb
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // reused as both corpus and query side
     val queries = tables.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
@@ -233,9 +240,11 @@ object VectorOps extends QueryModule {
       .join(broadcast(queries),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
           col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("emb"), col("q_emb"), col("nrm"), col("q_nrm"))
-      .distinct()   // a pair can collide in several tables — count it once
       .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+      // a pair can collide in several tables: dedupe AFTER scoring so the
+      // shuffle carries (q_id, vec_id, cos), never the embedding arrays
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
