@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -30,13 +31,11 @@ object VectorOps extends QueryModule {
     Tables
       .embeddings(spark, dir)
       .select($"vec_id", $"label", $"embedding".cast("array<double>").as("emb"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)")))
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
   }
 
   private val cosine = (a: String, b: String, na: String, nb: String) =>
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-      (col(na) * col(nb))
+    GraftFunctions.dot(col(a), col(b)) / (col(na) * col(nb))
 
   val vecNormsStats = Q(
     "vec_norms_stats",
@@ -219,8 +218,8 @@ object VectorOps extends QueryModule {
     val tableStructs = (0 until nTables).map { t =>
       val bucketExpr = (0 until planesPerTable)
         .map { i =>
-          val dot = expr(
-            s"aggregate(zip_with(emb, array(${plane(t, i).mkString(",")}), (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          val planeCol = array(plane(t, i).map(lit): _*)
+          val dot = GraftFunctions.dot(col("emb"), planeCol)
           when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
         }
         .reduce(_ + _)
