@@ -53,10 +53,17 @@ object Sources extends QueryModule {
       import spark.implicits._
       val nation = Tables.nation(spark, dir)
       val path = scratch("csv_nation")
-      nation.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      // disable whitespace trimming on BOTH sides: the CSV writer and
+      // reader default ignore(Leading|Trailing)WhiteSpace=true, which
+      // silently corrupts space-padded fields (caught by RoundtripLawsSpec)
+      nation.write.mode(SaveMode.Overwrite).option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(path)
       spark.read
         .schema(nation.schema)
         .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
         .select($"n_nationkey", $"n_name", $"n_regionkey")
         .orderBy($"n_nationkey")
