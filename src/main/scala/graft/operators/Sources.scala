@@ -135,8 +135,13 @@ object Sources extends QueryModule {
         .write.mode(SaveMode.Overwrite)
         .option("createTableColumnTypes", "s_name VARCHAR(64)")
         .jdbc(url, "supplier_sink", props)
+      // partitioned read-back: 4 parallel JDBC partitions split on the
+      // key range — the cluster-scale read path (each executor opens its
+      // own connection for its stride)
       spark.read
-        .jdbc(url, "supplier_sink", props)
+        .jdbc(url, "supplier_sink",
+          columnName = "s_suppkey", lowerBound = 0L, upperBound = 10000L,
+          numPartitions = 4, connectionProperties = props)
         .orderBy($"s_suppkey")
     },
     Some("""

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** The 100-TB techniques SURVEY §7.3 commits to must demonstrably work:
+  * bucketed tables join without a shuffle, and salted joins return
+  * exactly the rows of the plain join.
+  */
+class ScaleTechniquesSpec extends SparkSpecBase {
+
+  test("bucketed co-located join runs with no shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("orders_bucketed"), $"l_orderkey" === $"o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join exactly, including skewed keys") {
+    import spark.implicits._
+    // heavy skew: 90% of rows share one key
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i.toLong))
+      .toDF("k", "payload")
+    val small = (0L to 60L).map(k => (k, s"dim_$k")).toDF("sk", "name")
+    val plain = big.join(small, $"k" === $"sk")
+      .select($"k", $"payload", $"name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", "sk", salt = 8)
+      .select($"k", $"payload", $"name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    import spark.implicits._
+    val big = Seq.fill(1000)((7L, 1L)).toDF("k", "payload")
+    val salts = big.withColumn(
+        "__salt", pmod(hash($"k", monotonically_increasing_id()), lit(8)))
+      .groupBy($"__salt").count().collect()
+    assert(salts.length > 4, s"salt did not spread: ${salts.mkString(",")}")
+  }
+}

@@ -21,8 +21,9 @@ object SparkSpecBase {
     val s = SparkSession
       .builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_scratch/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
