@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpecBase {
       s"probes not broadcast:\n$p")
   }
 
+  test("join_range_interval equi-joins on user_id (no nested loop)") {
+    val p = planString(operators.Joins.joinRangeInterval.fn(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"range self-join must key on user_id, not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
