@@ -177,7 +177,7 @@ object Aggregations extends QueryModule {
         .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
     },
     Some("""
-      SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM documents
       GROUP BY GROUPING SETS ((lang), (source), ())
       ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST

@@ -219,7 +219,7 @@ object ScalarFns extends QueryModule {
     },
     Some("""
       SELECT event_type,
-        SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         COUNT(json_extract_string(props, '$.k')) AS n_k,
         MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type

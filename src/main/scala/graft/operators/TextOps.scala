@@ -63,10 +63,10 @@ object TextOps extends QueryModule {
     },
     Some("""
       SELECT lang, COUNT(*) AS n_docs,
-        SUM(n_chars) AS sum_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         MAX(n_chars) AS max_chars,
         CAST(SUM(n_chars) * 1.0 / COUNT(*) AS DECIMAL(18,4)) AS avg_chars,
-        SUM(LENGTH(TRIM(text))) AS sum_trim_len
+        CAST(SUM(LENGTH(TRIM(text))) AS BIGINT) AS sum_trim_len
       FROM documents GROUP BY lang ORDER BY lang
     """.stripMargin.trim))
 
@@ -378,7 +378,7 @@ object TextOps extends QueryModule {
     },
     Some("""
       SELECT doc_id, COUNT(*) AS ws_tokens,
-        SUM(CAST(CEIL(CAST(LENGTH(tok) AS DOUBLE) / 4) AS BIGINT)) AS bpe_est_tokens,
+        CAST(SUM(CAST(CEIL(CAST(LENGTH(tok) AS DOUBLE) / 4) AS BIGINT)) AS BIGINT) AS bpe_est_tokens,
         MAX(LENGTH(tok)) AS max_tok_len
       FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
       WHERE tok <> ''
