@@ -13,6 +13,15 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    // a fresh in-memory catalog cannot DROP a previous JVM's tables, but
+    // their directories persist in the warehouse — remove them physically
+    for (t <- Seq("li_bucketed", "orders_bucketed")) {
+      val dir = new java.io.File(s"/tmp/graft_scratch/warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_quantity")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
