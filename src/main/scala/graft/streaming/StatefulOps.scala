@@ -49,4 +49,45 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flatMapFn)
   }
+
+  /** The same counter on Spark 4's transformWithState API (arbitrary
+    * stateful processing v2): explicit named ValueState, TTL-capable,
+    * RocksDB-backed. StreamingRobustnessSpec proves it emits the same
+    * rows as the flatMapGroupsWithState implementation.
+    */
+  class SinceSignupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SinceSignup] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var counter: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      counter = getHandle.getValueState[Long](
+        "since_signup", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SinceSignup] = {
+      var c: Long = if (counter.exists()) counter.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        if (e.event_type == "signup") c = 0L else c += 1L
+        SinceSignup(e.event_id, userId, c)
+      }
+      counter.update(c)
+      out.iterator
+    }
+  }
+
+  /** transformWithState variant (requires the RocksDB state store
+    * provider on streaming input).
+    */
+  def eventsSinceSignupTws(spark: SparkSession, events: Dataset[Event]): Dataset[SinceSignup] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc = Encoders.product[SinceSignup]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SinceSignupProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

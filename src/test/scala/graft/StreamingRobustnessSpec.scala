@@ -107,4 +107,40 @@ class StreamingRobustnessSpec extends SparkSpecBase {
     assert(streamed == batch,
       s"resume diverged: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
+
+  test("transformWithState processor matches flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = evs(1500).map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StatefulOps.Event]
+      val q = StatefulOps.eventsSinceSignupTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_tws_${System.nanoTime()}")
+        .start()
+      try {
+        data.grouped(500).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val tws = spark.table("tws").collect().map(_.toString).toSet
+
+    val ms2 = MemoryStream[StatefulOps.Event]
+    val q2 = StatefulOps.eventsSinceSignup(spark, ms2.toDS())
+      .writeStream.format("memory").queryName("fmgws").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_fmgws_${System.nanoTime()}")
+      .start()
+    try {
+      data.grouped(500).foreach { b => ms2.addData(b); q2.processAllAvailable() }
+    } finally q2.stop()
+    val fmgws = spark.table("fmgws").collect().map(_.toString).toSet
+    assert(tws == fmgws)
+  }
 }
