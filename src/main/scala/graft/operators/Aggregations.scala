@@ -249,7 +249,37 @@ object Aggregations extends QueryModule {
     },
     None)
 
+  /** Exact linear-interpolation percentiles (both engines implement
+    * quantile_cont/percentile identically: v[lo] + (v[hi]-v[lo])*frac),
+    * cast to DECIMAL(18,6) against last-ULP drift. For 100 TB use
+    * approx_percentile (t-digest sketch) — exact percentile sorts each
+    * group; declared here because the corpus groups are modest.
+    */
+  val aggPercentilesExact = Q(
+    "agg_percentiles_exact",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("p"))
+        .select(
+          $"l_returnflag",
+          element_at($"p", 1).cast(DecimalType(18, 6)).as("p25"),
+          element_at($"p", 2).cast(DecimalType(18, 6)).as("p50"),
+          element_at($"p", 3).cast(DecimalType(18, 6)).as("p75"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS p25,
+        CAST(quantile_cont(l_quantity, 0.50) AS DECIMAL(18,6)) AS p50,
+        CAST(quantile_cont(l_quantity, 0.75) AS DECIMAL(18,6)) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
-    aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll)
+    aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
+    aggPercentilesExact)
 }

@@ -414,9 +414,45 @@ object TextOps extends QueryModule {
       FROM documents ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Deterministic hash-based train/test split — THE way to split at
+    * 100 TB: membership is a pure function of the row key (md5-derived
+    * bucket), so the split is reproducible on any engine, any
+    * partitioning, any rerun, and never leaks rows between splits.
+    * Contrast df.sample(), whose output depends on partition layout.
+    */
+  val sampleHashSplit = Q(
+    "sample_hash_split",
+    (spark, dir) => {
+      import spark.implicits._
+      val h = md5($"doc_id".cast("string"))
+      val bucket = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+      Tables
+        .documents(spark, dir)
+        .withColumn("split", when(bucket < 80, "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          min($"doc_id").as("min_id"),
+          max($"doc_id").as("max_id"))
+        .orderBy($"split")
+    },
+    Some("""
+      SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM (
+        SELECT doc_id, n_chars,
+          CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+               THEN 'train' ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY split ORDER BY split
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
-    textFingerprintRolling)
+    textFingerprintRolling, sampleHashSplit)
 }
