@@ -39,10 +39,10 @@ object Aggregations extends QueryModule {
       SELECT
         l_returnflag,
         l_linestatus,
-        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
@@ -99,11 +99,13 @@ object Aggregations extends QueryModule {
         .orderBy($"l_returnflag")
     },
     Some("""
-      SELECT l_returnflag, min_qty, max_qty,
-        CAST(sum_qty / n AS DECIMAL(18,6)) AS avg_qty,
-        CAST(SQRT((CAST(sum_qty_sq AS DOUBLE)
+      SELECT l_returnflag,
+        CAST(min_qty AS DOUBLE) AS min_qty,
+        CAST(max_qty AS DOUBLE) AS max_qty,
+        CAST(CAST(sum_qty / n AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+        CAST(CAST(SQRT((CAST(sum_qty_sq AS DOUBLE)
                    - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n)
-                  / (n - 1)) AS DECIMAL(18,6)) AS stddev_qty,
+                  / (n - 1)) AS DECIMAL(18,6)) AS DOUBLE) AS stddev_qty,
         n
       FROM (
         SELECT l_returnflag,
@@ -133,8 +135,8 @@ object Aggregations extends QueryModule {
     Some("""
       SELECT n_name, c_mktsegment,
         COUNT(*) AS n_customers,
-        CAST(GROUPING(n_name) AS TINYINT) AS g_nation,
-        CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_segment
+        CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
@@ -154,8 +156,8 @@ object Aggregations extends QueryModule {
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_lines
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -201,7 +203,7 @@ object Aggregations extends QueryModule {
       SELECT user_id,
         COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-        SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS purchase_value,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
         COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id
     """.stripMargin.trim))
@@ -272,14 +274,39 @@ object Aggregations extends QueryModule {
     },
     Some("""
       SELECT l_returnflag,
-        CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS p25,
-        CAST(quantile_cont(l_quantity, 0.50) AS DECIMAL(18,6)) AS p50,
-        CAST(quantile_cont(l_quantity, 0.75) AS DECIMAL(18,6)) AS p75
+        CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+        CAST(CAST(quantile_cont(l_quantity, 0.50) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+        CAST(CAST(quantile_cont(l_quantity, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
+
+  /** Sketch-based percentiles (Greenwald–Khanna summaries) — the 100 TB
+    * path for `agg_percentiles_exact`: a constant-size summary per group
+    * merged associatively, instead of materializing and sorting every
+    * group. Sketch estimates are engine-specific → no DuckDB oracle;
+    * PercentileApproxSpec property-tests each estimate against the exact
+    * percentiles (and at this accuracy the summary holds every sample for
+    * bench-scale groups, so the estimate is exact and deterministic).
+    */
+  val aggPercentilesApprox = Q(
+    "agg_percentiles_approx",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 100000)").as("p"))
+        .select(
+          $"l_returnflag",
+          element_at($"p", 1).cast(DecimalType(18, 6)).as("p25"),
+          element_at($"p", 2).cast(DecimalType(18, 6)).as("p50"),
+          element_at($"p", 3).cast(DecimalType(18, 6)).as("p75"))
+        .orderBy($"l_returnflag")
+    },
+    None)
 
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
-    aggPercentilesExact)
+    aggPercentilesExact, aggPercentilesApprox)
 }

@@ -57,13 +57,13 @@ object Filters extends QueryModule {
     },
     Some("""
       SELECT o_orderkey,
-        CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS with_tax,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS DOUBLE) AS with_tax,
         CASE WHEN o_totalprice < 1000 THEN 'low'
              WHEN o_totalprice < 10000 THEN 'mid'
              ELSE 'high' END AS band,
         COALESCE(NULLIF(o_orderstatus, 'P'), 'NOTP') AS status_np,
-        LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(5000 AS DECIMAL(18,2))) AS capped,
-        GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100 AS DECIMAL(18,2))) AS floored
+        CAST(LEAST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(5000 AS DECIMAL(18,2))) AS DOUBLE) AS capped,
+        CAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,2)), CAST(100 AS DECIMAL(18,2))) AS DOUBLE) AS floored
       FROM orders
       ORDER BY o_orderkey
     """.stripMargin.trim))

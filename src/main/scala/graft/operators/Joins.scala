@@ -44,7 +44,7 @@ object Joins extends QueryModule {
     Some("""
       SELECT r_name, n_name,
         COUNT(*) AS n_customers,
-        SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -67,8 +67,8 @@ object Joins extends QueryModule {
     },
     Some("""
       SELECT o_orderpriority,
-        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-            * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_lines
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority
@@ -173,7 +173,7 @@ object Joins extends QueryModule {
     },
     Some("""
       SELECT s_suppkey, c_custkey,
-        CAST(s_acctbal - c_acctbal AS DECIMAL(18,2)) AS bal_diff
+        CAST(CAST(s_acctbal - c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_diff
       FROM supplier JOIN customer ON ABS(s_acctbal - c_acctbal) < 10
       ORDER BY s_suppkey, c_custkey
     """.stripMargin.trim))

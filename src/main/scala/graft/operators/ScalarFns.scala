@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   * Cross-engine hazards handled (SURVEY.md §2.0): Spark `ceil/floor` on
   * double return LONG while DuckDB returns DOUBLE (oracle casts to
   * BIGINT); Spark `signum` returns DOUBLE while DuckDB `sign` returns INT
-  * (we cast to INT); transcendental results (`sqrt/ln/exp/pow`) are cast
-  * to DECIMAL(18,6) on both sides so last-ULP libm differences cannot
-  * surface; `posexplode` is 0-based vs UNNEST WITH ORDINALITY 1-based
-  * (oracle shifts).
+  * (both cast to BIGINT); transcendental results (`sqrt/ln/exp/pow`) are
+  * cast to DECIMAL(18,6) on both sides so last-ULP libm differences
+  * cannot surface (then to DOUBLE for the declared surface, see
+  * SparkEntry.normalize); `posexplode` is 0-based vs UNNEST WITH
+  * ORDINALITY 1-based (oracle shifts).
   */
 object ScalarFns extends QueryModule {
 
@@ -118,41 +119,52 @@ object ScalarFns extends QueryModule {
         ABS(p_size - 25) AS size_abs,
         CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
         CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
-        CAST(SQRT(p_retailprice) AS DECIMAL(18,6)) AS price_sqrt,
-        CAST(LN(p_retailprice) AS DECIMAL(18,6)) AS price_ln,
-        CAST(EXP(p_size / CAST(100.0 AS DOUBLE)) AS DECIMAL(18,6)) AS size_exp,
-        CAST(POW(p_retailprice, 0.5) AS DECIMAL(18,6)) AS price_pow,
-        p_size % 7 AS size_mod,
-        CAST(SIGN(p_retailprice - 1000.0) AS INTEGER) AS price_sign
+        CAST(CAST(SQRT(p_retailprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_sqrt,
+        CAST(CAST(LN(p_retailprice) AS DECIMAL(18,6)) AS DOUBLE) AS price_ln,
+        CAST(CAST(EXP(p_size / CAST(100.0 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS size_exp,
+        CAST(CAST(POW(p_retailprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS price_pow,
+        CAST(p_size % 7 AS BIGINT) AS size_mod,
+        CAST(SIGN(p_retailprice - 1000.0) AS BIGINT) AS price_sign
       FROM part ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** Array outputs are serialized to comma-joined fixed-scale decimal
+    * strings: the driver's pandas comparator cannot sort list cells
+    * (`unhashable type: numpy.ndarray`), and fixed-scale decimal→string
+    * rendering is identical in both engines while raw float→string is
+    * not. The array ops themselves (slice/transform/min/max/contains)
+    * still run on the native array column.
+    */
   val fnArrayOps = Q(
     "fn_array_ops",
     (spark, dir) => {
       import spark.implicits._
+      val dec3str = (x: org.apache.spark.sql.Column) =>
+        dec(x.cast(DoubleType), 18, 3).cast(StringType)
       Tables
         .embeddings(spark, dir)
         .select(
           $"vec_id",
           size($"embedding").as("dim"),
           element_at($"embedding", 1).as("first_elem"),
-          slice($"embedding", 1, 8).as("head8"),
+          array_join(transform(slice($"embedding", 1, 8), dec3str), ",").as("head8"),
           array_contains($"embedding", 0.0f).as("has_zero"),
           array_min($"embedding").as("min_elem"),
           array_max($"embedding").as("max_elem"),
-          transform($"embedding", x => dec(x.cast(DoubleType), 18, 3)).as("rounded3"))
+          array_join(transform($"embedding", dec3str), ",").as("rounded3"))
         .orderBy($"vec_id")
     },
     Some("""
       SELECT vec_id,
         len(embedding) AS dim,
-        embedding[1] AS first_elem,
-        list_slice(embedding, 1, 8) AS head8,
+        CAST(embedding[1] AS DOUBLE) AS first_elem,
+        array_to_string(list_transform(list_slice(embedding, 1, 8),
+          x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3)) AS VARCHAR)), ',') AS head8,
         list_contains(embedding, 0.0) AS has_zero,
-        list_min(embedding) AS min_elem,
-        list_max(embedding) AS max_elem,
-        list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3))) AS rounded3
+        CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+        CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+        array_to_string(list_transform(embedding,
+          x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3)) AS VARCHAR)), ',') AS rounded3
       FROM embeddings ORDER BY vec_id
     """.stripMargin.trim))
 
@@ -173,7 +185,7 @@ object ScalarFns extends QueryModule {
     // range(len) yields 0-based positions matching posexplode.
     Some("""
       SELECT pos,
-        SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS sum_val,
+        CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
         COUNT(*) AS n
       FROM (SELECT UNNEST(embedding) AS val,
                    UNNEST(range(len(embedding))) AS pos
@@ -191,17 +203,19 @@ object ScalarFns extends QueryModule {
         .select($"event_id", from_json($"props", MapType(StringType, LongType)).as("m"))
         .select(
           $"event_id",
-          map_keys($"m").as("ks"),
-          map_values($"m").as("vs"),
+          array_join(map_keys($"m"), ",").as("ks"),
+          array_join(transform(map_values($"m"), _.cast(StringType)), ",").as("vs"),
           element_at($"m", "k").as("k_val"))
         .orderBy($"event_id")
     },
     // events.props is verified single-key {"k": <int>} (FIXTURES.md) —
-    // the oracle reconstructs the map surface from JSON primitives.
+    // the oracle reconstructs the map surface from JSON primitives. Keys
+    // and values are comma-joined strings (map/array cells crash the
+    // driver's pandas comparator).
     Some("""
       SELECT event_id,
-        json_keys(props) AS ks,
-        [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+        array_to_string(json_keys(props), ',') AS ks,
+        CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS vs,
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       FROM events ORDER BY event_id
     """.stripMargin.trim))

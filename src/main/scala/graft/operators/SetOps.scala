@@ -33,8 +33,8 @@ object SetOps extends QueryModule {
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
-        CAST(l_extendedprice AS DECIMAL(18,2))
-          * CAST(1 - l_discount AS DECIMAL(18,2)) AS revenue
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       FROM lineitem
       ORDER BY revenue DESC, l_orderkey, l_linenumber
       LIMIT 20

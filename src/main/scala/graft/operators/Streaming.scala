@@ -28,7 +28,7 @@ object Streaming extends QueryModule {
         date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
         event_type,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2, 3
       ORDER BY w_start, event_type

@@ -65,7 +65,7 @@ object TextOps extends QueryModule {
       SELECT lang, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         MAX(n_chars) AS max_chars,
-        CAST(SUM(n_chars) * 1.0 / COUNT(*) AS DECIMAL(18,4)) AS avg_chars,
+        CAST(CAST(SUM(n_chars) * 1.0 / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE) AS avg_chars,
         CAST(SUM(LENGTH(TRIM(text))) AS BIGINT) AS sum_trim_len
       FROM documents GROUP BY lang ORDER BY lang
     """.stripMargin.trim))
@@ -186,7 +186,7 @@ object TextOps extends QueryModule {
         FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
         GROUP BY 1, 2)
       SELECT d1, d2, i, za.n AS n1, zb.n AS n2,
-        CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) AS jaccard
+        CAST(CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) AS DOUBLE) AS jaccard
       FROM inter
       JOIN sizes za ON d1 = za.doc_id
       JOIN sizes zb ON d2 = zb.doc_id
@@ -351,11 +351,11 @@ object TextOps extends QueryModule {
         WHERE tok <> ''
         GROUP BY doc_id)
       SELECT d.doc_id AS doc_id, n_tokens,
-        CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,4)) AS stop_ratio,
-        mean_tok_len,
-        CAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g'))
-             AS DOUBLE) / LENGTH(text) AS DECIMAL(18,4)) AS nonalpha_ratio,
-        CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS len_ok
+        CAST(CAST(CAST(n_stop AS DOUBLE) / n_tokens AS DECIMAL(18,4)) AS DOUBLE) AS stop_ratio,
+        CAST(mean_tok_len AS DOUBLE) AS mean_tok_len,
+        CAST(CAST(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g'))
+             AS DOUBLE) / LENGTH(text) AS DECIMAL(18,4)) AS DOUBLE) AS nonalpha_ratio,
+        CAST(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
       FROM documents d JOIN tokstats USING (doc_id)
       ORDER BY doc_id
     """.stripMargin.trim))

@@ -70,7 +70,7 @@ object VectorOps extends QueryModule {
           CAST(SQRT(CAST(sumsq AS DOUBLE)) AS DECIMAL(18,6)) AS norm
         FROM sq)
       SELECT label, COUNT(*) AS n,
-        CAST(CAST(SUM(norm) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS mean_norm
+        CAST(CAST(CAST(SUM(norm) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_norm
       FROM norms GROUP BY label ORDER BY label
     """.stripMargin.trim))
 
@@ -92,8 +92,8 @@ object VectorOps extends QueryModule {
     },
     Some("""
       SELECT label, pos,
-        CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-             / COUNT(*) AS DECIMAL(18,8)) AS centroid
+        CAST(CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS centroid
       FROM (SELECT label,
               UNNEST(embedding) AS v,
               UNNEST(range(len(embedding))) AS pos

@@ -40,7 +40,7 @@ object Windows extends QueryModule {
     },
     Some("""
       SELECT o_custkey, o_orderkey,
-        CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rn
       FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -69,7 +69,7 @@ object Windows extends QueryModule {
       SELECT p_partkey,
         RANK() OVER w AS rnk,
         DENSE_RANK() OVER w AS drnk,
-        CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS prnk,
+        CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS prnk,
         NTILE(4) OVER w AS quartile
       FROM part
       WINDOW w AS (ORDER BY p_retailprice, p_partkey)
@@ -117,9 +117,9 @@ object Windows extends QueryModule {
     },
     Some("""
       SELECT o_custkey, o_orderkey,
-        SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_total
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_total
       FROM orders
       ORDER BY o_custkey, o_orderkey
     """.stripMargin.trim))
@@ -138,9 +138,9 @@ object Windows extends QueryModule {
     },
     Some("""
       SELECT p_partkey, p_size,
-        SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
           OVER (ORDER BY p_size
-                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS band_revenue
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE) AS band_revenue
       FROM part
       ORDER BY p_partkey
     """.stripMargin.trim))
@@ -162,9 +162,9 @@ object Windows extends QueryModule {
     },
     Some("""
       SELECT o_custkey, o_orderkey,
-        SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       FROM orders
       ORDER BY o_custkey, o_orderkey
     """.stripMargin.trim))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Structural enforcement of the declared-output type convention
+  * (SparkEntry.normalize scaladoc; VERDICT r02 root cause): the driver's
+  * comparator renders DuckDB DECIMAL as float64 and crashes on array/map
+  * cells, so no declared query may expose DecimalType, ArrayType,
+  * MapType, StructType, or narrow ints/floats. Runs against every
+  * `SparkEntry.queries` entry (the exact surface the driver sees), so a
+  * new query that forgets the convention fails the build — regressions of
+  * the round-2 failure class are impossible while this is green.
+  */
+class OutputContractSpec extends SparkSpecBase {
+
+  private val forbidden: DataType => Boolean = {
+    case _: DecimalType                      => true
+    case _: ArrayType | _: MapType           => true
+    case _: StructType                       => true
+    case ByteType | ShortType | IntegerType  => true
+    case FloatType                           => true
+    case _                                   => false
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name output schema is driver-comparator-stable") {
+      val schema = fn(spark, sfDir).schema
+      val bad = schema.fields.filter(f => forbidden(f.dataType))
+      assert(
+        bad.isEmpty,
+        s"$name declares comparator-unstable output columns: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
+  test("oracle queries and declared queries line up by name") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle SQL without a query: $missing")
+  }
+}

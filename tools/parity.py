@@ -5,20 +5,33 @@ Usage: python3 tools/parity.py [sfDir] [outDir] [--no-verify] [only_query ...]
 
 1. Runs `sbt "runMain graft.Verify <sfDir> <outDir>"` (unless --no-verify).
 2. Loads <outDir>/oracle_sql.json.
-3. For each query with an oracle: runs the SQL in DuckDB against views over
-   the sfDir parquet tables, reads the Spark result parquet, sorts columns
-   by name on both sides, and compares row-by-row.
+3. For each query with an oracle, compares THE WAY THE DRIVER DOES
+   (round-2 lesson): Spark result parquet read via pandas (so decimals
+   would surface as Decimal objects) vs DuckDB via `.df()` (which renders
+   DECIMAL as float64), columns sorted by name, rows sorted by all
+   columns, then cell-exact comparison. This catches representation
+   breaks that a value-level numeric compare would miss:
+     - Decimal cells on either side (trailing-zero rendering != float64)
+     - list/ndarray/dict cells (driver's sort_values crashes on them)
+     - int-vs-float dtype crosses (renders "1" vs "1.0")
+     - float64 values that are not bit-identical
 
-This is a pre-flight check only — the driver's own compare is authoritative.
+Run it on BOTH sf0.001 and sf0.01 — two SFs catch trailing-zero luck
+(join_sortmerge_facts passed r02 only because no sf0.01 value had a
+trailing zero at its scale).
+
+This is a pre-flight check only — the driver's own compare is
+authoritative.
 """
 import json
-import math
 import subprocess
 import sys
 from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -32,35 +45,82 @@ def connect(sf_dir: str):
     return con
 
 
-def norm(v):
-    if isinstance(v, Decimal):
-        return ("num", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        return ("num", Decimal(repr(v)))
-    if isinstance(v, int):
-        return ("num", Decimal(v))
-    if isinstance(v, (list, tuple)):
-        return ("list", tuple(norm(x) for x in v))
-    if isinstance(v, dict):
-        return ("map", tuple(sorted((k, norm(x)) for k, x in v.items())))
-    return (type(v).__name__, v)
+def kind(dtype, sample):
+    """Comparator-relevant type kind of a column."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if sample is not None:
+        import datetime
+        if isinstance(sample, Decimal):
+            return "DECIMAL-OBJECT"  # always a failure, reported upstream
+        if isinstance(sample, (np.ndarray, list, tuple, dict)):
+            return "COLLECTION"      # always a failure
+        if isinstance(sample, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return "datetime"
+        if isinstance(sample, (bool, np.bool_)):
+            return "bool"
+        if isinstance(sample, str):
+            return "str"
+    return "object"
 
 
-def compare(name: str, spark_rows, spark_cols, duck_rows, duck_cols):
-    sc, dc = sorted(spark_cols), sorted(duck_cols)
+def first_non_null(series):
+    s = series.dropna()
+    return s.iloc[0] if len(s) else None
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame):
+    sc, dc = sorted(sdf.columns), sorted(ddf.columns)
     if sc != dc:
         return f"SCHEMA: spark={sc} duck={dc}"
-    if len(spark_rows) != len(duck_rows):
-        return f"ROWS: spark={len(spark_rows)} duck={len(duck_rows)}"
-    s_ix = [spark_cols.index(c) for c in sc]
-    d_ix = [duck_cols.index(c) for c in sc]
-    for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
-        for cs, cd, col in zip(s_ix, d_ix, sc):
-            a, b = norm(sr[cs]), norm(dr[cd])
-            if a != b:
-                return (f"VALUE row {i} col {col}: spark={sr[cs]!r} duck={dr[cd]!r}")
+    if len(sdf) != len(ddf):
+        return f"ROWS: spark={len(sdf)} duck={len(ddf)}"
+    sdf, ddf = sdf[sc], ddf[sc]
+
+    # hash-risk scan: forbidden cell types anywhere
+    for side, df in (("spark", sdf), ("duck", ddf)):
+        for c in df.columns:
+            v = first_non_null(df[c])
+            k = kind(df[c].dtype, v)
+            if k in ("DECIMAL-OBJECT", "COLLECTION"):
+                return f"REPR col {c} ({side}): {k} cell {v!r}"
+
+    # the driver's sort — crashes on unsortable cells, which is the point
+    try:
+        sdf = sdf.sort_values(by=sc, na_position="last").reset_index(drop=True)
+        ddf = ddf.sort_values(by=sc, na_position="last").reset_index(drop=True)
+    except TypeError as e:
+        return f"SORT: {e}"
+
+    for c in sc:
+        sk = kind(sdf[c].dtype, first_non_null(sdf[c]))
+        dk = kind(ddf[c].dtype, first_non_null(ddf[c]))
+        if sk != dk:
+            return f"DTYPE col {c}: spark={sdf[c].dtype}/{sk} duck={ddf[c].dtype}/{dk}"
+        a, b = sdf[c], ddf[c]
+        if sk == "float":
+            av, bv = a.to_numpy(dtype=np.float64), b.to_numpy(dtype=np.float64)
+            ok = np.array_equal(av, bv, equal_nan=True)  # bit-exact, the driver hashes renders
+        elif sk == "datetime":
+            # int64 view so NaT (a fixed sentinel) compares equal to NaT
+            av = pd.to_datetime(a).to_numpy(dtype="datetime64[us]").view(np.int64)
+            bv = pd.to_datetime(b).to_numpy(dtype="datetime64[us]").view(np.int64)
+            ok = np.array_equal(av, bv)
+        else:
+            an, bn = a.isna().to_numpy(), b.isna().to_numpy()
+            ok = np.array_equal(an, bn) and a.fillna(0).astype(str).equals(b.fillna(0).astype(str))
+        if not ok:
+            bad = next(
+                (i for i in range(len(a))
+                 if str(a.iloc[i]) != str(b.iloc[i])), None)
+            detail = "" if bad is None else f" row {bad}: spark={a.iloc[bad]!r} duck={b.iloc[bad]!r}"
+            return f"VALUE col {c}:{detail}"
     return None
 
 
@@ -89,29 +149,24 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        spark_glob = f"{out_dir}/{name}/*.parquet"
         try:
-            srel = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')")
-            spark_cols = [d[0] for d in srel.description]
-            spark_rows = srel.fetchall()
+            sdf = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            drel = con.execute(sql)
-            duck_cols = [d[0] for d in drel.description]
-            duck_rows = drel.fetchall()
+            ddf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        diff = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        diff = compare(name, sdf, ddf)
         if diff:
             print(f"FAIL {name}: {diff}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(sdf)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
