@@ -38,9 +38,17 @@ object DecimalStatsAggregator
     if (b.n == 0) DecimalStats(0L, BigDecimal(0), Double.NaN, Double.NaN)
     else {
       val mean = (b.sum / b.n).toDouble
+      // (n·sumSq − sum²) / (n·(n−1)) evaluated in BigDecimal: the naive
+      // sumSq − sum²/n form in double cancels catastrophically for large
+      // near-constant data and can go slightly negative → NaN stddev.
+      // The exact numerator is ≥ 0 mathematically; clamp only against the
+      // final toDouble rounding.
       val variance =
         if (b.n < 2) 0.0
-        else (b.sumSq.toDouble - b.sum.toDouble * b.sum.toDouble / b.n) / (b.n - 1)
+        else math.max(
+          ((b.sumSq * b.n - b.sum * b.sum) /
+            (BigDecimal(b.n) * (b.n - 1))).toDouble,
+          0.0)
       DecimalStats(b.n, b.sum, mean, math.sqrt(variance))
     }
   }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Elements are assumed non-null (embeddings are dense float vectors);
   * a null ELEMENT would read as 0.0 rather than propagate, unlike
   * zip_with — acceptable for this engine's data model, documented here.
+  * Likewise on LENGTH MISMATCH the loop truncates to the shorter array,
+  * whereas the `zip_with` fold null-pads and yields null: "identical to
+  * the HOF fold" above holds only for equal-length dense vectors, which
+  * the embeddings data model guarantees (fixed dim per table).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

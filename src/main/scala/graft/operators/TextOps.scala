@@ -419,13 +419,18 @@ object TextOps extends QueryModule {
     * bucket), so the split is reproducible on any engine, any
     * partitioning, any rerun, and never leaks rows between splits.
     * Contrast df.sample(), whose output depends on partition layout.
+    *
+    * The bucket comes from the first 4 hex digits parsed as an integer
+    * (uniform over 0..65535), so `< 80` is a true ~80/20 split — deriving
+    * it from ascii codes of hex characters would skew the fraction to
+    * ~75% because lowercase hex ascii values are not uniform mod 100.
     */
   val sampleHashSplit = Q(
     "sample_hash_split",
     (spark, dir) => {
       import spark.implicits._
       val h = md5($"doc_id".cast("string"))
-      val bucket = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+      val bucket = conv(substring(h, 1, 4), 16, 10).cast("long") % 100
       Tables
         .documents(spark, dir)
         .withColumn("split", when(bucket < 80, "train").otherwise("test"))
@@ -443,8 +448,7 @@ object TextOps extends QueryModule {
         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       FROM (
         SELECT doc_id, n_chars,
-          CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-                     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80
                THEN 'train' ELSE 'test' END AS split
         FROM documents)
       GROUP BY split ORDER BY split
