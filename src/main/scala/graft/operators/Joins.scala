@@ -242,7 +242,41 @@ object Joins extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Skew-salted equi-join as a declared, oracle-verified row: the big
+    * side (events) gets a uniform salt, the small side (customer) is
+    * replicated per salt value, so a hot user_id spreads across `salt`
+    * shuffle buckets instead of stalling one task — the manual fallback
+    * for plans AQE's OptimizeSkewedJoin cannot re-plan. Salt assignment
+    * is partition-dependent but the join ROWS are not, so the aggregated
+    * result is deterministic and equals the plain join (also asserted in
+    * ScaleTechniquesSpec).
+    */
+  val joinSkewSalted = Q(
+    "join_skew_salted",
+    (spark, dir) => {
+      import spark.implicits._
+      SkewJoin
+        .saltedEquiJoin(
+          Tables.events(spark, dir),
+          Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment"),
+          "user_id", "c_custkey", salt = 8)
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec($"value", 18, 6)).as("sum_value"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
-    joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof)
+    joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
+    joinSkewSalted)
 }

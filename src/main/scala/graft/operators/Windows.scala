@@ -12,11 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   * shuffle once on the partition key and sort within partitions — they
   * scale linearly with executors. The two GLOBAL windows here
   * (`win_rank_family`, `win_range_frame`) single-partition by design of
-  * the declared semantics; at 100 TB a global rank would instead use
-  * range-partitioned sort + per-partition offset reconciliation (what
-  * `orderBy.limit` / TakeOrderedAndProject already do for top-k) — noted
-  * on the queries, acceptable at bench scale (`part` is the smallest
-  * fact, 20k rows at sf0.1).
+  * the declared semantics; their 100 TB formulations are declared below
+  * as `win_rank_global_scalable` / `win_range_frame_scalable`, which
+  * compute identical values by ranking/banding the tiny distinct-key
+  * table and broadcast-joining back — no global sort of the fact side.
+  * The naive forms stay declared for semantic coverage, acceptable at
+  * bench scale (`part` is the smallest fact, 20k rows at sf0.1).
   *
   * Determinism: every window ORDER BY carries a unique tiebreak key, so
   * ranks, frames, and running sums are reproducible across partitionings
@@ -199,7 +200,95 @@ object Windows extends QueryModule {
       ORDER BY o_custkey, o_orderkey
     """.stripMargin.trim))
 
+  /** The 100 TB formulation of a GLOBAL rank family: `win_rank_family`
+    * single-partition-sorts the whole table; here ranks are computed on
+    * the distinct-key frequency table (tiny — bounded by distinct
+    * retail prices, not rows) and broadcast-joined back, so the big side
+    * never shuffles. rank(x) = 1 + Σ cnt(key < x); dense_rank = position
+    * among distinct keys; percent_rank/cume_dist from the same running
+    * sums. Only tie-stable functions are declared (ntile assigns ties
+    * arbitrarily, so it has no order-independent global formulation).
+    * Values are verified identical to the engines' native window
+    * functions by the full oracle.
+    */
+  val winRankGlobalScalable = Q(
+    "win_rank_global_scalable",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = Tables
+        .part(spark, dir)
+        .groupBy($"p_retailprice")
+        .agg(count(lit(1)).as("cnt"))
+      val byKey = Window.orderBy($"p_retailprice")
+      val all = Window.orderBy($"p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = freq.select(
+        $"p_retailprice",
+        (coalesce(
+          sum($"cnt").over(byKey.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1).as("rnk"),
+        row_number().over(byKey).cast("long").as("drnk"),
+        sum($"cnt").over(byKey.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum($"cnt").over(all).as("n"))
+      Tables
+        .part(spark, dir)
+        .join(broadcast(ranked), "p_retailprice")
+        .select(
+          $"p_partkey",
+          $"rnk",
+          $"drnk",
+          (($"rnk" - 1).cast("double") / ($"n" - 1))
+            .cast(DecimalType(18, 6)).as("prnk"),
+          ($"cum".cast("double") / $"n")
+            .cast(DecimalType(18, 6)).as("cume"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS prnk,
+        CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cume
+      FROM part
+      WINDOW w AS (ORDER BY p_retailprice)
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  /** The 100 TB formulation of the GLOBAL range frame: `win_range_frame`
+    * single-partition-sorts all rows; a value-range frame only depends on
+    * the ORDER-BY key, so pre-aggregate revenue per distinct p_size
+    * (tiny), run the ±5 range window over that table, and broadcast-join
+    * the banded sums back. Identical values, no global sort of the fact.
+    */
+  val winRangeFrameScalable = Q(
+    "win_range_frame_scalable",
+    (spark, dir) => {
+      import spark.implicits._
+      val perSize = Tables
+        .part(spark, dir)
+        .groupBy($"p_size")
+        .agg(sum(dec($"p_retailprice")).as("size_rev"))
+      val w = Window.orderBy($"p_size").rangeBetween(-5, 5)
+      val banded = perSize.select(
+        $"p_size",
+        sum($"size_rev").over(w).as("band_revenue"))
+      Tables
+        .part(spark, dir)
+        .join(broadcast(banded), "p_size")
+        .select($"p_partkey", $"p_size", $"band_revenue")
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_size,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+          OVER (ORDER BY p_size
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS DOUBLE) AS band_revenue
+      FROM part
+      ORDER BY p_partkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
-    winRangeFrame, winCumulative, winFirstLastValue)
+    winRangeFrame, winCumulative, winFirstLastValue,
+    winRankGlobalScalable, winRangeFrameScalable)
 }
