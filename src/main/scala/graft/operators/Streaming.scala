@@ -154,7 +154,35 @@ object Streaming extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Stream-stream interval join declared through its batch equivalent:
+    * run-to-completion with no late data makes the watermarked interval
+    * join produce exactly the batch interval join's rows (inner join,
+    * inclusive 30-minute look-back). StreamingSpec drives the same
+    * transform through two MemoryStreams and asserts row equality.
+    */
+  val streamStreamJoin = Q(
+    "stream_stream_interval_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      StreamTransforms
+        .clickPurchaseJoin(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"purchase_id", $"click_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        p.ts AS purchase_ts, c.ts AS click_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY purchase_id, click_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
-    streamDedupWatermark, streamStatefulCustom, streamStaticJoin)
+    streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
+    streamStreamJoin)
 }

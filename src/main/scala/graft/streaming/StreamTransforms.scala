@@ -72,4 +72,31 @@ object StreamTransforms {
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         col("c_name"), col("c_mktsegment"))
+
+  /** Stream-STREAM interval join: every purchase paired with the same
+    * user's clicks in the preceding 30 minutes (inclusive bounds on both
+    * ends). On streaming inputs both sides carry watermarks and the join
+    * condition is two-sided on event time, which is exactly what lets the
+    * state store evict buffered rows past the horizon — without the
+    * interval bound a stream-stream join would keep unbounded state.
+    * State is keyed by user_id, so it partitions across executors.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = watermarked(clicks, "ts", "30 minutes").select(
+      col("event_id").as("click_id"),
+      col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    val p = watermarked(purchases, "ts", "30 minutes").select(
+      col("event_id").as("purchase_id"),
+      col("user_id"),
+      col("ts").as("purchase_ts"))
+    p.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
 }

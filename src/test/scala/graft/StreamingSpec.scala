@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSorted(streamed) == collectSorted(batch.select($"event_id", $"user_id", $"events_since_signup")))
   }
 
+  test("stream-stream interval join: two MemoryStreams equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val clicks = evs.filter(_.event_type == "click")
+    val purchases = evs.filter(_.event_type == "purchase")
+    val msClicks = MemoryStream[Ev]
+    val msPurch = MemoryStream[Ev]
+    val q = StreamTransforms
+      .clickPurchaseJoin(msClicks.toDF(), msPurch.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_ssjoin_${System.nanoTime()}")
+      .start()
+    try {
+      // interleave micro-batches across both sides, in event-time order so
+      // watermarks advance together and no in-order row is treated as late
+      val cb = clicks.grouped(clicks.size / 3 + 1).toSeq
+      val pb = purchases.grouped(purchases.size / 3 + 1).toSeq
+      cb.zipAll(pb, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (c, p) =>
+        msClicks.addData(c); msPurch.addData(p); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ssjoin")
+    val batch = StreamTransforms.clickPurchaseJoin(
+      spark.createDataFrame(clicks), spark.createDataFrame(purchases))
+    assert(collectSorted(streamed) == collectSorted(batch))
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
