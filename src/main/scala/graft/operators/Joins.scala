@@ -275,8 +275,57 @@ object Joins extends QueryModule {
       ORDER BY c_mktsegment
     """.stripMargin.trim))
 
+  /** Bucketed co-located join declared as a row: both sides are written
+    * `bucketBy(8, key).sortBy(key)` — the write-once / join-many-times
+    * layout that removes the per-query shuffle AND sort from every
+    * subsequent join on that key (SURVEY §7.3; at 100 TB the bucket
+    * count would be sized to ~executor-core count × small multiple).
+    * The declared result aggregates the bucket-local join; values equal
+    * the plain join (the oracle), and ScaleTechniquesSpec separately
+    * asserts the bucketed physical plan contains zero Exchange nodes.
+    */
+  val joinBucketedColocated = Q(
+    "join_bucketed_colocated",
+    (spark, dir) => {
+      import spark.implicits._
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      for (t <- Seq("graft_li_bucketed", "graft_orders_bucketed")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a fresh in-memory catalog cannot DROP a previous JVM's table,
+        // but its directory persists in the warehouse — remove physically
+        val d = new java.io.File(wh, t)
+        if (d.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(d).deleteRecursively()
+        }
+      }
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_li_bucketed")
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_orders_bucketed")
+      spark.table("graft_li_bucketed")
+        .join(spark.table("graft_orders_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec($"l_quantity")).as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
-    joinSkewSalted)
+    joinSkewSalted, joinBucketedColocated)
 }
