@@ -239,7 +239,79 @@ object ScalarFns extends QueryModule {
       FROM events GROUP BY event_type ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Regex surface: extract / replace-all / match-test / count. Patterns
+    * stay within the POSIX-class subset where Java regex (Spark) and RE2
+    * (DuckDB) agree; DuckDB's regexp_replace needs the 'g' flag to match
+    * Spark's replace-all semantics, and regexp_count is expressed as
+    * LEN(REGEXP_EXTRACT_ALL(...)) on the oracle side.
+    */
+  val fnRegexSuite = Q(
+    "fn_regex_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .part(spark, dir)
+        .select(
+          $"p_partkey",
+          regexp_extract($"p_brand", "([0-9]+)", 1).cast(LongType).as("brand_num"),
+          regexp_replace($"p_name", "[aeiou]", "").as("name_novowel"),
+          regexp_replace($"p_brand", "[0-9]", "#").as("brand_masked"),
+          regexp_extract($"p_name", "^([a-z]+)", 1).as("first_token"),
+          $"p_type".rlike("^PROMO").as("is_promo"),
+          regexp_count($"p_name", lit("[a-z]+")).cast(LongType).as("n_words"))
+        .orderBy($"p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        CAST(REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+        REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        REGEXP_REPLACE(p_brand, '[0-9]', '#', 'g') AS brand_masked,
+        REGEXP_EXTRACT(p_name, '^([a-z]+)', 1) AS first_token,
+        REGEXP_MATCHES(p_type, '^PROMO') AS is_promo,
+        CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS BIGINT) AS n_words
+      FROM part ORDER BY p_partkey
+    """.stripMargin.trim))
+
+  /** Bitwise + conditional surface over integer keys: AND/OR/XOR, shifts,
+    * popcount, least/greatest (decimal-guarded), nullif. All outputs cast
+    * to BIGINT on both sides so integer width never enters the compare.
+    */
+  val fnBitwiseConditional = Q(
+    "fn_bitwise_conditional",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber".cast(LongType).as("l_linenumber"),
+          $"l_orderkey".bitwiseAND(lit(255L)).as("band"),
+          $"l_orderkey".bitwiseOR(lit(1024L)).as("bor"),
+          $"l_orderkey".bitwiseXOR($"l_partkey").as("bxor"),
+          shiftleft($"l_linenumber", 3).cast(LongType).as("shl"),
+          shiftright($"l_orderkey", 2).cast(LongType).as("shr"),
+          bit_count($"l_orderkey").cast(LongType).as("popcount"),
+          least(dec($"l_quantity"), lit(25).cast(DecimalType(18, 2))).as("qty_capped"),
+          greatest($"l_linenumber".cast(LongType), lit(3L)).as("ln_floor3"),
+          nullif($"l_linenumber".cast(LongType) % 2, lit(0L)).as("odd_or_null"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_orderkey & 255 AS band,
+        l_orderkey | 1024 AS bor,
+        xor(l_orderkey, l_partkey) AS bxor,
+        CAST(l_linenumber << 3 AS BIGINT) AS shl,
+        CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+        CAST(BIT_COUNT(l_orderkey) AS BIGINT) AS popcount,
+        CAST(LEAST(CAST(l_quantity AS DECIMAL(18,2)), CAST(25 AS DECIMAL(18,2))) AS DOUBLE) AS qty_capped,
+        GREATEST(CAST(l_linenumber AS BIGINT), 3) AS ln_floor3,
+        NULLIF(CAST(l_linenumber AS BIGINT) % 2, 0) AS odd_or_null
+      FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
-    fnExplodePosexplode, fnMapOps, fnJsonExtract)
+    fnExplodePosexplode, fnMapOps, fnJsonExtract,
+    fnRegexSuite, fnBitwiseConditional)
 }
