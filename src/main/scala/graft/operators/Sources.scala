@@ -153,7 +153,32 @@ object Sources extends QueryModule {
       FROM supplier ORDER BY s_suppkey
     """.stripMargin.trim))
 
+  /** ORC roundtrip (the other columnar format Spark ships natively —
+    * /opt/spark/jars has orc-core; there is no spark-avro connector in
+    * this image, so Avro is out of scope). Write path exercises ORC's
+    * writer with predicate-pushdown-capable layout; read-back filters on
+    * c_mktsegment to exercise ORC searchable-argument pushdown.
+    */
+  val scanOrcRoundtrip = Q(
+    "scan_orc_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val customer = Tables.customer(spark, dir)
+      val path = scratch("orc_customer")
+      customer.write.mode(SaveMode.Overwrite).orc(path)
+      spark.read
+        .orc(path)
+        .where($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey")
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
-    sinkParquetPartitioned, sinkJdbcRoundtrip)
+    sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip)
 }
