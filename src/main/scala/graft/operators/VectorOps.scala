@@ -257,7 +257,62 @@ object VectorOps extends QueryModule {
     },
     None)
 
+  /** ANN via IVF-style coarse quantization — the other standard ANN
+    * family next to LSH. The codebook is the per-label centroid table
+    * (nlist × dim, one aggregation pass, exact decimal sums); every
+    * corpus vector is assigned to its nearest-centroid cell; a query
+    * probes its `nprobe` nearest cells and exact cosine re-ranks the
+    * candidates there. At 100 TB: the codebook broadcasts (kBs), the
+    * corpus partitions by cell, and each query scans ~nprobe/nlist of
+    * the corpus — the inverted-file trade of recall for scan fraction.
+    * Deterministic: cell and probe assignment tie-break on cell id,
+    * cosine rounded to 6 dp with vec_id tiebreak before ranking.
+    */
+  def annIvfTopK(emb: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val cellCentroids = emb
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / col("n"))
+      .groupBy(col("label"))
+      // collect_list order is partition-dependent; sorting the (pos, c)
+      // structs restores a deterministic dimension order
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").cast("long").as("cell"),
+        expr("transform(pc, x -> x.c)").as("cvec"))
+      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
+    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+      df.crossJoin(broadcast(cellCentroids))
+        .withColumn("sim",
+          GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= keep)
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    }
+    val assigned = nearestCells(emb, 1)
+    val probes = nearestCells(emb.filter(col("vec_id") < nQueries), nprobe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  val vecAnnIvf = Q(
+    "vec_ann_ivf",
+    (spark, dir) => {
+      import spark.implicits._
+      annIvfTopK(withNorm(spark, dir), nQueries = 50, k = 3, nprobe = 3).orderBy($"q_id", $"rn")
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
-    dedupEmbeddingCosine, vecAnnLsh)
+    dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf)
 }

@@ -41,6 +41,52 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann ivf: exact duplicates land in the query's probed cell and rank first") {
+    import spark.implicits._
+    val e = operators.VectorOps.withNorm(spark, sfDir)
+    val dup = e.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = e.unionByName(dup)
+    val res = operators.VectorOps.annIvfTopK(corpus, nQueries = 20, k = 3, nprobe = 3)
+      .select($"q_id", $"vec_id", $"cos", $"rn")
+      .as[(Long, Long, Double, Int)].collect()
+    for (q <- 0L until 20L) {
+      val top = res.filter(r => r._1 == q && r._4 == 1)
+      assert(top.nonEmpty, s"query $q retrieved nothing")
+      assert(top.head._2 == q + 100000L && top.head._3 == 1.0,
+        s"query $q top-1 is ${top.head} not its exact duplicate")
+    }
+  }
+
+  test("ann ivf recall@3 vs brute-force ground truth") {
+    import spark.implicits._
+    val ivf = operators.VectorOps.vecAnnIvf.fn(spark, sfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val e = operators.VectorOps.withNorm(spark, sfDir)
+    val probes = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val bf = e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(
+        graft.functions.GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 = $mean%.3f over ${recalls.size} queries")
+    // the synthetic corpus is only weakly label-clustered, so the
+    // meaningful property is that probing 3/10 cells beats the 0.30
+    // random-scan-fraction baseline (deterministic: measured 0.493 here);
+    // on genuinely clustered data recall approaches 1 at the same nprobe
+    assert(mean >= 0.40, f"IVF nprobe=3/10 recall $mean%.3f does not beat the 0.30 scan-fraction baseline margin")
+  }
+
   test("approx_count_distinct within 15% of exact per event_type") {
     import spark.implicits._
     val approx = operators.Aggregations.aggApproxHll.fn(spark, sfDir)
