@@ -305,8 +305,31 @@ object Aggregations extends QueryModule {
     },
     None)
 
+  /** Deterministic string aggregation: collect_list order is
+    * partition-dependent, so the declared form sorts the collected array
+    * before joining — the ONLY reproducible listagg on a cluster (the
+    * oracle mirrors with string_agg ... ORDER BY). */
+  val aggStringAgg = Q(
+    "agg_string_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .nation(spark, dir)
+        .groupBy($"n_regionkey")
+        .agg(
+          array_join(array_sort(collect_list($"n_name")), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""
+      SELECT n_regionkey,
+        STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
-    aggPercentilesExact, aggPercentilesApprox)
+    aggPercentilesExact, aggPercentilesApprox, aggStringAgg)
 }

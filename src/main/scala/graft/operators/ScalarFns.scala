@@ -310,8 +310,35 @@ object ScalarFns extends QueryModule {
       FROM lineitem ORDER BY l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** Cryptographic/content hashes for fingerprinting and dedup keys:
+    * md5 and sha256 are the cross-engine pair (DuckDB lacks sha1/crc32;
+    * xxhash64 is Spark-specific and covered property-style by the
+    * deterministic-split row). Hex casing differs per engine → lower()
+    * on both sides.
+    */
+  val fnHashSuite = Q(
+    "fn_hash_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .customer(spark, dir)
+        .select(
+          $"c_custkey",
+          lower(md5($"c_name")).as("md5_hex"),
+          lower(sha2($"c_name", 256)).as("sha256_hex"),
+          substring(lower(md5(concat_ws("|", $"c_name", $"c_mktsegment"))), 1, 8).as("key8"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        LOWER(MD5(c_name)) AS md5_hex,
+        LOWER(SHA256(c_name)) AS sha256_hex,
+        SUBSTRING(LOWER(MD5(CONCAT_WS('|', c_name, c_mktsegment))), 1, 8) AS key8
+      FROM customer ORDER BY c_custkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
-    fnRegexSuite, fnBitwiseConditional)
+    fnRegexSuite, fnBitwiseConditional, fnHashSuite)
 }
