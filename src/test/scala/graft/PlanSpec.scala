@@ -71,6 +71,50 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), "range join fell back to cartesian")
   }
 
+  test("scan_orc_roundtrip pushes the segment filter into the ORC scan") {
+    val df = operators.Sources.scanOrcRoundtrip.fn(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("EqualTo(c_mktsegment") || p.contains("IsNotNull(c_mktsegment")),
+      s"segment predicate not pushed to ORC scan:\n$p")
+  }
+
+  test("stream_stream_interval_join batch form equi-joins on user_id") {
+    val p = planString(operators.Streaming.streamStreamJoin.fn(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"interval join must equi-key on user_id:\n$p")
+    assert(!p.contains("CartesianProduct"), "interval join fell back to cartesian")
+  }
+
+  test("join_skew_salted equi-joins on (key, salt) — no cartesian") {
+    val p = planString(operators.Joins.joinSkewSalted.fn(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"salted join must remain an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), "salted join fell back to cartesian")
+  }
+
+  test("scalar suites stay inside whole-stage codegen (no UDF breaks)") {
+    for (q <- Seq(operators.ScalarFns.fnRegexSuite,
+                  operators.ScalarFns.fnBitwiseConditional,
+                  operators.ScalarFns.fnHashSuite)) {
+      val p = planString(q.fn(spark, sfDir))
+      assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty,
+        s"${q.name}: no codegen spans:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"${q.name}: UDF found in hot path:\n$p")
+    }
+  }
+
+  test("agg_string_agg runs partial then final object-hash aggregation") {
+    val p = planString(operators.Aggregations.aggStringAgg.fn(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate for collect_list:\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
