@@ -55,4 +55,45 @@ object MediaPipeline {
         }
       }
   }
+
+  case class ResizedDoc(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize plumbing: same mapPartitions shape as decode, emitting a new
+    * payload plus target dimensions. The pixel work is stubbed — the fake
+    * "resampler" deterministically folds the source bytes into a
+    * w*h/64-byte payload — but the contract a real resizer needs is
+    * enforced: bounded output size, per-partition batching, no driver
+    * collect, deterministic output for identical input.
+    */
+  def resizeDocuments(df: DataFrame, w: Int, h: Int): Dataset[ResizedDoc] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    implicit val enc = Encoders.product[ResizedDoc]
+    df.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        val outLen = math.max(1, w * h / 64)
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < payload.length) {
+            out(i % outLen) = (out(i % outLen) + payload(i)).toByte
+            i += 1
+          }
+          ResizedDoc(id, w, h, out)
+        }
+      }
+  }
+
+  /** Frame sampling: one row per kept frame (every `step`-th of the
+    * decoded frame count) — pure relational explode over the decoded
+    * metadata, no shuffle, so it scales with the scan. A real pipeline
+    * would decode the kept frames' payloads in a subsequent
+    * mapPartitions pass.
+    */
+  def sampleFrames(decoded: Dataset[DecodedDoc], step: Int): DataFrame = {
+    require(step > 0, "step must be positive")
+    decoded.toDF()
+      .select(col("doc_id"), col("frames"),
+        explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+  }
 }

@@ -41,5 +41,36 @@ object Multimodal extends QueryModule {
       ORDER BY doc_id
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(multimodalBinaryMeta)
+  /** Frame sampling declared relationally: frame count is derived from
+    * the sha fingerprint (so the DuckDB oracle can reproduce it — the
+    * mapPartitions codec path computing real frame counts is spec-tested
+    * in MediaPipelineSpec), then every 8th frame index is exploded out.
+    * One row per kept frame, no shuffle: scales with the scan.
+    */
+  val multimodalFrameSample = Q(
+    "multimodal_frame_sample",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .documents(spark, dir)
+        .select($"doc_id", sha2($"text".cast("binary"), 256).as("sha"))
+        .withColumn("frames",
+          lit(1) + (ascii(substring($"sha", 5, 1)) * 256 + ascii(substring($"sha", 6, 1))) % 120)
+        .select($"doc_id", $"frames",
+          explode(sequence(lit(0), $"frames" - 1, lit(8))).as("frame_idx"))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(frames AS BIGINT) AS frames,
+        CAST(UNNEST(range(0, frames, 8)) AS BIGINT) AS frame_idx
+      FROM (
+        SELECT doc_id,
+          1 + (ascii(substr(sha256(text), 5, 1)) * 256
+               + ascii(substr(sha256(text), 6, 1))) % 120 AS frames
+        FROM documents)
+      ORDER BY doc_id, frame_idx
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(multimodalBinaryMeta, multimodalFrameSample)
 }

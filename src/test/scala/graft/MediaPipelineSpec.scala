@@ -42,4 +42,31 @@ class MediaPipelineSpec extends SparkSpecBase {
       .join(Tables.documents(spark, sfDir), "doc_id")
     assert(joined.filter(col("n_bytes") =!= length(col("text"))).count() == 0)
   }
+
+  test("resize emits bounded payloads, deterministically, for every row") {
+    val out = MediaPipeline.resizeDocuments(payloads, 128, 96).collect()
+    assert(out.length == payloads.count())
+    val expectedLen = 128 * 96 / 64
+    assert(out.forall(r => r.width == 128 && r.height == 96 &&
+      r.payload.length == expectedLen))
+    val again = MediaPipeline.resizeDocuments(payloads.repartition(5), 128, 96)
+      .collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    for (r <- out)
+      assert(again(r.doc_id) == r.payload.toSeq, s"resize nondeterministic for ${r.doc_id}")
+  }
+
+  test("frame sampling keeps every 8th frame index per decoded doc") {
+    import spark.implicits._
+    val decoded = MediaPipeline.decodeDocuments(payloads)
+    val sampled = MediaPipeline.sampleFrames(decoded, 8)
+      .select($"doc_id", $"frames", $"frame_idx")
+      .as[(Long, Int, Int)].collect()
+    val byDoc = sampled.groupBy(_._1)
+    val frames = decoded.collect().map(d => d.doc_id -> d.frames).toMap
+    assert(byDoc.keySet == frames.keySet, "every doc must emit at least frame 0")
+    for ((id, rows) <- byDoc) {
+      val idxs = rows.map(_._3).sorted.toSeq
+      assert(idxs == (0 until frames(id) by 8).toSeq, s"doc $id kept $idxs")
+    }
+  }
 }
