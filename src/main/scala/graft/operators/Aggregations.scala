@@ -328,8 +328,69 @@ object Aggregations extends QueryModule {
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """.stripMargin.trim))
 
+  /** Correlation/covariance per group WITHOUT the engines' native
+    * corr/covar aggregates: those accumulate co-moments in double with
+    * engine- and partition-order-dependent rounding, so they can never
+    * be bit-compared (or even reproduced across partitionings). Instead
+    * the five raw moments are summed EXACTLY in decimal — partial
+    * aggregation still applies, the shuffle carries 5 decimals per
+    * group — and the co-moment algebra runs in double on identical
+    * operands on both engines, making the result deterministic at any
+    * cluster size. DECIMAL(18,6) guard on the final values per §2.0.
+    */
+  val aggCorrCovar = Q(
+    "agg_corr_covar",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DoubleType
+      val x = $"l_quantity".cast(DoubleType)
+      val y = $"l_extendedprice".cast(DoubleType)
+      val m = Tables
+        .lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(28, 10))).as("sx"),
+          sum(y.cast(DecimalType(28, 10))).as("sy"),
+          sum((x * y).cast(DecimalType(38, 10))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 10))).as("sxx"),
+          sum((y * y).cast(DecimalType(38, 10))).as("syy"))
+      val mx = $"sx".cast(DoubleType) / $"n"
+      val my = $"sy".cast(DoubleType) / $"n"
+      val covarPop = $"sxy".cast(DoubleType) / $"n" - mx * my
+      val varxPop = $"sxx".cast(DoubleType) / $"n" - mx * mx
+      val varyPop = $"syy".cast(DoubleType) / $"n" - my * my
+      m.select(
+          $"l_returnflag", $"n",
+          covarPop.cast(DecimalType(18, 6)).as("covar_pop"),
+          (covarPop * $"n" / ($"n" - 1)).cast(DecimalType(18, 6)).as("covar_samp"),
+          (covarPop / sqrt(varxPop * varyPop)).cast(DecimalType(18, 6)).as("corr"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag,
+          COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS sy,
+          SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS sxy,
+          SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS sxx,
+          SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(CAST(CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n)
+             AS DECIMAL(18,6)) AS DOUBLE) AS covar_pop,
+        CAST(CAST((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n)) * n / (n-1)
+             AS DECIMAL(18,6)) AS DOUBLE) AS covar_samp,
+        CAST(CAST((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n))
+             / SQRT((CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n) * (CAST(sx AS DOUBLE)/n))
+                  * (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n)))
+             AS DECIMAL(18,6)) AS DOUBLE) AS corr
+      FROM m ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
-    aggPercentilesExact, aggPercentilesApprox, aggStringAgg)
+    aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar)
 }

@@ -129,7 +129,50 @@ object SetOps extends QueryModule {
       ORDER BY user_id, event_type
     """.stripMargin.trim))
 
+  /** Multiset (bag) semantics of intersect/except: duplicates count —
+    * m∩n occurrences survive intersectAll, m−n survive exceptAll. The
+    * aggregated declaration keeps the output small while proving the
+    * per-key multiplicities: nationkey frequencies in customer vs
+    * supplier differ, so bag and set results genuinely diverge.
+    */
+  val setIntersectExceptAll = Q(
+    "set_intersect_except_all",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      val s = Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey"))
+      val ia = c.intersectAll(s).groupBy($"nationkey")
+        .agg(count(lit(1)).as("n_intersect_all"))
+      val ea = c.exceptAll(s).groupBy($"nationkey")
+        .agg(count(lit(1)).as("n_except_all"))
+      ia.join(ea, Seq("nationkey"), "full_outer")
+        .select(
+          $"nationkey",
+          coalesce($"n_intersect_all", lit(0L)).as("n_intersect_all"),
+          coalesce($"n_except_all", lit(0L)).as("n_except_all"))
+        .orderBy($"nationkey")
+    },
+    Some("""
+      WITH ia AS (
+        SELECT nationkey, COUNT(*) AS n_intersect_all FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nationkey FROM supplier)
+        GROUP BY nationkey),
+      ea AS (
+        SELECT nationkey, COUNT(*) AS n_except_all FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nationkey FROM supplier)
+        GROUP BY nationkey)
+      SELECT COALESCE(ia.nationkey, ea.nationkey) AS nationkey,
+        COALESCE(n_intersect_all, 0) AS n_intersect_all,
+        COALESCE(n_except_all, 0) AS n_except_all
+      FROM ia FULL OUTER JOIN ea ON ia.nationkey = ea.nationkey
+      ORDER BY nationkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     sortMultikeyLimit, setUnionAll, setUnionDistinct, setIntersect,
-    setExcept, dedupDropduplicates)
+    setExcept, dedupDropduplicates, setIntersectExceptAll)
 }
