@@ -454,9 +454,61 @@ object TextOps extends QueryModule {
       GROUP BY split ORDER BY split
     """.stripMargin.trim))
 
+  /** TF-IDF: smooth-idf weights (ln((N+1)/(df+1))+1, scikit-style) with
+    * top-3 terms per queried doc. Document frequency aggregates over the
+    * WHOLE corpus (distinct (doc,tok) then count per tok — two shuffles
+    * keyed on token, partial-aggregated); the corpus-size scalar joins
+    * in as a broadcast 1-row frame, never a driver collect. The idf
+    * algebra runs in double on identical operands both engines, with the
+    * §2.0 DECIMAL(18,6) guard on the final weight.
+    */
+  val textTfidfTopterms = Q(
+    "text_tfidf_topterms",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val toks = tokens(docs)
+      val tf = toks.filter($"doc_id" < 50)
+        .groupBy($"doc_id", $"tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val ndocs = docs.select(countDistinct($"doc_id").as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf",
+          ($"tf" * (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1))
+            .cast(DecimalType(18, 6)))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"tok", $"tfidf")
+        .orderBy($"doc_id", $"rn")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY doc_id, tok),
+      dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+      nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, tok,
+          CAST(tf * (LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1) AS DECIMAL(18,6)) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN nd)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, CAST(tfidf AS DOUBLE) AS tfidf
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+            FROM scored)
+      WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
-    textFingerprintRolling, sampleHashSplit)
+    textFingerprintRolling, sampleHashSplit, textTfidfTopterms)
 }
