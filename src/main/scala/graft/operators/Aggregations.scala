@@ -389,8 +389,36 @@ object Aggregations extends QueryModule {
       FROM m ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Fixed-width histogram (data profiling): bucket index is pure
+    * integer arithmetic on the value, so it is reproducible on any
+    * engine/partitioning — unlike equi-depth histograms, whose bucket
+    * bounds depend on a sort. One shuffle keyed on (flag, bucket);
+    * partial aggregation applies.
+    */
+  val aggHistogramFixed = Q(
+    "agg_histogram_fixed",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .select($"l_returnflag",
+          least(floor($"l_quantity" / 5).cast("long"), lit(9L)).as("bucket"))
+        .groupBy($"l_returnflag", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"bucket")
+    },
+    Some("""
+      SELECT l_returnflag,
+        LEAST(CAST(FLOOR(l_quantity / 5) AS BIGINT), 9) AS bucket,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY 1, 2
+      ORDER BY l_returnflag, bucket
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
-    aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar)
+    aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
+    aggHistogramFixed)
 }
