@@ -172,7 +172,46 @@ object SetOps extends QueryModule {
       ORDER BY nationkey
     """.stripMargin.trim))
 
+  /** Wide→long reshape via the native unpivot operator (the inverse of
+    * `agg_pivot`): ids stay, three measure columns melt into
+    * (metric, value) rows. Zero shuffle — unpivot is a per-row explode,
+    * so it scales with the scan; the decimal cast before the melt keeps
+    * the common value type exact. Oracle is the equivalent UNION ALL.
+    */
+  val reshapeUnpivot = Q(
+    "reshape_unpivot",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          graft.Tables.dec($"l_quantity").as("quantity"),
+          graft.Tables.dec($"l_extendedprice").as("extendedprice"),
+          graft.Tables.dec($"l_discount").as("discount"))
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"quantity", $"extendedprice", $"discount"),
+          "metric", "value")
+        .withColumn("l_linenumber", $"l_linenumber".cast("long"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    },
+    Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric,
+        CAST(v AS DOUBLE) AS value
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+          CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+          CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+          CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, metric
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     sortMultikeyLimit, setUnionAll, setUnionDistinct, setIntersect,
-    setExcept, dedupDropduplicates, setIntersectExceptAll)
+    setExcept, dedupDropduplicates, setIntersectExceptAll, reshapeUnpivot)
 }

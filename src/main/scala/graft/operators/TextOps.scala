@@ -506,9 +506,50 @@ object TextOps extends QueryModule {
       ORDER BY doc_id, rn
     """.stripMargin.trim))
 
+  /** Fuzzy near-dup by edit distance — completes the dedup family
+    * (exact, Jaccard, MinHash-LSH, SimHash, embedding-cosine, fuzzy):
+    * block by (lang, length-band) so candidate pairs stay per-block
+    * quadratic (the blocking discipline any pairwise metric needs at
+    * scale), then keep pairs whose 60-char-prefix Levenshtein distance
+    * is ≤ 25. Both engines implement classic unit-cost edit distance,
+    * so the integer result is exactly comparable.
+    */
+  val dedupFuzzyEditdistance = Q(
+    "dedup_fuzzy_editdistance",
+    (spark, dir) => {
+      import spark.implicits._
+      val d = Tables
+        .documents(spark, dir)
+        .select($"doc_id", $"lang",
+          (length($"text") / 40).cast("long").as("lb"),
+          substring($"text", 1, 60).as("head"))
+      val a = d.select($"lang", $"lb", $"doc_id".as("d1"), $"head".as("h1"))
+      val b = d.select($"lang".as("lang2"), $"lb".as("lb2"),
+        $"doc_id".as("d2"), $"head".as("h2"))
+      a.join(b, $"lang" === $"lang2" && $"lb" === $"lb2" && $"d1" < $"d2")
+        .withColumn("dist", levenshtein($"h1", $"h2").cast("long"))
+        .filter($"dist" <= 25)
+        .select($"lang", $"d1", $"d2", $"dist")
+        .orderBy($"lang", $"d1", $"d2")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(length(text) // 40 AS BIGINT) AS lb,
+          substr(text, 1, 60) AS head
+        FROM documents)
+      SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+        CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 25
+      ORDER BY lang, d1, d2
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
-    textFingerprintRolling, sampleHashSplit, textTfidfTopterms)
+    textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
+    dedupFuzzyEditdistance)
 }
