@@ -242,6 +242,41 @@ object Joins extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** As-of with tolerance (pandas merge_asof's `tolerance`): the nearest
+    * preceding click only counts if it is within 30 minutes of the
+    * purchase — beyond the horizon the match is nulled. Same
+    * single-shuffle window formulation as `join_asof`; the tolerance is
+    * a post-hoc null-out, so the plan is identical.
+    */
+  val joinAsofTolerance = Q(
+    "join_asof_tolerance",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_type", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn(
+          "last_click_ts",
+          last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .withColumn(
+          "last_click_ts",
+          when($"last_click_ts" >= $"ts" - expr("INTERVAL 30 MINUTES"), $"last_click_ts"))
+        .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   /** Skew-salted equi-join as a declared, oracle-verified row: the big
     * side (events) gets a uniform salt, the small side (customer) is
     * replicated per salt value, so a hot user_id spreads across `salt`
@@ -327,5 +362,5 @@ object Joins extends QueryModule {
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
-    joinSkewSalted, joinBucketedColocated)
+    joinAsofTolerance, joinSkewSalted, joinBucketedColocated)
 }
