@@ -126,6 +126,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSorted(streamed) == collectSorted(batch))
   }
 
+  test("stream-stream join state evicts clicks beyond the interval horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, typ: String): Ev =
+      Ev(id, Timestamp.valueOf(t), 1L, typ, 1.0)
+    val msClicks = MemoryStream[Ev]
+    val msPurch = MemoryStream[Ev]
+    val q = StreamTransforms
+      .clickPurchaseJoin(msClicks.toDF(), msPurch.toDF())
+      .writeStream.format("memory").queryName("ssjoin_late").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_ssjoin_late_${System.nanoTime()}")
+      .start()
+    try {
+      // click at 10:00; watermark advances far past its eviction horizon
+      msClicks.addData(Seq(ev(1, "2024-01-01 10:00:00", "click")))
+      msPurch.addData(Seq(ev(2, "2024-01-01 10:10:00", "purchase")))
+      q.processAllAvailable() // in-horizon match (1,2) emits
+      msClicks.addData(Seq(ev(3, "2024-01-01 14:00:00", "click")))
+      msPurch.addData(Seq(ev(4, "2024-01-01 14:00:00", "purchase")))
+      q.processAllAvailable() // watermark ≈ 13:30 ≫ 10:00 + 30min: click 1 evicted
+      // a purchase at 10:20 would match click 1 in batch, but the state
+      // is gone — the stream may only pair it with nothing
+      msPurch.addData(Seq(ev(5, "2024-01-01 10:20:00", "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("ssjoin_late")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)), s"in-horizon match missing: $pairs")
+    assert(pairs.contains((4L, 3L)), s"same-instant match missing: $pairs")
+    assert(!pairs.exists(_._1 == 5L),
+      s"purchase 5 matched an evicted click — state not bounded: $pairs")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
