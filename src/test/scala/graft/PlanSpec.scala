@@ -115,6 +115,23 @@ class PlanSpec extends SparkSpecBase {
       s"expected partial+final aggregate for collect_list:\n$p")
   }
 
+  test("text_tfidf_topterms broadcasts the corpus-size scalar") {
+    val p = planString(operators.TextOps.textTfidfTopterms.fn(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row corpus-size frame must broadcast, not shuffle:\n$p")
+  }
+
+  test("reshape_unpivot compiles to Expand with no shuffle before the sort") {
+    val df = operators.SetOps.reshapeUnpivot.fn(spark, sfDir)
+    df.collect()
+    val p = executedPlan(df).toString
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    // the only exchange allowed is the final ORDER BY's range partitioning
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"melt itself must not shuffle:\n$exchanges\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
