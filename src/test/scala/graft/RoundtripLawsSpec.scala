@@ -60,6 +60,34 @@ class RoundtripLawsSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed CSV rows land in _corrupt_record under PERMISSIVE, drop under DROPMALFORMED") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = s"/tmp/graft_scratch/csv_malformed_${System.nanoTime()}"
+    // 2 good rows, 1 type-corrupt, 1 arity-corrupt
+    Seq("1,alpha,2.5", "2,beta,7.0", "3,gamma,not_a_number", "4,delta")
+      .toDF("line").coalesce(1).write.text(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache() // corrupt-record column cannot be queried alone without caching
+    assert(permissive.count() == 4, "PERMISSIVE must keep every input row")
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() == 2,
+      "both corrupt rows must be captured")
+    assert(permissive.filter($"_corrupt_record".isNull && $"score".isNotNull).count() == 2,
+      "good rows must parse fully")
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+      .option("mode", "DROPMALFORMED").csv(dir)
+    // count() alone would skip parsing (CSV column pruning) and see 4 rows;
+    // materializing all columns forces the parse that drops malformed rows
+    assert(dropped.collect().length == 2, "DROPMALFORMED must keep only the parseable rows")
+  }
+
   test("set algebra: |A| == |A intersect B| + |A except B| on distinct sets") {
     import spark.implicits._
     val pairGen = for {
