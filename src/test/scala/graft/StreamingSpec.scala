@@ -159,6 +159,33 @@ class StreamingSpec extends SparkSpecBase {
       s"purchase 5 matched an evicted click — state not bounded: $pairs")
   }
 
+  test("update output mode re-emits only the windows a batch touched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String): Ev = Ev(id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.tumblingAgg(ms.toDF())
+      .writeStream.format("memory").queryName("upd").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_upd_${System.nanoTime()}")
+      .start()
+    def emitted(): Seq[(String, Long)] = {
+      spark.table("upd").select($"w_start".cast("string"), $"n_events")
+        .as[(String, Long)].collect().toSeq
+    }
+    try {
+      ms.addData(Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      val afterB1 = emitted()
+      assert(afterB1.map(_._1).sorted ==
+        Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00"), s"b1: $afterB1")
+      ms.addData(Seq(ev(3, "2024-01-01 10:20:00"))) // touches ONLY the 10:00 window
+      q.processAllAvailable()
+      val delta = emitted().diff(afterB1)
+      assert(delta == Seq(("2024-01-01 10:00:00", 2L)),
+        s"update mode must re-emit only the touched window with its new count: $delta")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
