@@ -287,8 +287,44 @@ object Windows extends QueryModule {
       ORDER BY p_partkey
     """.stripMargin.trim))
 
+  /** IGNORE NULLS navigation: previous / next / first non-null purchase
+    * value per user — the sparse-event carry-forward pattern (sessionized
+    * attribute propagation). Same single user_id shuffle as the other
+    * partitioned windows; unique (ts, event_id) order keeps it
+    * deterministic.
+    */
+  val winIgnoreNulls = Q(
+    "win_ignore_nulls",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables
+        .events(spark, dir)
+        .withColumn("pv", when($"event_type" === "purchase", $"value"))
+        .select(
+          $"event_id", $"user_id",
+          lag($"pv", 1, null, ignoreNulls = true).over(w).as("prev_purchase_value"),
+          lead($"pv", 1, null, ignoreNulls = true).over(w).as("next_purchase_value"),
+          nth_value($"pv", 1, ignoreNulls = true).over(wf).as("first_purchase_value"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        lag(pv IGNORE NULLS) OVER w AS prev_purchase_value,
+        lead(pv IGNORE NULLS) OVER w AS next_purchase_value,
+        nth_value(pv, 1 IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_value
+      FROM (SELECT event_id, user_id, ts,
+              CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
-    winRankGlobalScalable, winRangeFrameScalable)
+    winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls)
 }
