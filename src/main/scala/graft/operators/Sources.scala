@@ -178,7 +178,46 @@ object Sources extends QueryModule {
       ORDER BY c_custkey
     """.stripMargin.trim))
 
+  /** Schema evolution on read: generation v=1 was written without
+    * o_totalprice, v=2 with it; `mergeSchema` unifies the footers and
+    * back-fills nulls — the lakehouse add-a-column pattern. The
+    * aggregate proves both the merged schema (non-null counts differ per
+    * generation) and partition discovery (v comes from the directory
+    * name). At 100 TB mergeSchema's footer scan is the cost to watch —
+    * pay it once and pin the merged schema in the catalog.
+    */
+  val scanParquetSchemaEvolution = Q(
+    "scan_parquet_schema_evolution",
+    (spark, dir) => {
+      import spark.implicits._
+      val path = scratch("parquet_orders_evolving")
+      val orders = Tables.orders(spark, dir)
+      orders.select($"o_orderkey", $"o_custkey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v=1")
+      orders.select($"o_orderkey", $"o_custkey",
+          graft.Tables.dec($"o_totalprice").as("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v=2")
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .groupBy($"v".cast("long").as("v"))
+        .agg(
+          count(lit(1)).as("n"),
+          count($"o_totalprice").as("n_price"),
+          sum($"o_totalprice").as("sum_price"))
+        .orderBy($"v")
+    },
+    Some("""
+      SELECT CAST(1 AS BIGINT) AS v, COUNT(*) AS n,
+        0 AS n_price, CAST(NULL AS DOUBLE) AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 2, COUNT(*), COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      ORDER BY v
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
-    sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip)
+    sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
+    scanParquetSchemaEvolution)
 }
