@@ -359,8 +359,39 @@ object Joins extends QueryModule {
       ORDER BY o_orderpriority
     """.stripMargin.trim))
 
+  /** Correlated LATERAL top-k through the SQL surface: per customer, the
+    * two highest-value orders via a correlated subquery with ORDER BY +
+    * LIMIT. Catalyst decorrelates this into the same windowed top-k plan
+    * the DataFrame formulation produces (`win_topk_per_group`) — the row
+    * proves the SQL entry path and the decorrelation, not a new
+    * algorithm. DuckDB runs the identical LATERAL text.
+    */
+  val joinLateralTopk = Q(
+    "join_lateral_topk",
+    (spark, dir) => {
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_orderkey
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c_custkey, o_orderkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
-    joinAsofTolerance, joinSkewSalted, joinBucketedColocated)
+    joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
+    joinLateralTopk)
 }

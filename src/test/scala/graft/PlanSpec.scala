@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpecBase {
       s"melt itself must not shuffle:\n$exchanges\n$p")
   }
 
+  test("join_lateral_topk decorrelates to WindowGroupLimit + join") {
+    val p = planString(operators.Joins.joinLateralTopk.fn(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"correlated LATERAL LIMIT should rewrite to a group-limit window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"decorrelation should produce a single equi-join, not per-row subqueries:\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
