@@ -416,9 +416,33 @@ object Aggregations extends QueryModule {
       ORDER BY l_returnflag, bucket
     """.stripMargin.trim))
 
+  /** Boolean aggregates (universal/existential quantifiers per group) +
+    * count_if — the assertion-style data-quality checks a pipeline
+    * gates on. */
+  val aggBoolLogic = Q(
+    "agg_bool_logic",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables
+        .lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          bool_and($"l_discount" <= 0.1).as("all_discount_le_10"),
+          bool_or($"l_quantity" >= 49).as("any_qty_ge_49"),
+          count_if($"l_tax" > 0.05).as("n_high_tax"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        BOOL_AND(l_discount <= 0.1) AS all_discount_le_10,
+        BOOL_OR(l_quantity >= 49) AS any_qty_ge_49,
+        COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
-    aggHistogramFixed)
+    aggHistogramFixed, aggBoolLogic)
 }
