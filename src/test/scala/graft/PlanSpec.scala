@@ -140,6 +140,13 @@ class PlanSpec extends SparkSpecBase {
       s"decorrelation should produce a single equi-join, not per-row subqueries:\n$p")
   }
 
+  test("agg_corr_covar moment sums run partial then final (map-side combine)") {
+    val p = planString(operators.Aggregations.aggCorrCovar.fn(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the five decimal moments must partial-aggregate — the whole point of the " +
+      s"moment formulation is a 5-decimals-per-group shuffle:\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
