@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Bench entry point (SURVEY.md §3.1 EP3): times every declared query at
+  * the SF the driver selects and prints ONE compact JSON line.
+  *
+  * Output-size contract (learned from BENCH_r02/r03 both landing
+  * `"parsed": null`): the driver keeps only the LAST ~2000 characters of
+  * stdout and parses the JSON line out of that tail. A per-query map over
+  * 95 queries is ~3.5 kB — its head gets truncated and the parse fails no
+  * matter where the line is printed. So the printed line is budgeted to
+  * ≤ MaxLine chars: total + error list always included, then per-query
+  * timings greedily from slowest down until the budget is spent. The
+  * complete per-query map (full precision) is written to BENCH_FULL.json
+  * in the working directory for the judge / BASELINE.md bookkeeping.
+  */
 object Bench {
+  private val MaxLine = 1500 // leaves ≥400 chars of tail for sbt's epilogue
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,19 +32,39 @@ object Bench {
     // pay one-time JVM/codegen/reader warmup outside any query's clock
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // (name, seconds, succeeded) — a failed query records its
+    // elapsed-until-throw time AND lands in the errors list, so a crash
+    // can never masquerade as a fast clean run (ADVICE round 3)
+    val results: Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
     val total = results.map(_._2).sum
+    val errors = results.collect { case (n, _, false) => "\"" + n + "\"" }
+    // full-precision per-query dump (failed queries negated as sentinel)
+    val full = results.map { case (n, v, ok) =>
+      "\"" + n + "\":" + (if (ok) v else -v)
+    }.mkString("{\"metric\":\"total\",\"value\":" + total +
+      ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
+    // compact stdout line: slowest queries first, greedy until MaxLine
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
+      f""""$n":${if (ok) "" else "-"}$v%.3f"""
+    }
+    val sb = new StringBuilder(head)
+    var n = 0
+    entries.foreach { e =>
+      val add = (if (n == 0) 0 else 1) + e.length
+      if (sb.length + add + 2 <= MaxLine) { if (n > 0) sb += ','; sb ++= e; n += 1 }
+    }
+    sb ++= "}}"
     // stop Spark BEFORE printing so the JSON is the last line on stdout
-    // (shutdown logging after the result truncated the driver's parse in
-    // round 2: BENCH_r02.json had "parsed": null)
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(sb.toString)
     System.out.flush()
   }
 }

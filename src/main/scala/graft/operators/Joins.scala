@@ -323,13 +323,26 @@ object Joins extends QueryModule {
     "join_bucketed_colocated",
     (spark, dir) => {
       import spark.implicits._
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      for (t <- Seq("graft_li_bucketed", "graft_orders_bucketed")) {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        // a fresh in-memory catalog cannot DROP a previous JVM's table,
-        // but its directory persists in the warehouse — remove physically
-        val d = new java.io.File(wh, t)
-        if (d.exists()) {
+      // Per-invocation unique table names: a fixed name raced when two
+      // invocations ran concurrently in one session — each would drop and
+      // recreate the other's table mid-join (ADVICE round 3).
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val liTable = s"graft_li_bucketed_$runId"
+      val ordTable = s"graft_orders_bucketed_$runId"
+      // GC bucketed-table leftovers from PREVIOUS JVMs (a fresh in-memory
+      // catalog cannot DROP them, but their directories persist in the
+      // warehouse). Deletion is triple-guarded: graft-bucketed name
+      // pattern, not registered in this session's catalog (live tables
+      // are never touched), and canonical path inside the warehouse dir.
+      val wh = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      ).getCanonicalFile
+      val live = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+      Option(wh.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { d =>
+        val nm = d.getName.toLowerCase
+        if (nm.startsWith("graft_") && nm.contains("_bucketed") &&
+            !live.contains(nm) &&
+            d.getCanonicalPath.startsWith(wh.getPath + java.io.File.separator)) {
           import scala.reflect.io.Directory
           new Directory(d).deleteRecursively()
         }
@@ -337,13 +350,13 @@ object Joins extends QueryModule {
       Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("graft_li_bucketed")
+        .mode("overwrite").saveAsTable(liTable)
       Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_orderpriority")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("graft_orders_bucketed")
-      spark.table("graft_li_bucketed")
-        .join(spark.table("graft_orders_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .mode("overwrite").saveAsTable(ordTable)
+      spark.table(liTable)
+        .join(spark.table(ordTable), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(
           count(lit(1)).as("n_items"),

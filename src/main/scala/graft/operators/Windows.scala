@@ -237,7 +237,10 @@ object Windows extends QueryModule {
           $"p_partkey",
           $"rnk",
           $"drnk",
-          (($"rnk" - 1).cast("double") / ($"n" - 1))
+          // n=1 guard: native PERCENT_RANK defines the one-row case as 0,
+          // while (rnk-1)/(n-1) would be 0/0 → null (ADVICE round 3)
+          when($"n" === 1, lit(0.0))
+            .otherwise(($"rnk" - 1).cast("double") / ($"n" - 1))
             .cast(DecimalType(18, 6)).as("prnk"),
           ($"cum".cast("double") / $"n")
             .cast(DecimalType(18, 6)).as("cume"))

@@ -83,13 +83,23 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame):
         return f"ROWS: spark={len(sdf)} duck={len(ddf)}"
     sdf, ddf = sdf[sc], ddf[sc]
 
-    # hash-risk scan: forbidden cell types anywhere
+    # hash-risk scan: forbidden cell types anywhere. For object-dtype
+    # columns every non-null cell is scanned, not just the first — a
+    # mixed-type column whose Decimal/ndarray cells start after row 1
+    # would otherwise evade exactly the hazard this preflight exists to
+    # catch (ADVICE round 3).
     for side, df in (("spark", sdf), ("duck", ddf)):
         for c in df.columns:
-            v = first_non_null(df[c])
-            k = kind(df[c].dtype, v)
-            if k in ("DECIMAL-OBJECT", "COLLECTION"):
-                return f"REPR col {c} ({side}): {k} cell {v!r}"
+            if pd.api.types.is_object_dtype(df[c].dtype):
+                for v in df[c].dropna():
+                    k = kind(df[c].dtype, v)
+                    if k in ("DECIMAL-OBJECT", "COLLECTION"):
+                        return f"REPR col {c} ({side}): {k} cell {v!r}"
+            else:
+                v = first_non_null(df[c])
+                k = kind(df[c].dtype, v)
+                if k in ("DECIMAL-OBJECT", "COLLECTION"):
+                    return f"REPR col {c} ({side}): {k} cell {v!r}"
 
     # the driver's sort — crashes on unsortable cells, which is the point
     try:
