@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -440,9 +441,45 @@ object Aggregations extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Deterministic per-group mode (most frequent value, lowest-value
+    * tiebreak): count per (group, value), then argmax via a windowed
+    * row_number over the tiny per-group frequency table. Native `mode()`
+    * aggregates leave ties unspecified — this formulation is the only
+    * reproducible one, and the 100 TB one: the heavy aggregation is the
+    * map-side-combinable (user, type) count; the window then partitions
+    * over at most |distinct values| rows per group (≤5 here), so the
+    * sort after the second shuffle is trivially bounded, never skewed.
+    */
+  val aggModeFreq = Q(
+    "agg_mode_freq",
+    (spark, dir) => {
+      import spark.implicits._
+      val counts = Tables
+        .events(spark, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("mode_count"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"mode_count".desc, $"event_type".asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_type".as("mode_event"), $"mode_count")
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id, event_type AS mode_event, mode_count
+      FROM (
+        SELECT user_id, event_type, COUNT(*) AS mode_count,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+      ) WHERE rn = 1
+      ORDER BY user_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
-    aggHistogramFixed, aggBoolLogic)
+    aggHistogramFixed, aggBoolLogic, aggModeFreq)
 }

@@ -402,9 +402,65 @@ object Joins extends QueryModule {
       ORDER BY c_custkey, o_orderkey
     """.stripMargin.trim))
 
+  /** Dynamic partition pruning declared as a row: the fact side is laid
+    * out partitioned by ship year (the lakehouse layout for a date-keyed
+    * 100 TB fact table), the dimension side is a filtered year set known
+    * only at run time, and the broadcast join's build side feeds a
+    * runtime `dynamicpruning` predicate into the fact SCAN — only the
+    * matching year directories are read at all. PlanSpec asserts the
+    * pruning subquery is present in the scan's partition filters; the
+    * oracle (a plain semi-filtered aggregate) proves pruning is
+    * result-invariant. Per-invocation unique directory + stale-sibling
+    * GC, same discipline as `join_bucketed_colocated`.
+    */
+  val joinDppPartitionPruned = Q(
+    "join_dpp_partition_pruned",
+    (spark, dir) => {
+      import spark.implicits._
+      val tmpRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_dpp")
+      tmpRoot.mkdirs()
+      // GC partitioned layouts from previous invocations once they are
+      // safely old (>30 min) — never a sibling a concurrent run may read
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.lastModified() < cutoff)
+        .foreach { d =>
+          import scala.reflect.io.Directory
+          new Directory(d).deleteRecursively()
+        }
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val base = new java.io.File(tmpRoot, runId).getAbsolutePath
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_year", year($"l_shipdate"))
+        .write.partitionBy("ship_year").mode("overwrite").parquet(base)
+      val fact = spark.read.parquet(base)
+      val years = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+        .select(year($"o_orderdate").as("ship_year"))
+        .distinct()
+      fact
+        .join(broadcast(years), "ship_year")
+        .groupBy($"ship_year")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec($"l_extendedprice")).as("revenue"))
+        .orderBy($"ship_year")
+    },
+    Some("""
+      SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE YEAR(l_shipdate) IN (
+        SELECT YEAR(o_orderdate) FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
-    joinLateralTopk)
+    joinLateralTopk, joinDppPartitionPruned)
 }

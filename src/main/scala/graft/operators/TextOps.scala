@@ -553,10 +553,63 @@ object TextOps extends QueryModule {
       ORDER BY lang, d1, d2
     """.stripMargin.trim))
 
+  /** Sliding-window document chunking — the unit operation of training /
+    * RAG corpus preparation: each document becomes overlapping 64-token
+    * chunks at stride 32, one output row per chunk.
+    *
+    * Scale notes (100 TB): chunking is a pure per-row explode (sequence +
+    * slice, all codegen'd) — zero shuffle, embarrassingly parallel. The
+    * chunk text rides the row; nothing is collected or re-joined. The
+    * final ORDER BY exists only for the declared-output contract.
+    */
+  val textChunkSliding = Q(
+    "text_chunk_sliding",
+    (spark, dir) => {
+      import spark.implicits._
+      val chunkLen = 64
+      val stride = 32
+      Tables
+        .documents(spark, dir)
+        .select(
+          $"doc_id",
+          filter(split($"text", " "), t => t =!= "").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").as("n"))
+        .where($"n" > 0)
+        .select(
+          $"doc_id", $"toks",
+          explode(sequence(lit(0), $"n" - 1, lit(stride))).as("start"))
+        .select(
+          $"doc_id",
+          ($"start" / stride).cast("long").as("chunk_idx"),
+          slice($"toks", $"start" + 1, lit(chunkLen)).as("chunk"))
+        .select(
+          $"doc_id",
+          $"chunk_idx",
+          size($"chunk").cast("long").as("n_tokens"),
+          array_join($"chunk", " ").as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, toks, len(toks) AS n,
+          UNNEST(range(0, len(toks), 32)) AS start
+        FROM t WHERE len(toks) > 0
+      )
+      SELECT doc_id,
+        CAST(start // 32 AS BIGINT) AS chunk_idx,
+        CAST(len(list_slice(toks, start + 1, least(start + 64, n))) AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ') AS chunk_text
+      FROM s
+      ORDER BY doc_id, chunk_idx
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
-    dedupFuzzyEditdistance)
+    dedupFuzzyEditdistance, textChunkSliding)
 }

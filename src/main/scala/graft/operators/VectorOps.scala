@@ -312,7 +312,69 @@ object VectorOps extends QueryModule {
     },
     None)
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× memory cut for vector search at scale: per-dimension [min, max]
+    * ranges over the corpus, each value coded to one byte, and the
+    * per-label mean reconstruction error reported as the quality gauge.
+    *
+    * Scale notes (100 TB): the range pass is a 64-row aggregate
+    * (min/max are exact and order-independent — no decimal guard
+    * needed), broadcast back to the corpus, so quantization itself is
+    * one map-side pass with zero extra shuffle. At cluster scale the
+    * codes would be repacked 64-per-row with `transform`; here the
+    * exploded form keeps the error algebra oracle-checkable. Error sums
+    * are decimal-guarded per §2.0; code/dequant arithmetic is written
+    * identically on both engines so the doubles are bit-equal.
+    */
+  val vecQuantizeInt8 = Q(
+    "vec_quantize_int8",
+    (spark, dir) => {
+      import spark.implicits._
+      val dims = Tables
+        .embeddings(spark, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "xf")))
+        .select($"vec_id", $"label", $"pos", $"xf".cast(DoubleType).as("x"))
+      val ranges = dims
+        .groupBy($"pos")
+        .agg(min($"x").as("mn"), max($"x").as("mx"))
+      dims
+        .join(broadcast(ranges), "pos")
+        .withColumn(
+          "code",
+          round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("long") - 128)
+        .withColumn(
+          "abs_err",
+          abs($"x" - ($"mn" + ($"code" + 128).cast(DoubleType) * ($"mx" - $"mn") / 255)))
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_values"),
+          min($"code").as("min_code"),
+          max($"code").as("max_code"),
+          (sum(Tables.dec($"abs_err", 18, 9)).cast(DoubleType) / count(lit(1)))
+            .cast(DecimalType(18, 9)).as("mean_abs_err"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT vec_id, label, CAST(x AS DOUBLE) AS x, pos
+        FROM (SELECT vec_id, label, UNNEST(embedding) AS x,
+                     UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+      ), ranges AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos
+      ), errs AS (
+        SELECT d.label,
+          CAST(round((d.x - r.mn) / (r.mx - r.mn) * 255) AS BIGINT) - 128 AS code,
+          abs(d.x - (r.mn + (CAST(round((d.x - r.mn) / (r.mx - r.mn) * 255) AS BIGINT) - 128 + 128) * (r.mx - r.mn) / 255)) AS abs_err
+        FROM dims d JOIN ranges r USING (pos)
+      )
+      SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_values,
+        MIN(code) AS min_code, MAX(code) AS max_code,
+        CAST(CAST(CAST(SUM(CAST(abs_err AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS mean_abs_err
+      FROM errs GROUP BY label ORDER BY label
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
-    dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf)
+    dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8)
 }

@@ -326,8 +326,70 @@ object Windows extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Batch sessionization via gaps-and-islands: per-user events split
+    * into sessions at 15-minute inactivity gaps, one output row per
+    * session with its span, event count, and decimal value sum. This is
+    * the clickstream→training-episode constructor for BATCH corpora
+    * (streaming ingest uses `stream_session_window`'s session_window
+    * primitive; this formulation covers stored history where no
+    * watermark exists, with a different gap so the two rows stay
+    * distinct operators).
+    *
+    * Scale notes (100 TB): exactly one shuffle on user_id; the lag flag,
+    * the running session counter, and the final per-session aggregate
+    * all reuse that partitioning (the groupBy keys are a superset of the
+    * window partition key, so Catalyst plans no second Exchange).
+    */
+  val winSessionizeBatch = Q(
+    "win_sessionize_batch",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables
+        .events(spark, dir)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn(
+          "new_sess",
+          when(
+            lag($"ts", 1).over(w).isNull ||
+              $"ts" >= lag($"ts", 1).over(w) + expr("INTERVAL 15 MINUTES"),
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sess_id")
+        .agg(
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(dec($"value", 18, 6)).as("sum_value"))
+        .orderBy($"user_id", $"sess_id")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts >= LAG(ts) OVER w + INTERVAL 15 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM flagged)
+      SELECT user_id, sess_id,
+        MIN(ts) AS session_start,
+        MAX(ts) AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM sess
+      GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
-    winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls)
+    winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
+    winSessionizeBatch)
 }

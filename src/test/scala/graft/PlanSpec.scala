@@ -147,6 +147,37 @@ class PlanSpec extends SparkSpecBase {
       s"moment formulation is a 5-decimals-per-group shuffle:\n$p")
   }
 
+  test("join_dpp_partition_pruned injects a runtime pruning filter into the fact scan") {
+    val df = operators.Joins.joinDppPartitionPruned.fn(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan carries no dynamic partition pruning predicate:\n$p")
+  }
+
+  test("win_sessionize_batch hash-shuffles once (session agg reuses the window partitioning)") {
+    val df = operators.Windows.winSessionizeBatch.fn(spark, sfDir)
+    df.collect()
+    val p = executedPlan(df).toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one hash Exchange (user_id), found $hashEx:\n$p")
+  }
+
+  test("text_chunk_sliding plans no shuffle before the declared-output sort") {
+    val df = operators.TextOps.textChunkSliding.fn(spark, sfDir)
+    df.collect()
+    val p = executedPlan(df).toString
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking itself must not shuffle:\n$exchanges\n$p")
+  }
+
+  test("vec_quantize_int8 broadcasts the 64-row per-dimension codebook") {
+    val p = planString(operators.VectorOps.vecQuantizeInt8.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook join must broadcast, not shuffle the exploded corpus:\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Reference-recompute tests for the round-4 grouping operators:
+  * `win_sessionize_batch` (gaps-and-islands) and `agg_mode_freq`
+  * (deterministic mode). Both are recomputed independently in plain
+  * Scala from the raw events and compared row-for-row — a different
+  * algorithm than the declared window/aggregate formulations, so
+  * agreement is meaningful (same adversarial-oracle idea as the DuckDB
+  * parity gate, but in-JVM).
+  */
+class SessionizeModeSpec extends SparkSpecBase {
+
+  /** Full-precision microseconds (Timestamp.getTime alone drops the
+    * sub-millisecond part the event fixtures carry).
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  private def rawEvents: Array[(Long, Long, Timestamp, Double, String)] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts".cast("timestamp"), $"value", $"event_type")
+      .as[(Long, Long, Timestamp, Double, String)].collect()
+  }
+
+  test("win_sessionize_batch matches a sequential per-user fold") {
+    import spark.implicits._
+    val gapMicros = 15L * 60 * 1000000
+    val expected = rawEvents
+      .groupBy(_._1)
+      .flatMap { case (user, evs) =>
+        val sorted = evs.sortBy(e => (micros(e._3), e._2)).toList
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[List[Long]]
+        var prev = Long.MinValue
+        for (e <- sorted) {
+          val t = micros(e._3)
+          if (sessions.nonEmpty && t - prev < gapMicros)
+            sessions(sessions.size - 1) = sessions.last :+ t
+          else sessions += List(t)
+          prev = t
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (user, i + 1L) -> ((s.min, s.max, s.size.toLong))
+        }
+      }
+      .toMap
+    val got = operators.Windows.winSessionizeBatch.fn(spark, sfDir)
+      .select($"user_id", $"sess_id", $"session_start".cast("timestamp"),
+        $"session_end".cast("timestamp"), $"n_events")
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect()
+    assert(got.length == expected.size, s"${got.length} sessions vs ${expected.size} expected")
+    got.foreach { case (u, sid, st, en, n) =>
+      val (est, een, enn) = expected((u, sid))
+      assert(micros(st) == est && micros(en) == een && n == enn,
+        s"user $u session $sid: got (${micros(st)},${micros(en)},$n) expected ($est,$een,$enn)")
+    }
+  }
+
+  test("agg_mode_freq matches a Scala recompute with lowest-value tiebreak") {
+    import spark.implicits._
+    val expected = rawEvents
+      .groupBy(_._1)
+      .map { case (user, evs) =>
+        val counts = evs.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+        val (mode, cnt) = counts.toSeq.minBy { case (t, c) => (-c, t) }
+        user -> ((mode, cnt))
+      }
+    val got = operators.Aggregations.aggModeFreq.fn(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (u, mode, cnt) =>
+      assert(expected(u) == ((mode, cnt)),
+        s"user $u: got ($mode,$cnt) expected ${expected(u)}")
+    }
+  }
+}

@@ -74,6 +74,25 @@ class TextOpsSpec extends SparkSpecBase {
       assert(sig(id + 100000L) == s, s"duplicate of $id hashed differently")
   }
 
+  test("sliding chunks tile each document: stride 32, length <= 64, full coverage") {
+    import spark.implicits._
+    val toks = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }.toMap
+    val chunks = operators.TextOps.textChunkSliding.fn(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    chunks.foreach { case (id, idx, nTok, text) =>
+      val doc = toks(id)
+      val start = idx.toInt * 32
+      val expect = doc.slice(start, start + 64)
+      assert(text == expect.mkString(" "), s"doc $id chunk $idx content mismatch")
+      assert(nTok == expect.length, s"doc $id chunk $idx length mismatch")
+    }
+    val perDoc = chunks.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((id, doc) <- toks if doc.nonEmpty)
+      assert(perDoc(id) == (doc.length - 1) / 32 + 1,
+        s"doc $id: wrong chunk count for ${doc.length} tokens")
+  }
+
   test("rolling fingerprint equals a reference fold computed in Scala") {
     import spark.implicits._
     val got = operators.TextOps.textFingerprintRolling.fn(spark, sfDir)

@@ -116,4 +116,25 @@ class VectorOpsSpec extends SparkSpecBase {
       assert(math.abs(mean - c) < 1e-7, s"label $l pos $p: $mean vs $c")
     }
   }
+
+  test("int8 quantization: codes span one byte, mean error under half a quantization step") {
+    import spark.implicits._
+    val out = SparkEntry.queries("vec_quantize_int8")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (label, n, minCode, maxCode, meanErr) =>
+      assert(minCode >= -128 && maxCode <= 127, s"label $label codes out of int8 range")
+      assert(n > 0 && meanErr >= 0, s"label $label: empty or negative error")
+    }
+    // the worst per-dimension step bounds every value's error at step/2
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"embedding").as[Seq[Float]].collect().map(_.map(_.toDouble))
+    val worstStep = (0 until 64).map { d =>
+      val col = vecs.map(_(d)); (col.max - col.min) / 255
+    }.max
+    out.foreach { case (label, _, _, _, meanErr) =>
+      assert(meanErr <= worstStep / 2 + 1e-9,
+        s"label $label mean |err| $meanErr exceeds half-step bound ${worstStep / 2}")
+    }
+  }
 }
