@@ -606,10 +606,81 @@ object TextOps extends QueryModule {
       ORDER BY doc_id, chunk_idx
     """.stripMargin.trim))
 
+  /** Train/test decontamination by n-gram overlap — the guard every
+    * training corpus needs against benchmark leakage: treat one source
+    * (`src0`) as the held-out benchmark, flag every training document
+    * sharing ≥ 3 distinct 3-gram shingles with ANY benchmark document,
+    * with the shared-shingle count and contamination ratio.
+    *
+    * Scale notes (100 TB): the benchmark shingle set is small by
+    * construction (benchmarks are, even when the corpus is not) and is
+    * BROADCAST — the training side is never shuffled by shingle, only
+    * hash-aggregated by doc_id, which partial-aggregates map-side. This
+    * is the formulation that survives a 100 TB training corpus: cost is
+    * one scan + one broadcast probe, not a shingle-keyed repartition of
+    * everything.
+    */
+  val textDecontaminateNgram = Q(
+    "text_decontaminate_ngram",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val sh = shingles(docs)
+      val benchSh = sh
+        .join(docs.where($"source" === "src0").select($"doc_id"), "doc_id")
+        .select($"shingle").distinct()
+      val trainSh = sh
+        .join(docs.where($"source" =!= "src0").select($"doc_id"), "doc_id")
+      val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      trainSh
+        .join(broadcast(benchSh), "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .join(sizes, "doc_id")
+        .select(
+          $"doc_id", $"n_hits", $"n_shingles",
+          ($"n_hits".cast(DoubleType) / $"n_shingles")
+            .cast(DecimalType(18, 6)).as("contamination"))
+        .where($"n_hits" >= 3)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, pos, tok FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), bench AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source = 'src0'
+      ), train AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+        WHERE d.source <> 'src0'
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1
+      ), hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM train t JOIN bench b ON t.shingle = b.shingle GROUP BY 1
+      )
+      SELECT h.doc_id, h.n_hits, z.n_shingles,
+        CAST(CAST(CAST(h.n_hits AS DOUBLE) / z.n_shingles AS DECIMAL(18,6)) AS DOUBLE) AS contamination
+      FROM hits h JOIN sizes z USING (doc_id)
+      WHERE h.n_hits >= 3
+      ORDER BY doc_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
-    dedupFuzzyEditdistance, textChunkSliding)
+    dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram)
 }

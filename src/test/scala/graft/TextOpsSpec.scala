@@ -93,6 +93,27 @@ class TextOpsSpec extends SparkSpecBase {
         s"doc $id: wrong chunk count for ${doc.length} tokens")
   }
 
+  test("decontamination matches a Scala set-algebra recompute") {
+    import spark.implicits._
+    val raw = docs.select($"doc_id", $"source", lower($"text")).as[(Long, String, String)].collect()
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val benchShingles = raw.filter(_._2 == "src0").flatMap(r => shingleSet(r._3)).toSet
+    val expected = raw.filter(_._2 != "src0").flatMap { case (id, _, t) =>
+      val sh = shingleSet(t)
+      val hits = sh.count(benchShingles.contains)
+      if (hits >= 3) Some(id -> ((hits.toLong, sh.size.toLong))) else None
+    }.toMap
+    val got = operators.TextOps.textDecontaminateNgram.fn(spark, sfDir)
+      .select($"doc_id", $"n_hits", $"n_shingles").as[(Long, Long, Long)].collect()
+      .map { case (id, h, n) => id -> ((h, n)) }.toMap
+    assert(got == expected, s"decontamination sets differ: " +
+      s"only-got=${(got.keySet -- expected.keySet).take(5)}, " +
+      s"only-expected=${(expected.keySet -- got.keySet).take(5)}")
+  }
+
   test("rolling fingerprint equals a reference fold computed in Scala") {
     import spark.implicits._
     val got = operators.TextOps.textFingerprintRolling.fn(spark, sfDir)
