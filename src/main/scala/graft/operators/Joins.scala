@@ -347,12 +347,19 @@ object Joins extends QueryModule {
           new Directory(d).deleteRecursively()
         }
       }
+      // repartition to the bucket layout before writing: HashPartitioning
+      // and bucketBy use the same murmur3-pmod hash, so each task holds
+      // exactly one bucket and writes exactly one file — 8 files per
+      // table instead of tasks×buckets small files (the small-files
+      // problem is THE bucketed-layout killer at 100 TB)
       Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_quantity")
+        .repartition(8, $"l_orderkey")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liTable)
       Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_orderpriority")
+        .repartition(8, $"o_orderkey")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ordTable)
       spark.table(liTable)
@@ -431,8 +438,12 @@ object Joins extends QueryModule {
         }
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val base = new java.io.File(tmpRoot, runId).getAbsolutePath
+      // one shuffle by the partition column so each year directory gets
+      // one file (not one per task) — same small-files discipline as the
+      // bucketed layout; 7 year-partitions write in parallel
       Tables.lineitem(spark, dir)
         .withColumn("ship_year", year($"l_shipdate"))
+        .repartition($"ship_year")
         .write.partitionBy("ship_year").mode("overwrite").parquet(base)
       val fact = spark.read.parquet(base)
       val years = Tables.orders(spark, dir)

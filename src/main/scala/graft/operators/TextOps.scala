@@ -625,12 +625,16 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
+      // tag each shingle with its doc's source ONCE and cache: three
+      // downstream branches (benchmark set, training set, sizes) would
+      // otherwise each re-tokenize the corpus
       val sh = shingles(docs)
-      val benchSh = sh
-        .join(docs.where($"source" === "src0").select($"doc_id"), "doc_id")
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .cache()
+      val benchSh = sh.where($"source" === "src0")
         .select($"shingle").distinct()
-      val trainSh = sh
-        .join(docs.where($"source" =!= "src0").select($"doc_id"), "doc_id")
+      val trainSh = sh.where($"source" =!= "src0")
+        .select($"doc_id", $"shingle")
       val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       trainSh
         .join(broadcast(benchSh), "shingle")
