@@ -44,6 +44,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.Aggregations,
+    operators.EtlOps,
     operators.Filters,
     operators.Joins,
     operators.Multimodal,

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY.md §2.1.K — daily-ETL maintenance operators: the batch
+  * upsert/merge, dimension-history, and data-quality patterns at the
+  * heart of a scheduled pipeline (the reference's own category is
+  * "Daily ETL system for data pipelines").
+  *
+  * Scale notes (100 TB):
+  *  - The SCD-1 merge is ONE full-outer shuffle join on the business
+  *    key — the classic snapshot+delta reconciliation. No row is read
+  *    twice, no driver-side diffing; at warehouse scale the same plan
+  *    drives MERGE INTO on a lakehouse table format.
+  *  - SCD-2 interval building is one window pass per business key
+  *    (lag to detect change, lead to close intervals) — the standard
+  *    one-shuffle history constructor.
+  *  - The DQ audit computes each table's metrics in single passes and
+  *    anti-join orphan checks; the unioned metric frame is tiny. Row
+  *    counts, null counts, and orphan counts are exactly the gates a
+  *    daily load would assert before publishing a partition.
+  */
+object EtlOps extends QueryModule {
+
+  /** SCD-1 incremental merge (upsert): the customer snapshot merged
+    * with a delta of purchase totals per user. Keys only in the delta
+    * become inserts, keys only in the snapshot are kept, keys in both
+    * get an updated balance — the full action column makes the merge
+    * decision auditable.
+    */
+  val etlIncrementalMerge = Q(
+    "etl_incremental_merge",
+    (spark, dir) => {
+      import spark.implicits._
+      val target = Tables.customer(spark, dir)
+        .select($"c_custkey".as("key"), $"c_acctbal", $"c_mktsegment")
+      val updates = Tables.events(spark, dir)
+        .where($"event_type" === "purchase")
+        .groupBy($"user_id".as("key"))
+        .agg(sum(dec($"value", 18, 6)).as("delta"), count(lit(1)).as("n_upd"))
+      target
+        .join(updates, Seq("key"), "full_outer")
+        .select(
+          $"key",
+          when($"c_acctbal".isNull, lit("insert"))
+            .when($"delta".isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"),
+          (coalesce(dec($"c_acctbal", 18, 6), dec(lit(0), 18, 6)) +
+            coalesce($"delta", dec(lit(0), 18, 6))).as("new_acctbal"),
+          coalesce($"c_mktsegment", lit("UNKNOWN")).as("mktsegment"),
+          coalesce($"n_upd", lit(0L)).as("n_updates"))
+        .orderBy($"key")
+    },
+    Some("""
+      WITH updates AS (
+        SELECT user_id AS key,
+          SUM(CAST(value AS DECIMAL(18,6))) AS delta,
+          COUNT(*) AS n_upd
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+      )
+      SELECT COALESCE(c_custkey, key) AS key,
+        CASE WHEN c_custkey IS NULL THEN 'insert'
+             WHEN delta IS NULL THEN 'keep'
+             ELSE 'update' END AS action,
+        CAST(COALESCE(CAST(c_acctbal AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+             + COALESCE(delta, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS new_acctbal,
+        COALESCE(c_mktsegment, 'UNKNOWN') AS mktsegment,
+        COALESCE(n_upd, 0) AS n_updates
+      FROM customer FULL OUTER JOIN updates ON c_custkey = key
+      ORDER BY key
+    """.stripMargin.trim))
+
+  /** SCD-2 history build: per user, collapse the event stream into
+    * validity intervals of the observed event_type — a new version
+    * starts whenever the type changes; `valid_to` is the next version's
+    * start (NULL while current). One window pass per business key.
+    */
+  val etlScd2Intervals = Q(
+    "etl_scd2_intervals",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val changes = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      val wv = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      changes
+        .select(
+          $"user_id",
+          row_number().over(wv).cast("long").as("version"),
+          $"event_type",
+          $"ts".as("valid_from"),
+          lead($"ts", 1).over(wv).as("valid_to"),
+          lead($"ts", 1).over(wv).isNull.as("is_current"))
+        .orderBy($"user_id", $"version")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type
+      )
+      SELECT user_id,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        event_type,
+        ts AS valid_from,
+        LEAD(ts) OVER w AS valid_to,
+        LEAD(ts) OVER w IS NULL AS is_current
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version
+    """.stripMargin.trim))
+
+  /** Data-quality audit gate: the metric set a daily load asserts
+    * before publishing — row counts, key cardinalities, null counts,
+    * referential orphans (anti-joins), and a reconciliation total.
+    * Long format (metric, value) so the gate is one comparable frame.
+    */
+  val etlDqAudit = Q(
+    "etl_dq_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      val c = Tables.customer(spark, dir)
+      def metric(name: String, v: org.apache.spark.sql.Column,
+                 df: org.apache.spark.sql.DataFrame) =
+        df.agg(v.cast(DoubleType).as("value")).select(lit(name).as("metric"), $"value")
+      metric("lineitem_orphan_orderkeys", count(lit(1)),
+          li.join(o, $"l_orderkey" === $"o_orderkey", "left_anti"))
+        .unionByName(metric("orders_distinct_custkeys", countDistinct($"o_custkey"), o))
+        .unionByName(metric("orders_null_totalprice",
+          sum(when($"o_totalprice".isNull, 1L).otherwise(0L)), o))
+        .unionByName(metric("orders_orphan_custkeys", count(lit(1)),
+          o.join(c, $"o_custkey" === $"c_custkey", "left_anti")))
+        .unionByName(metric("orders_rows", count(lit(1)), o))
+        .unionByName(metric("orders_totalprice_sum",
+          sum(dec($"o_totalprice")).cast(DecimalType(18, 2)), o))
+        .orderBy($"metric")
+    },
+    Some("""
+      SELECT 'lineitem_orphan_orderkeys' AS metric,
+        CAST((SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE) AS value
+      UNION ALL
+      SELECT 'orders_distinct_custkeys', CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS DOUBLE)
+      UNION ALL
+      SELECT 'orders_null_totalprice', CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS DOUBLE)
+      UNION ALL
+      SELECT 'orders_orphan_custkeys',
+        CAST((SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS DOUBLE)
+      UNION ALL
+      SELECT 'orders_rows', CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+      UNION ALL
+      SELECT 'orders_totalprice_sum',
+        CAST((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM orders) AS DOUBLE)
+      ORDER BY metric
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit)
+}

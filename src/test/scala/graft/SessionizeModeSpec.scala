@@ -58,6 +58,34 @@ class SessionizeModeSpec extends SparkSpecBase {
     }
   }
 
+  test("etl_scd2_intervals matches a sequential change-tracking fold") {
+    import spark.implicits._
+    val expected = rawEvents
+      .groupBy(_._1)
+      .flatMap { case (user, evs) =>
+        val sorted = evs.sortBy(e => (micros(e._3), e._2))
+        val changes = sorted.zipWithIndex.filter { case (e, i) =>
+          i == 0 || sorted(i - 1)._5 != e._5
+        }.map(_._1)
+        changes.zipWithIndex.map { case (e, i) =>
+          val to = if (i + 1 < changes.length) Some(micros(changes(i + 1)._3)) else None
+          (user, i + 1L) -> ((e._5, micros(e._3), to, to.isEmpty))
+        }.toSeq
+      }
+      .toMap
+    val got = operators.EtlOps.etlScd2Intervals.fn(spark, sfDir)
+      .select($"user_id", $"version", $"event_type",
+        $"valid_from".cast("timestamp"), $"valid_to".cast("timestamp"), $"is_current")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (u, v, tpe, from, to, cur) =>
+      val (etpe, efrom, eto, ecur) = expected((u, v))
+      assert(tpe == etpe && micros(from) == efrom && to.map(micros) == eto && cur == ecur,
+        s"user $u version $v: got ($tpe,${micros(from)},${to.map(micros)},$cur) " +
+          s"expected ($etpe,$efrom,$eto,$ecur)")
+    }
+  }
+
   test("agg_mode_freq matches a Scala recompute with lowest-value tiebreak") {
     import spark.implicits._
     val expected = rawEvents
