@@ -477,9 +477,99 @@ object Aggregations extends QueryModule {
       ORDER BY user_id
     """.stripMargin.trim))
 
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week, activity counted at each week offset — the standard
+    * engagement matrix. Two shuffles total: a user-keyed min for the
+    * cohort assignment and the final (cohort, offset) count. The
+    * distinct (user, week) frame maps 1:1 to (user, cohort, offset)
+    * (offset is a bijection of week given cohort), so a plain count is
+    * provably a distinct-user count — no expensive count-distinct.
+    */
+  val aggRetentionCohorts = Q(
+    "agg_retention_cohorts",
+    (spark, dir) => {
+      import spark.implicits._
+      val weekly = Tables.events(spark, dir)
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+        .distinct()
+      val cohorts = weekly.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+      weekly
+        .join(cohorts, "user_id")
+        .select(
+          $"cohort_week",
+          (datediff($"wk", $"cohort_week") / 7).cast("long").as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""
+      WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      ), cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM weekly GROUP BY 1
+      )
+      SELECT c.cohort_week,
+        CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(w.wk AS DATE)) / 7 AS BIGINT) AS week_offset,
+        COUNT(*) AS n_users
+      FROM weekly w JOIN cohorts c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """.stripMargin.trim))
+
+  /** Ordered conversion funnel (signup → click → purchase): each step
+    * counts users whose step event occurs AT OR AFTER their previous
+    * step's first event — the sequenced semantics, not mere presence.
+    *
+    * Scale notes: the ordered constraint needs the per-step min-ts
+    * chain (two user-keyed hash joins over already-aggregated per-user
+    * rows), not a single conditional-agg pass, which could only express
+    * the unordered funnel. Every join side is one row per user.
+    */
+  val aggFunnelSteps = Q(
+    "agg_funnel_steps",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"user_id", $"event_type", $"ts")
+      val s1 = ev.where($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.where($"event_type" === "click")
+        .join(s1, "user_id").where($"ts" >= $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.where($"event_type" === "purchase")
+        .join(s2, "user_id").where($"ts" >= $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      def cnt(step: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(step).as("step"), $"n_users")
+      cnt("1_signup", s1)
+        .unionByName(cnt("2_click_after_signup", s2))
+        .unionByName(cnt("3_purchase_after_click", s3))
+        .orderBy($"step")
+    },
+    Some("""
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+      ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+      ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+      )
+      SELECT '1_signup' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT '2_click_after_signup', (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT '3_purchase_after_click', (SELECT COUNT(*) FROM s3)
+      ORDER BY step
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
-    aggHistogramFixed, aggBoolLogic, aggModeFreq)
+    aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
+    aggFunnelSteps)
 }
