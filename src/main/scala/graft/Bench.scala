@@ -43,7 +43,12 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     val total = results.map(_._2).sum
-    val errors = results.collect { case (n, _, false) => "\"" + n + "\"" }
+    // the errors list is itself budgeted: a mass-failure run (data dir
+    // missing) would otherwise blow the head past the tail window and
+    // reproduce the very truncation failure this line format exists to
+    // avoid — n_errors always carries the true count
+    val failed = results.collect { case (n, _, false) => n }
+    val errors = failed.take(8).map("\"" + _ + "\"")
     // full-precision per-query dump (failed queries negated as sentinel)
     val full = results.map { case (n, v, ok) =>
       "\"" + n + "\":" + (if (ok) v else -v)
@@ -51,7 +56,7 @@ object Bench {
       ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
     Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     // compact stdout line: slowest queries first, greedy until MaxLine
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
       f""""$n":${if (ok) "" else "-"}$v%.3f"""
     }

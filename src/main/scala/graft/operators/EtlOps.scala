@@ -36,18 +36,24 @@ object EtlOps extends QueryModule {
     "etl_incremental_merge",
     (spark, dir) => {
       import spark.implicits._
+      // side-membership via explicit marker columns, NOT value-null
+      // proxies: a matched row whose c_acctbal (or whose delta, from
+      // all-null values) happens to be NULL must still classify by key
+      // presence
       val target = Tables.customer(spark, dir)
-        .select($"c_custkey".as("key"), $"c_acctbal", $"c_mktsegment")
+        .select($"c_custkey".as("key"), $"c_acctbal", $"c_mktsegment",
+          lit(true).as("in_target"))
       val updates = Tables.events(spark, dir)
         .where($"event_type" === "purchase")
         .groupBy($"user_id".as("key"))
-        .agg(sum(dec($"value", 18, 6)).as("delta"), count(lit(1)).as("n_upd"))
+        .agg(sum(dec($"value", 18, 6)).as("delta"), count(lit(1)).as("n_upd"),
+          first(lit(true)).as("in_upd"))
       target
         .join(updates, Seq("key"), "full_outer")
         .select(
           $"key",
-          when($"c_acctbal".isNull, lit("insert"))
-            .when($"delta".isNull, lit("keep"))
+          when($"in_target".isNull, lit("insert"))
+            .when($"in_upd".isNull, lit("keep"))
             .otherwise(lit("update")).as("action"),
           (coalesce(dec($"c_acctbal", 18, 6), dec(lit(0), 18, 6)) +
             coalesce($"delta", dec(lit(0), 18, 6))).as("new_acctbal"),
@@ -56,21 +62,25 @@ object EtlOps extends QueryModule {
         .orderBy($"key")
     },
     Some("""
-      WITH updates AS (
+      WITH target AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, TRUE AS in_target
+        FROM customer
+      ), updates AS (
         SELECT user_id AS key,
           SUM(CAST(value AS DECIMAL(18,6))) AS delta,
-          COUNT(*) AS n_upd
+          COUNT(*) AS n_upd,
+          TRUE AS in_upd
         FROM events WHERE event_type = 'purchase' GROUP BY 1
       )
       SELECT COALESCE(c_custkey, key) AS key,
-        CASE WHEN c_custkey IS NULL THEN 'insert'
-             WHEN delta IS NULL THEN 'keep'
+        CASE WHEN in_target IS NULL THEN 'insert'
+             WHEN in_upd IS NULL THEN 'keep'
              ELSE 'update' END AS action,
         CAST(COALESCE(CAST(c_acctbal AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
              + COALESCE(delta, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS new_acctbal,
         COALESCE(c_mktsegment, 'UNKNOWN') AS mktsegment,
         COALESCE(n_upd, 0) AS n_updates
-      FROM customer FULL OUTER JOIN updates ON c_custkey = key
+      FROM target FULL OUTER JOIN updates ON c_custkey = key
       ORDER BY key
     """.stripMargin.trim))
 

@@ -329,22 +329,34 @@ object Joins extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val liTable = s"graft_li_bucketed_$runId"
       val ordTable = s"graft_orders_bucketed_$runId"
-      // GC bucketed-table leftovers from PREVIOUS JVMs (a fresh in-memory
-      // catalog cannot DROP them, but their directories persist in the
-      // warehouse). Deletion is triple-guarded: graft-bucketed name
-      // pattern, not registered in this session's catalog (live tables
-      // are never touched), and canonical path inside the warehouse dir.
+      // GC bucketed-table leftovers — both previous JVMs' orphan dirs
+      // (absent from this catalog) and this session's own stale tables
+      // (unique names never collide, but each invocation would otherwise
+      // leak a full table pair for the session's lifetime). Deletion is
+      // quadruple-guarded: graft-bucketed name pattern, canonical path
+      // inside the warehouse dir, NOT one of this invocation's tables,
+      // and older than 30 minutes — the age cutoff is what makes the GC
+      // safe against a concurrent invocation whose CTAS has written its
+      // directory but not yet registered the table (catalog registration
+      // happens after the data write, so a live-set check alone races).
       val wh = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       ).getCanonicalFile
-      val live = spark.catalog.listTables().collect().map(_.name.toLowerCase).toSet
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
       Option(wh.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { d =>
         val nm = d.getName.toLowerCase
         if (nm.startsWith("graft_") && nm.contains("_bucketed") &&
-            !live.contains(nm) &&
+            nm != liTable && nm != ordTable &&
+            d.lastModified() < cutoff &&
             d.getCanonicalPath.startsWith(wh.getPath + java.io.File.separator)) {
-          import scala.reflect.io.Directory
-          new Directory(d).deleteRecursively()
+          // DROP first (a managed-table drop removes its own directory
+          // for this session's tables); the physical delete then only
+          // handles previous-JVM orphans the catalog does not know
+          try spark.sql(s"DROP TABLE IF EXISTS $nm") catch { case _: Throwable => () }
+          if (d.exists()) {
+            import scala.reflect.io.Directory
+            new Directory(d).deleteRecursively()
+          }
         }
       }
       // repartition to the bucket layout before writing: HashPartitioning

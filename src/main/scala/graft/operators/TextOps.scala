@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TextOps extends QueryModule {
 
+  /** Last invocation's cached shingle frame for `text_decontaminate_ngram`
+    * — swapped (and the predecessor unpersisted) on each re-invocation.
+    */
+  private val decontamCache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
   /** Lowercased whitespace tokens with 0-based position. */
   def tokens(docs: org.apache.spark.sql.DataFrame) =
     docs
@@ -170,7 +176,13 @@ object TextOps extends QueryModule {
     },
     Some("""
       WITH tok AS (
-        SELECT doc_id, pos, tok FROM (
+        -- positions are renumbered AFTER dropping empty tokens so the
+        -- pos+1 adjacency joins below match Spark's lead-over-filtered
+        -- semantics even on texts with consecutive spaces
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
           SELECT doc_id,
             UNNEST(string_split(lower(text), ' ')) AS tok,
             UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
@@ -627,10 +639,14 @@ object TextOps extends QueryModule {
       val docs = Tables.documents(spark, dir)
       // tag each shingle with its doc's source ONCE and cache: three
       // downstream branches (benchmark set, training set, sizes) would
-      // otherwise each re-tokenize the corpus
+      // otherwise each re-tokenize the corpus. The previous invocation's
+      // cache is released here — the fn returns a lazy frame, so this
+      // swap is the only safe unpersist point; without it the largest
+      // text-suite intermediate would pin storage memory all session.
       val sh = shingles(docs)
         .join(docs.select($"doc_id", $"source"), "doc_id")
         .cache()
+      Option(decontamCache.getAndSet(sh)).foreach(_.unpersist(false))
       val benchSh = sh.where($"source" === "src0")
         .select($"shingle").distinct()
       val trainSh = sh.where($"source" =!= "src0")
@@ -650,7 +666,13 @@ object TextOps extends QueryModule {
     },
     Some("""
       WITH tok AS (
-        SELECT doc_id, pos, tok FROM (
+        -- positions are renumbered AFTER dropping empty tokens so the
+        -- pos+1 adjacency joins below match Spark's lead-over-filtered
+        -- semantics even on texts with consecutive spaces
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
           SELECT doc_id,
             UNNEST(string_split(lower(text), ' ')) AS tok,
             UNNEST(range(len(string_split(lower(text), ' ')))) AS pos

@@ -341,7 +341,12 @@ object VectorOps extends QueryModule {
         .join(broadcast(ranges), "pos")
         .withColumn(
           "code",
-          round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("long") - 128)
+          // degenerate-dimension guard: a constant dimension (mx = mn)
+          // would divide 0/0 → NaN, which the two engines resolve
+          // differently; pin its code to 0 (dequantizes to mn exactly)
+          when($"mx" === $"mn", lit(0L))
+            .otherwise(round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("long"))
+            - 128)
         .withColumn(
           "abs_err",
           abs($"x" - ($"mn" + ($"code" + 128).cast(DoubleType) * ($"mx" - $"mn") / 255)))
@@ -362,11 +367,16 @@ object VectorOps extends QueryModule {
               FROM embeddings)
       ), ranges AS (
         SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos
-      ), errs AS (
-        SELECT d.label,
-          CAST(round((d.x - r.mn) / (r.mx - r.mn) * 255) AS BIGINT) - 128 AS code,
-          abs(d.x - (r.mn + (CAST(round((d.x - r.mn) / (r.mx - r.mn) * 255) AS BIGINT) - 128 + 128) * (r.mx - r.mn) / 255)) AS abs_err
+      ), coded AS (
+        SELECT d.label, d.x, r.mn, r.mx,
+          CASE WHEN r.mx = r.mn THEN 0
+               ELSE CAST(round((d.x - r.mn) / (r.mx - r.mn) * 255) AS BIGINT)
+          END - 128 AS code
         FROM dims d JOIN ranges r USING (pos)
+      ), errs AS (
+        SELECT label, code,
+          abs(x - (mn + (code + 128) * (mx - mn) / 255)) AS abs_err
+        FROM coded
       )
       SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_values,
         MIN(code) AS min_code, MAX(code) AS max_code,

@@ -18,7 +18,7 @@ class SessionizeModeSpec extends SparkSpecBase {
   private def micros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
-  private def rawEvents: Array[(Long, Long, Timestamp, Double, String)] = {
+  private lazy val rawEvents: Array[(Long, Long, Timestamp, Double, String)] = {
     import spark.implicits._
     Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", $"ts".cast("timestamp"), $"value", $"event_type")

@@ -91,10 +91,14 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame):
     for side, df in (("spark", sdf), ("duck", ddf)):
         for c in df.columns:
             if pd.api.types.is_object_dtype(df[c].dtype):
-                for v in df[c].dropna():
-                    k = kind(df[c].dtype, v)
-                    if k in ("DECIMAL-OBJECT", "COLLECTION"):
-                        return f"REPR col {c} ({side}): {k} cell {v!r}"
+                # vectorized type census instead of a per-cell Python
+                # loop: same all-cells guarantee, ~free on the common
+                # all-string columns
+                for t in df[c].dropna().map(type).unique():
+                    if issubclass(t, Decimal):
+                        return f"REPR col {c} ({side}): DECIMAL-OBJECT cells"
+                    if issubclass(t, (np.ndarray, list, tuple, dict)):
+                        return f"REPR col {c} ({side}): COLLECTION cells"
             else:
                 v = first_non_null(df[c])
                 k = kind(df[c].dtype, v)
