@@ -703,10 +703,108 @@ object TextOps extends QueryModule {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Connected-components dedup clustering: the step that turns
+    * near-dup PAIRS into dedup GROUPS — each document in any
+    * Jaccard≥0.5 pair is assigned its component's canonical id (the
+    * minimum doc_id reachable through near-dup edges), the keeper a
+    * dedup pass would retain.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint. Each
+    * round joins labels to the (undirected) edge list, takes the
+    * neighborhood minimum, and stops when no label decreases — the
+    * driver-side loop runs O(component diameter) rounds, and near-dup
+    * components are shallow by nature (dup clusters are cliques or
+    * near-cliques), so 2–3 rounds in practice. Per-round frames are
+    * cached and the predecessor released; convergence is checked with
+    * a count on the strictly-decreasing rows only.
+    *
+    * Scale notes (100 TB): this is exactly large-scale dedup's
+    * component stage (union-find is inherently sequential; label
+    * propagation is the shuffle-parallel equivalent). Each round is
+    * one equi-join + one groupBy on the PAIR table — never the corpus;
+    * the pair table is the small output of LSH/Jaccard candidate
+    * generation. The DuckDB oracle computes the same components via a
+    * recursive transitive-closure CTE — a genuinely different
+    * algorithm, so agreement is strong evidence.
+    */
+  val dedupConnectedComponents = Q(
+    "dedup_connected_components",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = textJaccardSimpairs.fn(spark, dir)
+        .select($"d1", $"d2").cache()
+      val verts = pairs.select($"d1".as("id"))
+        .union(pairs.select($"d2".as("id"))).distinct()
+      val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+        .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        .cache()
+      var labels = verts.select($"id", $"id".as("comp")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = edges
+          .join(labels.select($"id".as("dst"), $"comp".as("nbr_comp")), "dst")
+          .groupBy($"src").agg(min($"nbr_comp").as("nbr"))
+        val next = labels
+          .join(nbrMin.select($"src".as("id"), $"nbr"), Seq("id"), "left")
+          .select($"id", least($"comp", coalesce($"nbr", $"comp")).as("new_comp"), $"comp")
+          .cache()
+        changed = next.where($"new_comp" < $"comp").count()
+        val prev = labels
+        labels = next.select($"id", $"new_comp".as("comp")).cache()
+        prev.unpersist(false)
+        next.unpersist(false)
+      }
+      val out = labels
+        .select($"id".as("doc_id"), $"comp")
+        .orderBy($"doc_id")
+      pairs.unpersist(false)
+      edges.unpersist(false)
+      out
+    },
+    Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), verts AS (
+        SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs
+      ), edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+      ), reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      )
+      SELECT a AS doc_id, MIN(b) AS comp
+      FROM reach GROUP BY a ORDER BY doc_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
-    dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram)
+    dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
+    dedupConnectedComponents)
 }

@@ -114,6 +114,30 @@ class TextOpsSpec extends SparkSpecBase {
       s"only-expected=${(expected.keySet -- got.keySet).take(5)}")
   }
 
+  test("connected components equal a union-find over the declared pair list") {
+    import spark.implicits._
+    val pairs = operators.TextOps.textJaccardSimpairs.fn(spark, sfDir)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    // union-find with attach-larger-root-to-smaller: every component's
+    // root converges to its minimum member — the declared canonical id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(id => id -> find(id)).toMap
+    val got = operators.TextOps.dedupConnectedComponents.fn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"component maps differ: only-got=${(got.toSet -- expected.toSet).take(5)}, " +
+        s"only-expected=${(expected.toSet -- got.toSet).take(5)}")
+  }
+
   test("rolling fingerprint equals a reference fold computed in Scala") {
     import spark.implicits._
     val got = operators.TextOps.textFingerprintRolling.fn(spark, sfDir)
