@@ -46,6 +46,7 @@ object SparkEntry {
     operators.Aggregations,
     operators.EtlOps,
     operators.Filters,
+    operators.Flagships,
     operators.Joins,
     operators.Multimodal,
     operators.ScalarFns,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables.dec
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1.L — composed analytical pipelines: TPC-H-shaped
+  * multi-join queries adapted to this corpus's columns (the fixtures
+  * are TPC-H-*ish*, TESTDATA.md — e.g. orders carries o_orderpriority
+  * instead of o_shippriority). Where single-operator rows prove each
+  * primitive, these prove the composition: selective dimension filters
+  * driving multi-way join plans over the fact table, the everyday
+  * shape of a reporting workload.
+  *
+  * Scale notes (100 TB): filtered dimensions are explicitly broadcast
+  * (customer segment ~1/5 of an already-small dim; nation/region
+  * constant-size), so the only shuffles are the fact-fact sort-merge
+  * join and the final aggregation; filters sit directly on the scans,
+  * so parquet pushdown prunes row groups before any join.
+  */
+object Flagships extends QueryModule {
+
+  /** TPC-H Q3 shape: unshipped-revenue top-10 for one market segment —
+    * a 3-way join with date predicates on both fact sides, aggregated
+    * and globally top-k'd (TakeOrderedAndProject, not a full sort).
+    */
+  val tpchQ3Toporders = Q(
+    "tpch_q3_toporders",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir)
+        .where($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderdate" < "1996-03-15")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables.lineitem(spark, dir)
+        .where($"l_shipdate" > "1996-03-15")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < '1996-03-15'
+        AND l_shipdate > '1996-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """.stripMargin.trim))
+
+  /** TPC-H Q5 shape: revenue per nation for one region and year, with
+    * the co-location predicate (supplier and customer in the same
+    * nation) that makes Q5 a 6-table join. nation/region broadcast.
+    */
+  val tpchQ5RegionalVolume = Q(
+    "tpch_q5_regional_volume",
+    (spark, dir) => {
+      import spark.implicits._
+      val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+      val r = Tables.region(spark, dir).where($"r_name" === "ASIA").select($"r_regionkey")
+      val nr = n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+        .select($"o_orderkey", $"o_custkey")
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume)
+}

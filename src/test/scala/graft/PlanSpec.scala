@@ -178,6 +178,14 @@ class PlanSpec extends SparkSpecBase {
       s"codebook join must broadcast, not shuffle the exploded corpus:\n$p")
   }
 
+  test("tpch_q5_regional_volume broadcasts every dimension side") {
+    val p = planString(operators.Flagships.tpchQ5RegionalVolume.fn(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"Q5's dims (supplier/customer/nation) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the co-location predicate must ride the equi-joins, not a loop join:\n$p")
+  }
+
   test("flagship stays inside whole-stage codegen") {
     val p = planString(operators.Aggregations.aggPricingSummary.fn(spark, sfDir))
     // WholeStageCodegenExec renders as a "*(n) " operator prefix
