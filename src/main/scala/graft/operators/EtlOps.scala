@@ -176,5 +176,66 @@ object EtlOps extends QueryModule {
       ORDER BY metric
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit)
+  /** Metric anomaly detection for pipeline monitoring: per-event-type
+    * z-scores over the `value` metric, emitting only the outliers a
+    * daily run would alert on (|z| ≥ 2.5 after 6-decimal rounding).
+    *
+    * Numeric discipline (same as `agg_corr_covar`): the per-group
+    * moments are EXACT decimal sums — order-independent across
+    * partitionings — and the mean/σ/z arithmetic then runs in double
+    * on those exact sums, so both engines see bit-identical inputs
+    * to bit-identical float ops. The outlier gate compares the
+    * DECIMAL(18,6)-rounded z, never the raw double, so a value
+    * straddling the threshold cannot flip between engines.
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy over the
+    * metric stream for the moments (a handful of rows out), then one
+    * broadcast join back — the stats side is per-event-type and tiny
+    * by construction, so the detail table is never shuffled.
+    */
+  val etlAnomalyZscore = Q(
+    "etl_anomaly_zscore",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val m = ev
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"value" * $"value").cast(DecimalType(38, 10))).as("sxx"))
+      val mu = $"sx".cast(DoubleType) / $"n"
+      val varSamp =
+        ($"sxx".cast(DoubleType) - $"n" * mu * mu) / ($"n" - 1)
+      val stats = m.select($"event_type", mu.as("mu"), sqrt(varSamp).as("sigma"))
+      ev
+        .join(broadcast(stats), Seq("event_type"))
+        .select(
+          $"event_id", $"event_type", $"value",
+          (($"value" - $"mu") / $"sigma").cast(DecimalType(18, 6)).as("z"))
+        .where(abs($"z") >= 2.5)
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(value * value AS DECIMAL(38,10))) AS sxx
+        FROM events GROUP BY event_type
+      ), stats AS (
+        SELECT event_type,
+          CAST(sx AS DOUBLE) / n AS mu,
+          SQRT((CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / (n - 1)) AS sigma
+        FROM m
+      ), z AS (
+        SELECT e.event_id, e.event_type, e.value,
+          CAST((e.value - s.mu) / s.sigma AS DECIMAL(18,6)) AS z
+        FROM events e JOIN stats s USING (event_type)
+      )
+      SELECT event_id, event_type, value, CAST(z AS DOUBLE) AS z
+      FROM z WHERE ABS(z) >= 2.5 ORDER BY event_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
+    etlAnomalyZscore)
 }

@@ -814,11 +814,172 @@ object TextOps extends QueryModule {
       FROM reach GROUP BY a ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** PII redaction: the scrub pass every training-data pipeline runs
+    * before text leaves the trust boundary. The corpus is synthetic
+    * word-salad with no natural PII, so the query first APPENDS
+    * deterministic PII derived from real columns (an email, an IPv4,
+    * a phone number keyed off doc_id/source) and then redacts it —
+    * exercising the real mechanics (three regex classes, replacement
+    * order, per-class counts) with a verifiable oracle. Output carries
+    * the match counts plus an md5 of the redacted text, so the oracle
+    * check proves byte-identical redaction output, not just counts.
+    *
+    * Regex dialect note: patterns are restricted to the syntax Java
+    * regex (Spark) and RE2 (DuckDB) share — character classes, bounded
+    * repetition, \d and \b — no lookaround, no backreferences.
+    *
+    * Scale notes (100 TB): pure per-row codegen'd string work — no
+    * shuffle at all until the final presentation sort; on a cluster
+    * this pipelines with the scan at full width.
+    */
+  val textPiiRedact = Q(
+    "text_pii_redact",
+    (spark, dir) => {
+      import spark.implicits._
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val withPii = Tables.documents(spark, dir).select(
+        $"doc_id", $"lang",
+        concat(
+          $"text",
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@"), $"source", lit(".org ip 10."),
+          ($"doc_id" % 256).cast("string"), lit(".0."),
+          ($"doc_id" % 100).cast("string"),
+          lit(" tel 555-867-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("txt"))
+      withPii
+        .select(
+          $"doc_id", $"lang",
+          regexp_count($"txt", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"txt", lit(ipRe)).cast("long").as("n_ips"),
+          regexp_count($"txt", lit(phoneRe)).cast("long").as("n_phones"),
+          md5(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace($"txt", emailRe, "<EMAIL>"),
+                ipRe, "<IP>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, lang,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@' || source || '.org ip 10.' ||
+            CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+            CAST(doc_id % 100 AS VARCHAR) ||
+            ' tel 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            AS txt
+        FROM documents
+      )
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      FROM p ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Repetition-signal quality filter (the Gopher/C4 family): per-doc
+    * token and 3-gram duplication fractions plus the filter decision.
+    * `top_tok_frac` is the most-frequent-token share; `dup_3gram_frac`
+    * is 1 − distinct/total shingles — the standard boilerplate and
+    * loop-spam signals. The flag compares the 6-decimal ROUNDED
+    * fractions so the decision is engine-stable at the thresholds.
+    *
+    * Scale notes (100 TB): two map-side-combinable aggregation chains
+    * (doc×tok then doc; doc×shingle then doc) joined on doc_id — all
+    * shuffles are keyed by doc or (doc, gram); nothing is quadratic
+    * and no row leaves its group.
+    */
+  val textRepetitionStats = Q(
+    "text_repetition_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val tokCnt = tokens(docs)
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      val tokStats = tokCnt
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tok"), count(lit(1)).as("n_distinct_tok"),
+          max($"c").as("top_cnt"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val allShingles = tokens(docs)
+        .select($"doc_id", $"tok",
+          lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
+        .filter($"t2".isNotNull)
+        .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      val shStats = allShingles
+        .groupBy($"doc_id", $"shingle").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_sh"), count(lit(1)).as("n_distinct_sh"))
+      val topFrac = ($"top_cnt" * lit(1.0) / $"n_tok").cast(DecimalType(18, 6))
+      val dupFrac = coalesce(
+        (lit(1.0) - $"n_distinct_sh" * lit(1.0) / $"n_sh").cast(DecimalType(18, 6)),
+        lit(0).cast(DecimalType(18, 6)))
+      tokStats
+        .join(shStats, Seq("doc_id"), "left")
+        .select(
+          $"doc_id", $"n_tok", $"n_distinct_tok",
+          topFrac.as("top_tok_frac"), dupFrac.as("dup_3gram_frac"),
+          when(topFrac > 0.12 || dupFrac > 0.05, 1L).otherwise(0L)
+            .as("is_repetitive"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      ), ts AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+          COUNT(*) AS n_distinct_tok, MAX(c) AS top_cnt
+        FROM tc GROUP BY 1
+      ), sh AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sc AS (
+        SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2
+      ), ss AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_sh,
+          COUNT(*) AS n_distinct_sh
+        FROM sc GROUP BY 1
+      ), j AS (
+        SELECT ts.doc_id, ts.n_tok, ts.n_distinct_tok,
+          CAST(ts.top_cnt * 1.0 / ts.n_tok AS DECIMAL(18,6)) AS top_tok_frac,
+          COALESCE(CAST(1.0 - ss.n_distinct_sh * 1.0 / ss.n_sh AS DECIMAL(18,6)),
+            CAST(0 AS DECIMAL(18,6))) AS dup_3gram_frac
+        FROM ts LEFT JOIN ss ON ts.doc_id = ss.doc_id
+      )
+      SELECT doc_id, n_tok, n_distinct_tok,
+        CAST(top_tok_frac AS DOUBLE) AS top_tok_frac,
+        CAST(dup_3gram_frac AS DOUBLE) AS dup_3gram_frac,
+        CAST(CASE WHEN top_tok_frac > 0.12 OR dup_3gram_frac > 0.05
+          THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+      FROM j ORDER BY doc_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
-    dedupConnectedComponents)
+    dedupConnectedComponents, textPiiRedact, textRepetitionStats)
 }
