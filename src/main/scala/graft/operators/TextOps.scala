@@ -814,6 +814,54 @@ object TextOps extends QueryModule {
       FROM reach GROUP BY a ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Stratified deterministic sampling: per-language sampling rates
+    * (50% for `en`, 20% for the rest) decided by an md5 bucket of
+    * (lang, doc_id) — the `sampleBy` semantics done reproducibly.
+    * Unlike `df.stat.sampleBy` (seeded RNG whose draw depends on row
+    * order and partitioning), hash-bucket membership is a pure function
+    * of the row, so the sample is IDENTICAL on any cluster layout, and
+    * re-runs are incremental-friendly (a doc's membership never flips).
+    * Output is the per-stratum audit: population, sample size, realized
+    * rate against the target.
+    *
+    * Scale notes (100 TB): per-row hash + filter, one tiny groupBy —
+    * no shuffle of unsampled data, no global RNG state.
+    */
+  val sampleStratifiedByLang = Q(
+    "sample_stratified_by_lang",
+    (spark, dir) => {
+      import spark.implicits._
+      val bucket =
+        conv(substring(md5(concat($"lang", lit(":"), $"doc_id".cast("string"))), 1, 4),
+          16, 10).cast("long") % 1000
+      val target = when($"lang" === "en", 500L).otherwise(200L)
+      Tables
+        .documents(spark, dir)
+        .withColumn("keep", (bucket < target).cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum($"keep").as("n_sampled"),
+          (sum($"keep") * lit(1.0) / count(lit(1))).cast(DecimalType(18, 6))
+            .as("realized_rate"),
+          (max(target) * lit(1.0) / 1000).cast(DecimalType(18, 6)).as("target_rate"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_total,
+        CAST(SUM(keep) AS BIGINT) AS n_sampled,
+        CAST(CAST(SUM(keep) * 1.0 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS realized_rate,
+        CAST(CAST(MAX(target) * 1.0 / 1000 AS DECIMAL(18,6)) AS DOUBLE) AS target_rate
+      FROM (
+        SELECT lang,
+          CASE WHEN CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000
+               < (CASE WHEN lang = 'en' THEN 500 ELSE 200 END)
+               THEN 1 ELSE 0 END AS keep,
+          CASE WHEN lang = 'en' THEN 500 ELSE 200 END AS target
+        FROM documents)
+      GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
   /** PII redaction: the scrub pass every training-data pipeline runs
     * before text leaves the trust boundary. The corpus is synthetic
     * word-salad with no natural PII, so the query first APPENDS
@@ -981,5 +1029,6 @@ object TextOps extends QueryModule {
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
-    dedupConnectedComponents, textPiiRedact, textRepetitionStats)
+    dedupConnectedComponents, textPiiRedact, textRepetitionStats,
+    sampleStratifiedByLang)
 }

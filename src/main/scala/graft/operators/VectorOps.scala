@@ -384,7 +384,77 @@ object VectorOps extends QueryModule {
       FROM errs GROUP BY label ORDER BY label
     """.stripMargin.trim))
 
+  /** Per-dimension feature standardization (z-scoring) of the embedding
+    * column — the classic ML preprocessing step. Dimension moments are
+    * EXACT decimal sums (order-independent), the 64-row stats table is
+    * broadcast back, and each vector's standardized form is summarized
+    * as its z-norm and max |z| component (scalars — the declared-output
+    * contract forbids array columns; the full standardized vector is
+    * exactly the `zc` column before the final rollup).
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy(pos) over the
+    * exploded corpus (64 rows out), one broadcast join, one vec_id
+    * rollup — the detail table shuffles once, on its natural key.
+    * Population σ (÷n), the standardization convention.
+    */
+  val vecStandardizeDims = Q(
+    "vec_standardize_dims",
+    (spark, dir) => {
+      import spark.implicits._
+      val exploded = Tables
+        .embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"pos", $"v".cast(DoubleType).as("v"))
+      val m = exploded
+        .groupBy($"pos")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"v".cast(DecimalType(28, 12))).as("sx"),
+          sum(($"v" * $"v").cast(DecimalType(38, 12))).as("sxx"))
+      val mu = $"sx".cast(DoubleType) / $"n"
+      val stats = m.select(
+        $"pos", mu.as("mu"),
+        sqrt(($"sxx".cast(DoubleType) - $"n" * mu * mu) / $"n").as("sigma"))
+      exploded
+        .join(broadcast(stats), Seq("pos"))
+        .withColumn("zc", ($"v" - $"mu") / $"sigma")
+        .groupBy($"vec_id")
+        .agg(
+          sum(($"zc" * $"zc").cast(DecimalType(38, 12))).as("zss"),
+          max(abs($"zc").cast(DecimalType(18, 8))).as("max_abs_z"))
+        .select(
+          $"vec_id",
+          sqrt($"zss".cast(DoubleType)).cast(DecimalType(18, 6)).as("znorm"),
+          $"max_abs_z")
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, pos, CAST(v AS DOUBLE) AS v FROM (
+          SELECT vec_id, UNNEST(embedding) AS v,
+            UNNEST(range(len(embedding))) AS pos
+          FROM embeddings)
+      ), m AS (
+        SELECT pos, COUNT(*) AS n,
+          SUM(CAST(v AS DECIMAL(28,12))) AS sx,
+          SUM(CAST(v * v AS DECIMAL(38,12))) AS sxx
+        FROM e GROUP BY pos
+      ), s AS (
+        SELECT pos, CAST(sx AS DOUBLE) / n AS mu,
+          SQRT((CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) / n) AS sigma
+        FROM m
+      ), z AS (
+        SELECT e.vec_id, (e.v - s.mu) / s.sigma AS zc
+        FROM e JOIN s USING (pos)
+      )
+      SELECT vec_id,
+        CAST(CAST(SQRT(CAST(SUM(CAST(zc * zc AS DECIMAL(38,12))) AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS znorm,
+        CAST(MAX(CAST(ABS(zc) AS DECIMAL(18,8))) AS DOUBLE) AS max_abs_z
+      FROM z GROUP BY vec_id ORDER BY vec_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
-    dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8)
+    dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
+    vecStandardizeDims)
 }

@@ -148,4 +148,29 @@ class TextOpsSpec extends SparkSpecBase {
       }
     assert(got == expected)
   }
+
+  test("stratified sample membership matches a driver-side md5 recompute") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    def bucket(lang: String, id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$lang:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 1000
+    }
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val target = if (lang == "en") 500L else 200L
+      val kept = rows.count { case (id, l) => bucket(l, id) < target }
+      lang -> ((rows.length.toLong, kept.toLong))
+    }
+    val got = operators.TextOps.sampleStratifiedByLang.fn(spark, sfDir)
+      .select($"lang", $"n_total", $"n_sampled")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (lang, nt, ns) =>
+      assert(expected(lang) == ((nt, ns)),
+        s"$lang: got ($nt,$ns) expected ${expected(lang)}")
+    }
+  }
 }

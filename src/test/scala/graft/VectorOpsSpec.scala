@@ -137,4 +137,34 @@ class VectorOpsSpec extends SparkSpecBase {
         s"label $label mean |err| $meanErr exceeds half-step bound ${worstStep / 2}")
     }
   }
+
+  test("per-dimension standardization: z-norms match a driver-side recompute") {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val dims = raw.head._2.length
+    val n = raw.length
+    // population moments per dimension, double arithmetic on exact sums
+    val mu = Array.tabulate(dims) { d =>
+      raw.map(r => BigDecimal(r._2(d).toDouble).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+    }
+    val sigma = Array.tabulate(dims) { d =>
+      val sxx = raw.map { r => val v = r._2(d).toDouble
+        BigDecimal(v * v).setScale(12, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      math.sqrt((sxx - n * mu(d) * mu(d)) / n)
+    }
+    val expected = raw.map { case (id, emb) =>
+      val zs = Array.tabulate(dims)(d => (emb(d).toDouble - mu(d)) / sigma(d))
+      id -> ((math.sqrt(zs.map(z => z * z).sum), zs.map(math.abs).max))
+    }.toMap
+    val got = operators.VectorOps.vecStandardizeDims.fn(spark, sfDir)
+      .select($"vec_id", $"znorm".cast("double"), $"max_abs_z".cast("double"))
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, zn, mz) =>
+      val (ezn, emz) = expected(id)
+      assert(math.abs(zn - ezn) < 1e-5 && math.abs(mz - emz) < 1e-6,
+        s"vec $id: got ($zn,$mz) expected ($ezn,$emz)")
+    }
+  }
 }
