@@ -236,6 +236,64 @@ object EtlOps extends QueryModule {
       FROM z WHERE ABS(z) >= 2.5 ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Time-series gap filling with last-observation-carried-forward:
+    * each purchase user's daily revenue on a complete calendar spine
+    * from their first to last active day — missing days carry the
+    * last observed value, with an observed/filled marker. The daily
+    * reporting join every metrics pipeline needs (downstream
+    * aggregation over a gappy series silently under-counts days).
+    *
+    * Scale notes (100 TB): the spine is generated per user from a
+    * 2-column span table (`sequence` + explode — no driver-side
+    * calendar), the daily rollup is map-side combinable, and both the
+    * spine join and the LOCF window shuffle on the same user_id key —
+    * one exchange reused end-to-end.
+    */
+  val etlGapFillLocf = Q(
+    "etl_gap_fill_locf",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .where($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts".cast("date").as("day"))
+        .agg(sum(dec($"value", 18, 6)).as("day_value"))
+      val spine = daily
+        .groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(
+          $"user_id",
+          $"day".cast("timestamp").as("day"),
+          last($"day_value", ignoreNulls = true).over(w).as("locf_value"),
+          $"day_value".isNotNull.cast("long").as("observed"))
+        .orderBy($"user_id", $"day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,6))) AS day_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      ), span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+      ), spine AS (
+        SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+      ), j AS (
+        SELECT s.user_id, s.day, d.day_value
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      )
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        CAST(LAST_VALUE(day_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_value,
+        CAST(CASE WHEN day_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
+      FROM j ORDER BY user_id, day
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
-    etlAnomalyZscore)
+    etlAnomalyZscore, etlGapFillLocf)
 }

@@ -104,5 +104,48 @@ object Flagships extends QueryModule {
       ORDER BY revenue DESC, n_name
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume)
+  /** TPC-H Q18 shape: large-volume orders — a HAVING-filtered fact
+    * self-aggregation driving the join (the group-then-semi-join
+    * pattern). The quantity rollup is map-side combinable, its
+    * selective survivor set joins back to orders/customer, and the
+    * result is globally top-k'd by order value.
+    *
+    * Scale notes (100 TB): the big-order set stays a SHUFFLE join (it
+    * is derived from the fact table — possibly millions of keys at
+    * scale, never assume broadcastable); only the genuinely bounded
+    * customer dim is broadcast. Top-k via TakeOrderedAndProject.
+    */
+  val tpchQ18Bigorders = Q(
+    "tpch_q18_bigorders",
+    (spark, dir) => {
+      import spark.implicits._
+      val bigOrders = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity")).as("total_qty"))
+        .where($"total_qty" > 250)
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+      o.join(bigOrders, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(total_qty AS DOUBLE) AS total_qty
+      FROM orders
+      JOIN (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+      ) big ON o_orderkey = big.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders)
 }

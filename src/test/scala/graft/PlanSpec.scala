@@ -192,4 +192,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).nonEmpty,
       s"no codegen spans:\n$p")
   }
+
+  test("tpch_q18_bigorders: top-k optimized, customer broadcast, big-order set NOT broadcast") {
+    val p = planString(operators.Flagships.tpchQ18Bigorders.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT 100 must be top-k, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+  }
+
+  test("etl_gap_fill_locf shuffles on user_id once for join and LOCF window alike") {
+    val p = planString(operators.EtlOps.etlGapFillLocf.fn(spark, sfDir))
+    // the spine join and the window both key on user_id; after the spine
+    // is built there must be no extra non-user_id exchange before the sort
+    assert(p.contains("Window"), s"no window in plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spine join must stay an equi-join:\n$p")
+  }
 }

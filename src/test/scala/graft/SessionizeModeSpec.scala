@@ -103,4 +103,32 @@ class SessionizeModeSpec extends SparkSpecBase {
         s"user $u: got ($mode,$cnt) expected ${expected(u)}")
     }
   }
+
+  test("etl_gap_fill_locf matches a sequential per-user calendar fold") {
+    import spark.implicits._
+    val daily = rawEvents.filter(_._5 == "purchase")
+      .groupBy(e => (e._1, new java.sql.Date(e._3.getTime).toLocalDate))
+      .map { case ((u, d), evs) =>
+        (u, d) -> evs.map(e => BigDecimal(e._4).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      }
+    val expected = daily.keys.groupBy(_._1).flatMap { case (u, ks) =>
+      val d0 = ks.map(_._2).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      val d1 = ks.map(_._2).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      var last: Option[BigDecimal] = None
+      Iterator.iterate(d0)(_ plusDays 1).takeWhile(!_.isAfter(d1)).map { d =>
+        val obs = daily.get((u, d))
+        if (obs.isDefined) last = obs
+        (u, d) -> ((last, obs.isDefined))
+      }.toSeq
+    }
+    val got = operators.EtlOps.etlGapFillLocf.fn(spark, sfDir)
+      .select($"user_id", $"day".cast("date"), $"locf_value".cast("decimal(28,6)"), $"observed")
+      .as[(Long, java.sql.Date, Option[BigDecimal], Long)].collect()
+    assert(got.length == expected.size, s"${got.length} spine rows vs ${expected.size}")
+    got.foreach { case (u, day, v, obs) =>
+      val (ev, eobs) = expected((u, day.toLocalDate))
+      assert(v.map(_.setScale(6)) == ev.map(_.setScale(6)) && (obs == 1L) == eobs,
+        s"user $u day $day: got ($v,$obs) expected ($ev,$eobs)")
+    }
+  }
 }
