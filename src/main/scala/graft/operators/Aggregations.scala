@@ -566,10 +566,48 @@ object Aggregations extends QueryModule {
       ORDER BY step
     """.stripMargin.trim))
 
+  /** Deterministic argmax/argmin (`max_by`/`min_by` semantics): the
+    * event id carrying each type's extreme value. Native `max_by`
+    * leaves ties unspecified; `max(struct(value, event_id))` makes the
+    * tiebreak explicit (larger id on max, smaller on min) and stays a
+    * plain map-side-combinable aggregate — the reproducible form.
+    */
+  val aggMinmaxBy = Q(
+    "agg_minmax_by",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          max(struct($"value", $"event_id")).as("mx"),
+          min(struct($"value", $"event_id")).as("mn"))
+        .select(
+          $"event_type",
+          $"mx.value".as("max_value"), $"mx.event_id".as("max_event_id"),
+          $"mn.value".as("min_value"), $"mn.event_id".as("min_event_id"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id DESC) AS rmax,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value ASC, event_id ASC) AS rmin
+        FROM events
+      )
+      SELECT event_type,
+        MAX(CASE WHEN rmax = 1 THEN value END) AS max_value,
+        MAX(CASE WHEN rmax = 1 THEN event_id END) AS max_event_id,
+        MAX(CASE WHEN rmin = 1 THEN value END) AS min_value,
+        MAX(CASE WHEN rmin = 1 THEN event_id END) AS min_event_id
+      FROM r GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
-    aggFunnelSteps)
+    aggFunnelSteps, aggMinmaxBy)
 }

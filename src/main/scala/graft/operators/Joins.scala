@@ -481,9 +481,44 @@ object Joins extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """.stripMargin.trim))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of silently dropping — the semantics a
+    * dimension join needs when the key legitimately carries missing
+    * values (a plain `=` join loses every such row). The corpus has no
+    * natural nulls, so both sides null-out nationkey 3 via `nullif`;
+    * the null-keyed customers still land on the null-keyed nation row.
+    *
+    * Scale notes (100 TB): `EqualNullSafe` is a valid hash-join key in
+    * Spark (null hashes like any value) — this stays a broadcast/hash
+    * join, never a nested loop; PlanSpec asserts it.
+    */
+  val joinNullSafe = Q(
+    "join_null_safe",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir)
+        .select(nullif($"c_nationkey", lit(3)).as("ck"), $"c_acctbal")
+      val n = Tables.nation(spark, dir)
+        .select(nullif($"n_nationkey", lit(3)).as("nk"), $"n_name")
+      c.join(broadcast(n), $"ck" <=> $"nk")
+        .groupBy($"n_name")
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(dec($"c_acctbal")).as("sum_bal"))
+        .orderBy($"n_name")
+    },
+    Some("""
+      SELECT n_name, COUNT(*) AS n_cust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (SELECT NULLIF(c_nationkey, 3) AS ck, c_acctbal FROM customer) c
+      JOIN (SELECT NULLIF(n_nationkey, 3) AS nk, n_name FROM nation) n
+        ON ck IS NOT DISTINCT FROM nk
+      GROUP BY n_name ORDER BY n_name
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
-    joinLateralTopk, joinDppPartitionPruned)
+    joinLateralTopk, joinDppPartitionPruned, joinNullSafe)
 }

@@ -211,7 +211,46 @@ object SetOps extends QueryModule {
       ORDER BY l_orderkey, l_linenumber, metric
     """.stripMargin.trim))
 
+  /** Name-based union with missing-column padding (`unionByName`,
+    * `allowMissingColumns=true`): the schema-drift-tolerant append —
+    * columns align by NAME (the lineitem side arrives in a different
+    * column order), and the column one side lacks pads with NULL. The
+    * positional `UNION ALL` would silently mis-align here. Missing
+    * priorities land in an explicit '(none)' bucket so the output
+    * carries no null group key.
+    */
+  val setUnionByName = Q(
+    "set_union_by_name",
+    (spark, dir) => {
+      import spark.implicits._
+      val a = Tables.orders(spark, dir)
+        .select($"o_orderkey".as("key"), $"o_orderpriority".as("priority"),
+          dec($"o_totalprice").as("amount"))
+      // deliberately reordered columns + no priority column
+      val b = Tables.lineitem(spark, dir)
+        .select(dec($"l_extendedprice").as("amount"), $"l_orderkey".as("key"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(coalesce($"priority", lit("(none)")).as("priority"))
+        .agg(count(lit(1)).as("n_rows"), sum($"amount").as("total"))
+        .orderBy($"priority")
+    },
+    Some("""
+      SELECT COALESCE(priority, '(none)') AS priority,
+        COUNT(*) AS n_rows, CAST(SUM(amount) AS DOUBLE) AS total
+      FROM (
+        SELECT o_orderkey AS key, o_orderpriority AS priority,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+        FROM orders
+        UNION ALL BY NAME
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+          l_orderkey AS key
+        FROM lineitem
+      )
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     sortMultikeyLimit, setUnionAll, setUnionDistinct, setIntersect,
-    setExcept, dedupDropduplicates, setIntersectExceptAll, reshapeUnpivot)
+    setExcept, dedupDropduplicates, setIntersectExceptAll, reshapeUnpivot,
+    setUnionByName)
 }

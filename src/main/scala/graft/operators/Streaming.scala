@@ -181,8 +181,34 @@ object Streaming extends QueryModule {
       ORDER BY purchase_id, click_id
     """.stripMargin.trim))
 
+  /** Last-write-wins keyed upsert state: each user's latest event —
+    * streamed, a plain keyed agg in update mode whose per-microbatch
+    * output is exactly an upsert feed (StreamingSpec proves the
+    * accumulated state equals this batch result and that update mode
+    * re-emits only touched users).
+    */
+  val streamUpsertLatest = Q(
+    "stream_upsert_latest",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .latestPerUser(Tables.events(spark, dir))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      )
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        event_type AS last_type, value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
-    streamStreamJoin)
+    streamStreamJoin, streamUpsertLatest)
 }

@@ -99,4 +99,24 @@ object StreamTransforms {
         col("purchase_id"), col("click_id"), col("user_id"),
         col("purchase_ts"), col("click_ts"))
   }
+
+  /** Streaming upsert: each user's LATEST event (last-write-wins keyed
+    * state, the cache/dimension-refresh pattern). As a streaming query
+    * this is a plain keyed aggregation in update mode — each microbatch
+    * re-emits only the users it touched, i.e. exactly an upsert feed.
+    * The extreme row is picked with max(struct(ts, event_id, …)) so the
+    * tiebreak is explicit and the state is one struct per user (O(1),
+    * no watermark needed — the key space, not time, bounds it).
+    */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(
+        col("user_id"),
+        col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
 }

@@ -207,4 +207,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"spine join must stay an equi-join:\n$p")
   }
+
+  test("join_null_safe stays a hash join (EqualNullSafe is an equi-key, not a loop join)") {
+    val p = planString(operators.Joins.joinNullSafe.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"null-safe equality must hash-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe join fell back to a loop join:\n$p")
+  }
 }

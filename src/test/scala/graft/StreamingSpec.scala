@@ -212,4 +212,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows("2024-01-01 10:00:00") == 2L,
       s"late event was not dropped: $rows")
   }
+
+  test("upsert-latest: streamed update-mode state equals batch, only touched users re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, u: Long, tpe: String, v: Double): Ev =
+      Ev(id, Timestamp.valueOf(t), u, tpe, v)
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.latestPerUser(ms.toDF())
+      .writeStream.format("memory").queryName("upsert").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_upsert_${System.nanoTime()}")
+      .start()
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:05:00", 2, "view", 2.0))
+    val b2 = Seq(ev(3, "2024-01-01 10:10:00", 1, "purchase", 3.0)) // touches ONLY user 1
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      val afterB1 = spark.table("upsert").collect().map(_.toString).toSeq
+      ms.addData(b2); q.processAllAvailable()
+      val delta = spark.table("upsert").collect().map(_.toString).toSeq.diff(afterB1)
+      assert(delta.length == 1 && delta.head.contains("purchase"),
+        s"update mode must re-emit only user 1's new state: $delta")
+      // accumulated last-write-wins state == batch result on the same rows
+      val streamedFinal = Seq(delta.head, afterB1.find(_.contains("view")).get).sorted
+      val batch = StreamTransforms.latestPerUser(
+        (b1 ++ b2).toDF()).collect().map(_.toString).sorted.toSeq
+      assert(streamedFinal == batch, s"streamed $streamedFinal vs batch $batch")
+    } finally q.stop()
+  }
 }
