@@ -54,6 +54,7 @@ object SparkEntry {
     operators.Sources,
     operators.Streaming,
     operators.TextOps,
+    operators.TypedOps,
     operators.VectorOps,
     operators.Windows
   )

@@ -84,19 +84,29 @@ object GraftFunctions {
       Cast(children(1), ArrayType(DoubleType)))
   }
 
+  private[functions] val cmsInfo =
+    new ExpressionInfo(classOf[CmsEstimate].getCanonicalName, "graft_cms_estimate")
+
   /** Runtime registration into an existing session (the harness builds
     * the SparkSession itself, so `spark.sql.extensions` is not an
     * option there). Idempotent.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("graft_dot"), info, builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_cms_estimate"), cmsInfo, CmsFunctions.builder)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` for
   * deployments that control session construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.info, GraftFunctions.builder))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      GraftFunctions.cmsInfo, CmsFunctions.builder))
+  }
 }

@@ -604,10 +604,38 @@ object Aggregations extends QueryModule {
       FROM r GROUP BY event_type ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Heavy hitters via count-min sketch: the 100 TB approximate-counting
+    * path. One mergeable constant-size sketch is built over the whole
+    * fact table (map-side combinable — a few KB per partition cross the
+    * wire, vs a full hash shuffle for an exact per-key groupBy), the
+    * 1-row result is broadcast, and the candidate key set probes it with
+    * the engine's native `CmsEstimate` expression (functions/
+    * CmsEstimate.scala). Counter updates commute, so for a fixed seed
+    * the estimates are partitioning-independent — but they are sketch
+    * values (est ≥ exact, est ≤ exact + eps·N w.p. ≥ 0.99), so no DuckDB
+    * oracle; CmsSpec property-tests both bounds against exact counts.
+    */
+  val aggHeavyHittersCms = Q(
+    "agg_heavy_hitters_cms",
+    (spark, dir) => {
+      import spark.implicits._
+      val sk = Tables.lineitem(spark, dir)
+        .agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+      Tables.supplier(spark, dir)
+        .select($"s_suppkey")
+        .crossJoin(broadcast(sk))
+        .select(
+          $"s_suppkey",
+          graft.functions.CmsFunctions.estimate($"sk", $"s_suppkey").as("est_lines"))
+        .orderBy(desc("est_lines"), $"s_suppkey")
+        .limit(20)
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
-    aggFunnelSteps, aggMinmaxBy)
+    aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms)
 }

@@ -337,8 +337,50 @@ object ScalarFns extends QueryModule {
       FROM customer ORDER BY c_custkey
     """.stripMargin.trim))
 
+  /** URL decomposition (`parse_url`) — the web-corpus provenance step a
+    * crawl pipeline runs on every document. URLs are synthesized from
+    * document columns (the corpus stores no raw URLs), so the oracle can
+    * state each expected part directly from the same columns instead of
+    * re-implementing a parser — same output, independent derivation.
+    * parse_url is a Spark built-in (java.net.URI-backed); the per-host
+    * rollup shows the standard per-domain accounting shape.
+    */
+  val fnUrlSuite = Q(
+    "fn_url_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      val url = concat(
+        lit("https://"), $"source", lit(".example.org/docs/"),
+        $"doc_id".cast(StringType), lit("?lang="), $"lang", lit("&v=2"))
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars", url.as("url"))
+        .select(
+          $"doc_id",
+          parse_url($"url", lit("PROTOCOL")).as("proto"),
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY"), lit("lang")).as("q_lang"),
+          $"n_chars")
+        .groupBy($"proto", $"host", $"q_lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"path").as("first_path"))
+        .orderBy($"host", $"q_lang")
+    },
+    Some("""
+      SELECT 'https' AS proto,
+        source || '.example.org' AS host,
+        lang AS q_lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN('/docs/' || CAST(doc_id AS VARCHAR)) AS first_path
+      FROM documents
+      GROUP BY 1, 2, 3 ORDER BY host, q_lang
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
-    fnRegexSuite, fnBitwiseConditional, fnHashSuite)
+    fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import graft.functions.DecimalStatsAggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1.J — the typed `Dataset[T]` API surface, declared as
+  * queries (not just specs): `groupByKey` + `flatMapGroups` for
+  * arbitrary per-group logic, and a typed `Aggregator` UDAF.
+  *
+  * The typed path serializes whole objects through an Encoder and runs
+  * outside WholeStageCodegen, so it is NOT the engine's default — every
+  * operator that CAN be a Column expression is one (win_topk_per_group
+  * is the codegen'd form of the same top-n). These rows exist because a
+  * complete engine must also run the per-group logic Column algebra
+  * cannot express; the scaladocs state the cost model so users reach for
+  * the typed surface only when they need it.
+  */
+object TypedOps extends QueryModule {
+
+  case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class TopEvent(user_id: Long, rn: Long, event_id: Long, event_type: String, value: Double)
+
+  /** Per-user top-2 events by value via `groupByKey` + `flatMapGroups` —
+    * arbitrary imperative per-group logic (here: sort + take, but the
+    * closure could hold any state machine a window function can't
+    * express). Tiebreak on event_id makes the output deterministic.
+    *
+    * Scale notes (100 TB): one hash shuffle on the grouping key, same
+    * exchange a window would use; the group buffers IN MEMORY inside the
+    * closure, so this surface is for bounded groups (per-user events) —
+    * unbounded groups belong to the window/agg forms. At bench scale the
+    * window form (win_topk_per_group) is ~2× faster — that asymmetry is
+    * the documented price of the typed escape hatch.
+    */
+  val typedTopnPerUser = Q(
+    "typed_topn_per_user",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[EventRow]
+        .groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[EventRow]) =>
+          it.toSeq
+            .sortBy(e => (-e.value, e.event_id))
+            .take(2)
+            .zipWithIndex
+            .map { case (e, i) =>
+              TopEvent(uid, i + 1L, e.event_id, e.event_type, e.value)
+            }
+        }
+        .toDF()
+        .orderBy($"user_id", $"rn")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id ASC) AS rn
+        FROM events
+      )
+      SELECT user_id, rn, event_id, event_type, value
+      FROM r WHERE rn <= 2 ORDER BY user_id, rn
+    """.stripMargin.trim))
+
+  /** The typed `Aggregator` UDAF (functions/DecimalStatsAggregator.scala)
+    * as a declared query: exact BigDecimal moments per event type —
+    * associative/commutative merges by construction, so the result is
+    * partitioning-independent like every DecimalType agg in this engine.
+    * Declared output: exact n/sum, mean rounded to 6 dp (the §2.0
+    * transcendental-rounding rule — the oracle's division happens at a
+    * different intermediate precision, and 6 dp absorbs the last-ULP
+    * difference). Stddev stays spec-tested (DecimalStatsAggregatorSpec):
+    * its exact-numerator algebra cannot be mirrored in DuckDB decimals
+    * without overflow.
+    */
+  val typedAggDecimalStats = Q(
+    "typed_agg_decimal_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"event_type", $"value")
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(DecimalStatsAggregator.toColumn.name("s"))
+        .toDF("event_type", "s")
+        .select(
+          $"event_type",
+          $"s.n".as("n"),
+          $"s.sum".cast(DecimalType(18, 6)).as("sum_value"),
+          $"s.mean".cast(DecimalType(18, 6)).as("mean_value"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(28,12))) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_value
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(typedTopnPerUser, typedAggDecimalStats)
+}
