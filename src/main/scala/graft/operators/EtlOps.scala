@@ -294,6 +294,62 @@ object EtlOps extends QueryModule {
       FROM j ORDER BY user_id, day
     """.stripMargin.trim))
 
+  /** Small-file compaction — the table-maintenance job every streaming/
+    * incremental sink needs: a fragmented layout (32 writer-partition
+    * files, simulating per-microbatch appends) is rewritten into few
+    * bounded-size files, provably losslessly. `maxRecordsPerFile` is the
+    * file-size knob; the declared output carries the before/after file
+    * counts plus the row count and exact decimal sum that prove no data
+    * moved or changed.
+    *
+    * Scale notes (100 TB): real compaction repartitions each table
+    * partition to byte-targeted tasks and runs incrementally partition-
+    * by-partition (pay-per-fragmented-partition, never a full-table
+    * rewrite). `coalesce(1)` here makes the compacted file count an
+    * exactly provable function (ceil(rows/5000)) for the oracle; the
+    * writer still splits output at the record cap. Scratch paths are
+    * per-process + per-invocation (same no-shared-state discipline as
+    * the other sink rows).
+    */
+  val etlCompactSmallFiles = Q(
+    "etl_compact_small_files",
+    (spark, dir) => {
+      import spark.implicits._
+      val pid = ProcessHandle.current().pid()
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val small = s"/tmp/graft_scratch/p$pid/compact_src_$runId"
+      val compacted = s"/tmp/graft_scratch/p$pid/compact_out_$runId"
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", dec($"l_quantity").as("qty"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(small)
+      spark.read.parquet(small)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", "5000")
+        .parquet(compacted)
+      def nFiles(p: String): Long = {
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .count(_.getPath.getName.startsWith("part-")).toLong
+      }
+      val (before, after) = (nFiles(small), nFiles(compacted))
+      spark.read.parquet(compacted)
+        .agg(count(lit(1)).as("n_rows"), sum($"qty").as("sum_qty"))
+        .select(
+          lit(before).as("files_before"), lit(after).as("files_after"),
+          $"n_rows", $"sum_qty")
+        .orderBy($"files_before")
+    },
+    Some("""
+      SELECT 32 AS files_before,
+        CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS files_after,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
-    etlAnomalyZscore, etlGapFillLocf)
+    etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles)
 }

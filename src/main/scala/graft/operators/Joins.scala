@@ -516,9 +516,58 @@ object Joins extends QueryModule {
       GROUP BY n_name ORDER BY n_name
     """.stripMargin.trim))
 
+  /** Null-aware anti join — `NOT IN (subquery)` three-valued-logic
+    * semantics, which `join_left_anti` (NOT EXISTS) deliberately does
+    * NOT have: one NULL in the list makes `x NOT IN list` UNKNOWN for
+    * every x, so the null-poisoned variant returns zero rows. Both
+    * variants are declared side by side because silently conflating the
+    * two is the classic correctness bug in hand-rolled ETL.
+    *
+    * Scale notes (100 TB): Spark plans single-column NOT IN as a
+    * null-aware BroadcastHashJoin (`LeftAnti, BuildRight, true` —
+    * PlanSpec-asserted), not the quadratic BroadcastNestedLoopJoin the
+    * general form needs; the probe stays one broadcast hash lookup per
+    * row. Temp views get per-invocation unique names (same discipline
+    * as the bucketed-join row) so concurrent runs never race.
+    */
+  val joinNotInNullAware = Q(
+    "join_not_in_null_aware",
+    (spark, dir) => {
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val cv = s"cust_$runId"
+      val nv = s"nation_$runId"
+      Tables.customer(spark, dir).createOrReplaceTempView(cv)
+      Tables.nation(spark, dir).createOrReplaceTempView(nv)
+      spark.sql(s"""
+        SELECT 'clean_list' AS variant, COUNT(*) AS n_cust
+        FROM $cv
+        WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM $nv WHERE n_nationkey < 10)
+        UNION ALL
+        SELECT 'null_poisoned_list' AS variant, COUNT(*) AS n_cust
+        FROM $cv
+        WHERE c_nationkey NOT IN
+          (SELECT NULLIF(n_nationkey, 3) FROM $nv WHERE n_nationkey < 10)
+        ORDER BY variant
+      """)
+    },
+    Some("""
+      SELECT 'clean_list' AS variant, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_nationkey NOT IN
+        (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+      UNION ALL
+      SELECT 'null_poisoned_list' AS variant, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_nationkey NOT IN
+        (SELECT NULLIF(n_nationkey, 3) FROM nation WHERE n_nationkey < 10)
+      ORDER BY variant
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
-    joinLateralTopk, joinDppPartitionPruned, joinNullSafe)
+    joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
+    joinNotInNullAware)
 }

@@ -208,6 +208,15 @@ class PlanSpec extends SparkSpecBase {
       s"spine join must stay an equi-join:\n$p")
   }
 
+  test("join_not_in_null_aware plans the null-aware BroadcastHashJoin, not a loop join") {
+    val p = planString(operators.Joins.joinNotInNullAware.fn(spark, sfDir))
+    // the trailing `true` on the LeftAnti BHJ is isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"single-column NOT IN must plan as a null-aware anti hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"NOT IN fell back to a loop join:\n$p")
+  }
+
   test("join_null_safe stays a hash join (EqualNullSafe is an equi-key, not a loop join)") {
     val p = planString(operators.Joins.joinNullSafe.fn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),

@@ -9,6 +9,37 @@ import org.apache.spark.sql.functions._
   */
 class ScaleTechniquesSpec extends SparkSpecBase {
 
+  test("runtime bloom filter injects a pruning predicate into the fact side of a shuffle join") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and drop the size gates so the sf0.001
+      // fixture exercises the same re-plan a 100 TB fact scan would get
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val dim = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F")
+      val fact = Tables.lineitem(spark, sfDir)
+      val j = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected into the fact side:\n$p")
+      assert(j.collect().nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("bucketed co-located join runs with no shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
