@@ -632,10 +632,128 @@ object Aggregations extends QueryModule {
     },
     None)
 
+  /** Skewness + excess kurtosis per event type from EXACT decimal power
+    * sums (n, Σx, Σx², Σx³, Σx⁴), with the moment algebra run in double
+    * on those exact sums and the surface rounded to 6 dp.
+    *
+    * Why not native `skewness`/`kurtosis`: they accumulate doubles in
+    * partition order — not reproducible across partitionings at cluster
+    * scale — and engines disagree on bias correction (population g1/g2
+    * vs sample-corrected). Power sums in decimal are associative and
+    * exact, so the shuffle-reduced value is bit-identical on any
+    * partitioning, and both engines then run the SAME double algebra on
+    * the SAME exact inputs (the `agg_corr_covar` / `etl_anomaly_zscore`
+    * discipline, extended to 3rd/4th moments).
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy; the shuffle
+    * carries five decimal sums per (partition × event_type). Σx⁴ of
+    * values ≤ ~10³ needs ~28 integer digits at 10¹² rows — DECIMAL(38,8)
+    * headroom is the stated bound, checked here not hoped for.
+    */
+  val aggSkewKurtMoments = Q(
+    "agg_skew_kurt_moments",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"value" * $"value").cast(DecimalType(38, 8))).as("sxx"),
+          sum(($"value" * $"value" * $"value").cast(DecimalType(38, 8))).as("sxxx"),
+          sum(($"value" * $"value" * $"value" * $"value").cast(DecimalType(38, 8)))
+            .as("sxxxx"))
+      val n = $"n".cast(DoubleType)
+      val mu = $"sx".cast(DoubleType) / n
+      val m2 = $"sxx".cast(DoubleType) / n - mu * mu
+      val m3 = $"sxxx".cast(DoubleType) / n - lit(3.0) * mu * ($"sxx".cast(DoubleType) / n) + lit(2.0) * mu * mu * mu
+      val m4 = $"sxxxx".cast(DoubleType) / n - lit(4.0) * mu * ($"sxxx".cast(DoubleType) / n) +
+        lit(6.0) * mu * mu * ($"sxx".cast(DoubleType) / n) - lit(3.0) * mu * mu * mu * mu
+      m.select(
+          $"event_type",
+          $"n",
+          mu.cast(DecimalType(18, 6)).as("mean"),
+          (m3 / pow(m2, 1.5)).cast(DecimalType(18, 6)).as("skewness"),
+          (m4 / (m2 * m2) - lit(3.0)).cast(DecimalType(18, 6)).as("excess_kurtosis"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          SUM(CAST(value AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx,
+          SUM(CAST(value * value * value AS DECIMAL(38,8))) AS sxxx,
+          SUM(CAST(value * value * value * value AS DECIMAL(38,8))) AS sxxxx
+        FROM events GROUP BY event_type
+      ), alg AS (
+        SELECT event_type, n,
+          CAST(sx AS DOUBLE) / n AS mu,
+          CAST(sxx AS DOUBLE) / n AS exx,
+          CAST(sxxx AS DOUBLE) / n AS exxx,
+          CAST(sxxxx AS DOUBLE) / n AS exxxx
+        FROM m
+      ), mom AS (
+        SELECT event_type, n, mu,
+          exx - mu * mu AS m2,
+          exxx - 3.0 * mu * exx + 2.0 * mu * mu * mu AS m3,
+          exxxx - 4.0 * mu * exxx + 6.0 * mu * mu * exx - 3.0 * mu * mu * mu * mu AS m4
+        FROM alg
+      )
+      SELECT event_type, n,
+        CAST(CAST(mu AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+        CAST(CAST(m3 / POW(m2, 1.5) AS DECIMAL(18,6)) AS DOUBLE) AS skewness,
+        CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) AS excess_kurtosis
+      FROM mom ORDER BY event_type
+    """.stripMargin.trim))
+
+  /** Exact weighted means per return flag: extended-price-weighted
+    * discount and quantity-weighted price — the rate metric a plain
+    * `avg` silently gets wrong (it averages the ratios, not the mass).
+    * Numerator and denominator are exact decimal sums (one map-side-
+    * combinable pass); only the final division runs in double, rounded
+    * to 6 dp on both engines.
+    */
+  val aggWeightedAvg = Q(
+    "agg_weighted_avg",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec($"l_extendedprice") * dec($"l_discount", 18, 6)).as("swd"),
+          sum(dec($"l_extendedprice")).as("sw"),
+          sum(dec($"l_extendedprice") * dec($"l_quantity")).as("swp"),
+          sum(dec($"l_quantity")).as("sq"))
+        .select(
+          $"l_returnflag",
+          $"n",
+          ($"swd".cast(DoubleType) / $"sw".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("wavg_discount"),
+          ($"swp".cast(DoubleType) / $"sq".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("wavg_price_by_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,6))) AS swd,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sw,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS swp,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+        CAST(CAST(CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_discount,
+        CAST(CAST(CAST(swp AS DOUBLE) / CAST(sq AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_price_by_qty
+      FROM s ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
-    aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms)
+    aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
+    aggWeightedAvg)
 }

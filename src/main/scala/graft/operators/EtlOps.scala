@@ -350,6 +350,88 @@ object EtlOps extends QueryModule {
       FROM lineitem
     """.stripMargin.trim))
 
+  /** CDC changelog between two snapshots of the orders table: the old
+    * snapshot is the pre-cutoff view; the new snapshot extends the date
+    * window (inserts), drops every 97th key (deletes), and reprices
+    * urgent orders +5% (updates). Rows are compared by FINGERPRINT —
+    * md5 over canonicalized columns (fixed-scale decimal rendering, so
+    * both engines hash identical bytes) — the way a real snapshot diff
+    * avoids comparing N columns individually. Declared output: per-action
+    * row counts + the exact decimal price delta the change set carries.
+    *
+    * Scale notes (100 TB): ONE full-outer hash join on the key;
+    * fingerprints are computed map-side before the shuffle, so the
+    * exchange carries (key, 32-byte hash, price) — never the wide row.
+    * At lakehouse scale the same plan emits the changelog a downstream
+    * MERGE INTO consumes.
+    */
+  val etlSnapshotDiff = Q(
+    "etl_snapshot_diff",
+    (spark, dir) => {
+      import spark.implicits._
+      def fingerprint(status: org.apache.spark.sql.Column,
+                      price: org.apache.spark.sql.Column) =
+        md5(concat_ws("|", status, price.cast("string")))
+      val orders = Tables.orders(spark, dir)
+      // both snapshots render the price at the SAME scale (2+2=4 after
+      // the decimal multiply) so unchanged rows hash identical bytes
+      val oldPrice = dec($"o_totalprice") * dec(lit(1.00))
+      val newPrice = when($"o_orderpriority" === "1-URGENT",
+          dec($"o_totalprice") * dec(lit(1.05)))
+        .otherwise(dec($"o_totalprice") * dec(lit(1.00)))
+      val oldSnap = orders
+        .where($"o_orderdate" < "1997-07-01")
+        .select($"o_orderkey".as("key"),
+          fingerprint($"o_orderstatus", oldPrice).as("old_fp"),
+          oldPrice.as("old_price"))
+      val newSnap = orders
+        .where($"o_orderdate" < "1998-01-01" && $"o_orderkey" % 97 =!= 0)
+        .select($"o_orderkey".as("key"),
+          fingerprint($"o_orderstatus", newPrice).as("new_fp"),
+          newPrice.as("new_price"))
+      oldSnap.join(newSnap, Seq("key"), "full_outer")
+        .select(
+          when($"old_fp".isNull, lit("insert"))
+            .when($"new_fp".isNull, lit("delete"))
+            .when($"old_fp" === $"new_fp", lit("unchanged"))
+            .otherwise(lit("update")).as("action"),
+          (coalesce($"new_price", dec(lit(0), 18, 4)) -
+            coalesce($"old_price", dec(lit(0), 18, 4))).as("delta"))
+        .groupBy($"action")
+        .agg(count(lit(1)).as("n"), sum($"delta").as("price_delta"))
+        .orderBy($"action")
+    },
+    Some("""
+      WITH old_snap AS (
+        SELECT o_orderkey AS key,
+          md5(concat_ws('|', o_orderstatus,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.00 AS DECIMAL(18,2)) AS VARCHAR))) AS old_fp,
+          CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.00 AS DECIMAL(18,2)) AS old_price
+        FROM orders WHERE o_orderdate < '1997-07-01'
+      ), new_snap AS (
+        SELECT o_orderkey AS key,
+          md5(concat_ws('|', o_orderstatus,
+            CAST(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.00 AS DECIMAL(18,2))
+            END AS VARCHAR))) AS new_fp,
+          CASE WHEN o_orderpriority = '1-URGENT'
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(18,2))
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.00 AS DECIMAL(18,2))
+          END AS new_price
+        FROM orders WHERE o_orderdate < '1998-01-01' AND o_orderkey % 97 <> 0
+      )
+      SELECT CASE WHEN old_fp IS NULL THEN 'insert'
+                  WHEN new_fp IS NULL THEN 'delete'
+                  WHEN old_fp = new_fp THEN 'unchanged'
+                  ELSE 'update' END AS action,
+        COUNT(*) AS n,
+        CAST(SUM(COALESCE(new_price, CAST(0 AS DECIMAL(18,4)))
+               - COALESCE(old_price, CAST(0 AS DECIMAL(18,4)))) AS DOUBLE) AS price_delta
+      FROM old_snap FULL OUTER JOIN new_snap USING (key)
+      GROUP BY 1 ORDER BY action
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
-    etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles)
+    etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff)
 }

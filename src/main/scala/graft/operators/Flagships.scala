@@ -147,5 +147,49 @@ object Flagships extends QueryModule {
       LIMIT 100
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders)
+  /** TPC-H Q10 shape: returned-item reporting — which customers drove
+    * the most returned revenue in a quarter. The R-flag and date
+    * predicates sit directly on the two fact scans (parquet pushdown
+    * prunes row groups before the join); customer and nation broadcast;
+    * global top-20 via TakeOrderedAndProject, never a full sort.
+    */
+  val tpchQ10Returns = Q(
+    "tpch_q10_returns",
+    (spark, dir) => {
+      import spark.implicits._
+      val l = Tables.lineitem(spark, dir)
+        .where($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "1996-10-01" && $"o_orderdate" < "1997-01-01")
+        .select($"o_orderkey", $"o_custkey")
+      val c = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+      val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
+    tpchQ10Returns)
 }

@@ -564,10 +564,63 @@ object Joins extends QueryModule {
       ORDER BY variant
     """.stripMargin.trim))
 
+  /** Controlled cartesian: the complete (region × event_type) matrix
+    * enumerated with an explicit `crossJoin` of two tiny DISTINCT sets,
+    * then left-joined to observed per-nation purchase counts so absent
+    * combinations surface as zero rows — the dense-matrix/report-
+    * completion pattern (a plain groupBy silently drops empty cells).
+    *
+    * Scale notes (100 TB): the ONLY legitimate cross join is this one —
+    * both sides are provably small (5 regions × a handful of event
+    * types), so the product is broadcastable and bounded; the fact table
+    * contributes through a separate map-side-combinable aggregate that
+    * never touches the cartesian. A cross join with an unbounded side is
+    * a bug, not a plan.
+    */
+  val joinCrossEnumerate = Q(
+    "join_cross_enumerate",
+    (spark, dir) => {
+      import spark.implicits._
+      val regions = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+      val types = Tables.events(spark, dir).select($"event_type").distinct()
+      val observed = Tables.events(spark, dir)
+        .join(Tables.customer(spark, dir), $"user_id" === $"c_custkey")
+        .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_regionkey".as("r_key"), $"event_type".as("e_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec($"value", 18, 6)).as("sum_value"))
+      regions.crossJoin(types)
+        .join(observed,
+          $"r_regionkey" === $"r_key" && $"event_type" === $"e_type", "left")
+        .select(
+          $"r_name", $"event_type",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"sum_value", dec(lit(0), 18, 6)).as("sum_value"))
+        .orderBy($"r_name", $"event_type")
+    },
+    Some("""
+      WITH observed AS (
+        SELECT n.n_regionkey AS r_key, e.event_type AS e_type,
+          COUNT(*) AS n_events,
+          SUM(CAST(e.value AS DECIMAL(18,6))) AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+      )
+      SELECT r.r_name, t.event_type,
+        COALESCE(o.n_events, 0) AS n_events,
+        CAST(COALESCE(o.sum_value, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM region r
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN observed o ON r.r_regionkey = o.r_key AND t.event_type = o.e_type
+      ORDER BY r.r_name, t.event_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
-    joinNotInNullAware)
+    joinNotInNullAware, joinCrossEnumerate)
 }

@@ -216,8 +216,73 @@ object Sources extends QueryModule {
       ORDER BY v
     """.stripMargin.trim))
 
+  /** Range-clustered data layout (z-order-lite): orders are bucketed by
+    * an md5 hash of the key (engine-stable, partitioning-independent —
+    * the `sample_hash_split` discipline) and written sorted by
+    * o_orderdate within each bucket, split into bounded files. The
+    * read-back side then PROVES the layout from the real files via
+    * `input_file_name`: within a bucket, file min/max date ranges must
+    * be disjoint (each bucket is written by one task in sorted order, so
+    * sequential file chunks are range-disjoint). Declared output =
+    * per-bucket stats + the provable file count + an overlap-violation
+    * count that must be 0.
+    *
+    * Scale notes (100 TB): this is the layout that makes a date-range
+    * scan skip files by footer min/max instead of reading them —
+    * clustering is THE cheap substitute for an index at warehouse
+    * scale. One shuffle (repartition on the bucket value so each bucket
+    * is one task's sorted run); `maxRecordsPerFile` bounds file size,
+    * so file count per bucket is exactly ceil(rows/cap) — stated by the
+    * oracle, not hoped for.
+    */
+  val sortClusteredWriteStats = Q(
+    "sort_clustered_write_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = scratch(s"clustered_orders_$runId")
+      val bucket = (conv(substring(md5($"o_orderkey".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 8).as("bucket")
+      Tables.orders(spark, dir)
+        .select(bucket, $"o_orderkey", $"o_orderdate")
+        .repartition($"bucket")
+        .sortWithinPartitions($"bucket", $"o_orderdate", $"o_orderkey")
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", "2000")
+        .partitionBy("bucket")
+        .parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy($"bucket".cast(LongType).as("bucket"), input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"), min($"o_orderdate").as("f_min"),
+          max($"o_orderdate").as("f_max"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"f_min", $"f")
+      perFile
+        .withColumn("prev_max", lag($"f_max", 1).over(w))
+        .groupBy($"bucket")
+        .agg(
+          sum($"n").as("n_rows"),
+          count(lit(1)).as("n_files"),
+          min($"f_min").as("min_date"),
+          max($"f_max").as("max_date"),
+          sum(when($"prev_max".isNotNull && $"f_min" <= $"prev_max", 1L)
+            .otherwise(0L)).as("overlap_violations"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT
+        CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS bucket,
+        COUNT(*) AS n_rows,
+        CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT) AS n_files,
+        MIN(o_orderdate) AS min_date,
+        MAX(o_orderdate) AS max_date,
+        CAST(0 AS BIGINT) AS overlap_violations
+      FROM orders
+      GROUP BY 1 ORDER BY bucket
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
     sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
-    scanParquetSchemaEvolution)
+    scanParquetSchemaEvolution, sortClusteredWriteStats)
 }

@@ -207,8 +207,36 @@ object Streaming extends QueryModule {
       FROM r WHERE rn = 1 ORDER BY user_id
     """.stripMargin.trim))
 
+  /** Stream-stream LEFT OUTER interval join — attribution that keeps
+    * the unconverted clicks (SURVEY §2.1.I-quater). Declared through
+    * the batch equivalent of the SAME StreamTransforms code; the
+    * streaming run (watermark-gated NULL completion, bounded state) is
+    * proven ≡ batch in StreamingSpec.
+    */
+  val streamOuterIntervalJoin = Q(
+    "stream_outer_interval_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      StreamTransforms
+        .clickPurchaseLeftOuter(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"click_id", $"purchase_id")
+    },
+    Some("""
+      SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        p.event_id AS purchase_id, p.ts AS purchase_ts,
+        p.event_id IS NOT NULL AS converted
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY click_id, purchase_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
-    streamStreamJoin, streamUpsertLatest)
+    streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin)
 }

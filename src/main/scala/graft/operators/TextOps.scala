@@ -1023,6 +1023,98 @@ object TextOps extends QueryModule {
       FROM j ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** The LLM-corpus curation pipeline END-TO-END in one declared plan:
+    * language-ID gate (the `text_langid_ngram` marker vote) → quality
+    * gate (length + token-count floors) → exact-dedup keeper selection
+    * (the `text_exact_dedup` md5/min-doc_id rule) → per-language corpus
+    * stats. The single-operator rows prove each primitive; this row
+    * proves they FUSE into one job — no stage materializes, no stage
+    * re-reads the corpus.
+    *
+    * Scale notes (100 TB): one token explode feeding ONE map-side-
+    * combinable per-doc aggregate (lang scores and token counts share
+    * the pass), one hash join back to the docs, one hash agg on the
+    * text digest for keeper selection, one join to pick keeper rows,
+    * one final tiny agg. Every shuffle key is doc_id or the digest —
+    * both high-cardinality and unskewed; nothing here is quadratic and
+    * nothing collects.
+    */
+  val pipelineCorpusCuration = Q(
+    "pipeline_corpus_curation",
+    (spark, dir) => {
+      import spark.implicits._
+      val markers = Map(
+        "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+        "de" -> Seq("der", "die", "und", "das", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "un"),
+        "fr" -> Seq("le", "la", "les", "et", "un"),
+        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      val langs = markers.keys.toSeq.sorted
+      val tok = tokens(Tables.documents(spark, dir))
+      val scoreCols = langs.map(l =>
+        count(when($"tok".isin(markers(l): _*), 1)).as(s"score_$l"))
+      val perDoc = tok.groupBy($"doc_id")
+        .agg(scoreCols.head, (scoreCols.tail :+ count(lit(1)).as("n_tokens")): _*)
+      val bestScore = greatest(langs.map(l => col(s"score_$l")): _*)
+      val predExpr = langs.foldRight(lit("??")) { (l, acc) =>
+        when(col(s"score_$l") === $"best_score", lit(l)).otherwise(acc)
+      }
+      val gated = Tables.documents(spark, dir)
+        .join(perDoc, "doc_id")
+        .withColumn("best_score", bestScore)
+        .select($"doc_id", predExpr.as("pred_lang"), $"source", $"n_tokens",
+          $"n_chars", md5(lower(trim($"text"))).as("text_hash"))
+        .where($"n_chars" >= 100 && $"n_tokens" >= 5 && $"best_score" >= 1)
+      val keepers = gated.groupBy($"text_hash")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+      gated
+        .join(keepers, $"doc_id" === $"keeper_id")
+        .groupBy($"pred_lang", $"source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum($"group_size" - 1).as("n_dupes_removed"),
+          sum($"n_tokens").as("sum_tokens"),
+          (sum($"n_chars").cast(DoubleType) / count(lit(1)))
+            .cast(DecimalType(18, 6)).as("mean_chars"))
+        .orderBy($"pred_lang", $"source")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents
+      ), per_doc AS (
+        SELECT doc_id,
+          COUNT(CASE WHEN tok IN ('der','die','und','das','ein') THEN 1 END) AS score_de,
+          COUNT(CASE WHEN tok IN ('the','a','and','of','fast','slow') THEN 1 END) AS score_en,
+          COUNT(CASE WHEN tok IN ('el','la','los','y','un') THEN 1 END) AS score_es,
+          COUNT(CASE WHEN tok IN ('le','la','les','et','un') THEN 1 END) AS score_fr,
+          COUNT(CASE WHEN tok IN ('de','shi','le','zai','he') THEN 1 END) AS score_zh,
+          COUNT(*) AS n_tokens
+        FROM tok WHERE tok <> '' GROUP BY doc_id
+      ), gated AS (
+        SELECT d.doc_id,
+          CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+            WHEN score_de THEN 'de'
+            WHEN score_en THEN 'en'
+            WHEN score_es THEN 'es'
+            WHEN score_fr THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+          source, n_tokens, n_chars, md5(lower(trim(text))) AS text_hash
+        FROM documents d JOIN per_doc USING (doc_id)
+        WHERE n_chars >= 100 AND n_tokens >= 5
+          AND GREATEST(score_de, score_en, score_es, score_fr, score_zh) >= 1
+      ), keepers AS (
+        SELECT text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+        FROM gated GROUP BY text_hash
+      )
+      SELECT pred_lang, source,
+        COUNT(*) AS n_kept,
+        CAST(SUM(group_size - 1) AS BIGINT) AS n_dupes_removed,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_chars
+      FROM gated g JOIN keepers k ON g.doc_id = k.keeper_id
+      GROUP BY pred_lang, source ORDER BY pred_lang, source
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
@@ -1030,5 +1122,5 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
-    sampleStratifiedByLang)
+    sampleStratifiedByLang, pipelineCorpusCuration)
 }

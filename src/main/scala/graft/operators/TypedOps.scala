@@ -102,5 +102,79 @@ object TypedOps extends QueryModule {
       FROM events GROUP BY event_type ORDER BY event_type
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(typedTopnPerUser, typedAggDecimalStats)
+  case class SnapRow(key: Long, acctbal: Option[Double])
+  case class DeltaRow(key: Long, value: Double)
+  case class ReconRow(key: Long, side: String, acctbal: Option[Double],
+                      purchase_total: Option[Double], n_purchases: Long)
+
+  /** Typed `KeyValueGroupedDataset.cogroup` — the TWO-sided escape
+    * hatch (`flatMapGroups` is the one-sided form): the customer
+    * snapshot cogrouped with the purchase event delta per key, emitting
+    * reconciliation rows with explicit side-membership. The typed twin
+    * of `etl_incremental_merge`'s full-outer join — declared so the
+    * engine's cogroup surface is oracle-checked, not just compiled.
+    *
+    * Determinism: the closure folds purchase doubles into a
+    * `BigDecimal.valueOf(v).setScale(6, HALF_UP)` sum — the same
+    * shortest-repr + HALF_UP semantics as Spark SQL's double→decimal
+    * cast, so the total is exact and independent of iterator order
+    * (a raw double sum would vary with partitioning).
+    *
+    * Scale notes (100 TB): cogroup co-partitions BOTH inputs on the key
+    * in one exchange each — the same cost as the join form. Groups
+    * stream through the closure; per-group state here is one BigDecimal
+    * + one counter, O(1), so unbounded keys are safe.
+    */
+  val typedCogroupReconcile = Q(
+    "typed_cogroup_reconcile",
+    (spark, dir) => {
+      import spark.implicits._
+      val snap = Tables.customer(spark, dir)
+        .select($"c_custkey".as("key"), $"c_acctbal".cast(DoubleType).as("acctbal"))
+        .as[SnapRow]
+      val delta = Tables.events(spark, dir)
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("key"), $"value")
+        .as[DeltaRow]
+      snap.groupByKey(_.key)
+        .cogroup(delta.groupByKey(_.key)) { (k, snapIt, deltaIt) =>
+          val s = snapIt.toSeq.headOption
+          var total = java.math.BigDecimal.ZERO
+          var n = 0L
+          deltaIt.foreach { d =>
+            total = total.add(java.math.BigDecimal.valueOf(d.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+            n += 1
+          }
+          val side =
+            if (s.isDefined && n > 0) "both"
+            else if (s.isDefined) "snapshot_only"
+            else "delta_only"
+          Iterator.single(ReconRow(
+            k, side, s.flatMap(_.acctbal),
+            if (n > 0) Some(total.doubleValue) else None, n))
+        }
+        .toDF()
+        .orderBy($"key")
+    },
+    Some("""
+      WITH delta AS (
+        SELECT user_id AS key,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_total,
+          COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+      )
+      SELECT COALESCE(c.c_custkey, d.key) AS key,
+        CASE WHEN c.c_custkey IS NOT NULL AND d.key IS NOT NULL THEN 'both'
+             WHEN c.c_custkey IS NOT NULL THEN 'snapshot_only'
+             ELSE 'delta_only' END AS side,
+        CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+        d.purchase_total,
+        COALESCE(d.n_purchases, 0) AS n_purchases
+      FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.key
+      ORDER BY key
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(typedTopnPerUser, typedAggDecimalStats,
+    typedCogroupReconcile)
 }

@@ -387,9 +387,48 @@ object Windows extends QueryModule {
       ORDER BY user_id, sess_id
     """.stripMargin.trim))
 
+  /** Exact moving median over a ±3-row frame per user (ordered by ts,
+    * event_id) — the robust time-series smoother a mean-based moving
+    * frame can't provide (one spike drags a mean, not a median).
+    *
+    * Spark has no windowed median, so the frame is materialized with
+    * `collect_list` over the frame, sorted, and interpolated (even
+    * count → mean of the two middle values) — exactly DuckDB's windowed
+    * `MEDIAN` semantics on DOUBLE, so the oracle is the native form.
+    *
+    * Scale notes (100 TB): one user_id hash shuffle (the same exchange
+    * every per-user window shares); the frame buffer is O(7) per row —
+    * constant, unlike a whole-partition collect. Sorting 7 doubles per
+    * row is cheap and stays inside the window exec's per-frame loop.
+    */
+  val winMovingMedian = Q(
+    "win_moving_median",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-3, 3)
+      val arr = sort_array(collect_list($"value").over(w))
+      val n = size(arr)
+      // element_at needs INT ordinals; Column `/` is double division
+      val mid = ((n + 1) / 2).cast("int")
+      val lo = (n / 2).cast("int")
+      val med = when(n % 2 === 1, element_at(arr, mid))
+        .otherwise((element_at(arr, lo) + element_at(arr, lo + 1)) / 2.0)
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"value", med.as("moving_median"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, value,
+        MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS moving_median
+      FROM events
+      ORDER BY user_id, ts, event_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
-    winSessionizeBatch)
+    winSessionizeBatch, winMovingMedian)
 }

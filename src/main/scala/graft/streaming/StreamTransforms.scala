@@ -100,6 +100,36 @@ object StreamTransforms {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: click→purchase attribution
+    * that KEEPS unconverted clicks (the funnel-with-drop-offs shape an
+    * inner join silently discards). Watermarks on both sides + the
+    * interval condition bound the state; the NULL-completed row for an
+    * unmatched click is emitted only once the watermark passes the end
+    * of its join window — i.e. once no future purchase can match it.
+    * Same code runs batch and streaming (StreamingSpec proves the
+    * run-to-completion results equal).
+    */
+  def clickPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = watermarked(clicks, "ts", "30 minutes").select(
+      col("event_id").as("click_id"),
+      col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    val p = watermarked(purchases, "ts", "30 minutes").select(
+      col("event_id").as("purchase_id"),
+      col("user_id"),
+      col("ts").as("purchase_ts"))
+    c.join(
+        p,
+        col("c_user") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(
+        col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
     * this is a plain keyed aggregation in update mode — each microbatch

@@ -224,4 +224,39 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"null-safe join fell back to a loop join:\n$p")
   }
+
+  test("tpch_q10_returns: dims broadcast, top-20 optimized, R-filter pushed to scan") {
+    val p = planString(operators.Flagships.tpchQ10Returns.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"LIMIT 20 must be top-k, not a full sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"customer and nation must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)") ||
+      p.contains("EqualTo(l_returnflag,R)"),
+      s"R-flag filter must reach the parquet scan:\n$p")
+  }
+
+  test("join_cross_enumerate: tiny cross is a broadcast loop, fact side stays equi-joined") {
+    val p = planString(operators.Joins.joinCrossEnumerate.fn(spark, sfDir))
+    // the 5×k enumeration is the ONE place a loop join is correct — both
+    // sides bounded; the observed-counts side must still be a hash join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      s"expected the explicit tiny cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the observed-counts join must remain an equi hash join:\n$p")
+  }
+
+  test("pipeline_corpus_curation fuses: no loop joins, partial aggs, one token pass") {
+    val p = planString(operators.TextOps.pipelineCorpusCuration.fn(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"curation stages must compose via hash joins only:\n$p")
+    assert("Generate explode".r.findAllIn(p).size <= 1,
+      s"token explode must run once, not per stage:\n$p")
+  }
+
+  test("win_moving_median shuffles once on user_id for its bounded frame") {
+    val p = planString(operators.Windows.winMovingMedian.fn(spark, sfDir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"moving median must reuse one user_id exchange:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
 }

@@ -126,6 +126,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSorted(streamed) == collectSorted(batch))
   }
 
+  test("stream-stream LEFT OUTER interval join equals batch incl. null completions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val clicks = evs.filter(_.event_type == "click")
+    val purchases = evs.filter(_.event_type == "purchase")
+    // watermark flush: outer-join NULL completions for trailing clicks
+    // only emit once the watermark passes their window end, so push a
+    // far-future sentinel through both sides and drop it from the compare
+    val tMax = evs.map(_.ts.getTime).max
+    def sentinel(id: Long, typ: String) =
+      Ev(id, new Timestamp(tMax + 10L * 3600 * 1000), 0L, typ, 0.0)
+    val msClicks = MemoryStream[Ev]
+    val msPurch = MemoryStream[Ev]
+    val q = StreamTransforms
+      .clickPurchaseLeftOuter(msClicks.toDF(), msPurch.toDF())
+      .writeStream.format("memory").queryName("ssloj").outputMode("append")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_ssloj_${System.nanoTime()}")
+      .start()
+    try {
+      val cb = clicks.grouped(clicks.size / 3 + 1).toSeq
+      val pb = purchases.grouped(purchases.size / 3 + 1).toSeq
+      cb.zipAll(pb, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (c, p) =>
+        msClicks.addData(c); msPurch.addData(p); q.processAllAvailable()
+      }
+      msClicks.addData(Seq(sentinel(-1L, "click")))
+      msPurch.addData(Seq(sentinel(-2L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssloj").where($"click_id" >= 0)
+    val batch = StreamTransforms.clickPurchaseLeftOuter(
+      spark.createDataFrame(clicks), spark.createDataFrame(purchases))
+    assert(collectSorted(streamed) == collectSorted(batch))
+    // and the unconverted-click rows actually exist (the point of OUTER)
+    assert(streamed.where($"purchase_id".isNull).count() > 0,
+      "no null-completed rows — outer semantics untested")
+  }
+
   test("stream-stream join state evicts clicks beyond the interval horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
