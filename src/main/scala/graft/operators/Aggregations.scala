@@ -749,11 +749,60 @@ object Aggregations extends QueryModule {
       FROM s ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Time-weighted average of the metric per user: each observation
+    * weighted by the µs-exact duration until the NEXT event (zero-order
+    * hold) — the correct mean for irregularly-sampled series, where a
+    * plain `avg` overweights bursts. Σv·dt and Σdt are exact decimal/
+    * long sums; only the final ratio runs in double (6dp surface).
+    *
+    * Scale notes (100 TB): the lead window and the aggregation key on
+    * the SAME user_id — one exchange end-to-end; both sums are
+    * map-side combinable after the window.
+    */
+  val aggTimeWeightedAvg = Q(
+    "agg_time_weighted_avg",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"value",
+          lead($"ts", 1).over(w).as("next_ts"))
+        .withColumn("dt_us", expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+        .where($"dt_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum($"dt_us").as("span_us"),
+          sum(dec($"value", 18, 6) * $"dt_us").as("svdt"))
+        .select(
+          $"user_id", $"n_intervals", $"span_us",
+          ($"svdt".cast(DoubleType) / $"span_us".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("time_weighted_avg"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, value,
+          CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts) AS BIGINT) AS dt_us
+        FROM events
+      ), s AS (
+        SELECT user_id, COUNT(*) AS n_intervals,
+          CAST(SUM(dt_us) AS BIGINT) AS span_us,
+          SUM(CAST(value AS DECIMAL(18,6)) * dt_us) AS svdt
+        FROM iv WHERE dt_us IS NOT NULL GROUP BY user_id
+      )
+      SELECT user_id, n_intervals, span_us,
+        CAST(CAST(CAST(svdt AS DOUBLE) / CAST(span_us AS DOUBLE)
+          AS DECIMAL(18,6)) AS DOUBLE) AS time_weighted_avg
+      FROM s ORDER BY user_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
-    aggWeightedAvg)
+    aggWeightedAvg, aggTimeWeightedAvg)
 }

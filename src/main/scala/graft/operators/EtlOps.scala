@@ -432,6 +432,57 @@ object EtlOps extends QueryModule {
       GROUP BY 1 ORDER BY action
     """.stripMargin.trim))
 
+  /** Idempotent partition backfill: the orders table laid out
+    * `partitionBy(o_year)`, then ONE year recomputed (the backfill drops
+    * that year's F-status rows) and rewritten under
+    * `partitionOverwriteMode=dynamic` — only the touched partition's
+    * files are replaced; every other partition keeps its original files.
+    * This is the lakehouse backfill discipline: a full-table overwrite
+    * would rewrite 100 TB to correct one day.
+    *
+    * The declared output reads the table AFTER the backfill: per-year
+    * row counts and exact decimal totals, where only the backfilled year
+    * differs from the source — proving both the rewrite and the
+    * isolation of untouched partitions. The overwrite-mode conf is
+    * saved/restored so the session state leaks nowhere (same
+    * no-shared-state discipline as the other sink rows).
+    */
+  val etlBackfillDynamicOverwrite = Q(
+    "etl_backfill_dynamic_overwrite",
+    (spark, dir) => {
+      import spark.implicits._
+      val pid = ProcessHandle.current().pid()
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = s"/tmp/graft_scratch/p$pid/backfill_$runId"
+      val withYear = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderstatus", dec($"o_totalprice").as("price"),
+          year($"o_orderdate").cast("long").as("o_year"))
+      withYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        withYear
+          .where($"o_year" === 1996 && $"o_orderstatus" =!= "F")
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.read.parquet(path)
+        .groupBy($"o_year".cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"), sum($"price").as("total_price"))
+        .orderBy($"o_year")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders
+      WHERE year(o_orderdate) <> 1996 OR o_orderstatus <> 'F'
+      GROUP BY 1 ORDER BY o_year
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
-    etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff)
+    etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
+    etlBackfillDynamicOverwrite)
 }

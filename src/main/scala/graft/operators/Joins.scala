@@ -564,6 +564,43 @@ object Joins extends QueryModule {
       ORDER BY variant
     """.stripMargin.trim))
 
+  /** FORWARD as-of join: each purchase attributed to the NEXT click at
+    * or after it (in sort order) — the mirror of `join_asof`'s backward
+    * pass, same union-window formulation: one user_id exchange, zero
+    * join operators, `first(…, ignoreNulls)` over the FOLLOWING frame.
+    * Forward as-of is its own operator in every as-of-native engine
+    * (pandas/polars `direction='forward'`); here it is the same plan
+    * shape as backward, frame reversed.
+    */
+  val joinAsofForward = Q(
+    "join_asof_forward",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+      val w = Window
+        .partitionBy($"user_id")
+        .orderBy($"ts", $"event_type", $"event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn(
+          "next_click_ts",
+          first(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"next_click_ts")
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, next_click_ts
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+          FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_ts
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   /** Controlled cartesian: the complete (region × event_type) matrix
     * enumerated with an explicit `crossJoin` of two tiny DISTINCT sets,
     * then left-joined to observed per-nation purchase counts so absent
@@ -622,5 +659,5 @@ object Joins extends QueryModule {
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
-    joinNotInNullAware, joinCrossEnumerate)
+    joinNotInNullAware, joinCrossEnumerate, joinAsofForward)
 }

@@ -281,8 +281,41 @@ object Sources extends QueryModule {
       GROUP BY 1 ORDER BY bucket
     """.stripMargin.trim))
 
+  /** Plain-text source/sink — the rawest corpus interchange format (one
+    * document per line; the corpus has no embedded newlines, asserted by
+    * the digest matching). Line files carry no row order, so the
+    * declared output is an ORDER-INVARIANT digest: line count, byte
+    * mass, distinct-md5 count — equal iff the roundtrip was lossless.
+    *
+    * Scale notes (100 TB): text write/read shards per partition like
+    * every other format here; the digest agg is one map-side-combinable
+    * pass (count/sum) plus one distinct on the 16-byte hash.
+    */
+  val scanTextRoundtrip = Q(
+    "scan_text_roundtrip",
+    (spark, dir) => {
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = scratch(s"text_docs_$runId")
+      Tables.documents(spark, dir)
+        .select($"text")
+        .write.mode(SaveMode.Overwrite).text(path)
+      spark.read.text(path)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(length($"value")).cast(LongType).as("sum_chars"),
+          countDistinct(md5($"value")).as("n_distinct"))
+        .orderBy($"n_lines")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        COUNT(DISTINCT md5(text)) AS n_distinct
+      FROM documents
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
     sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
-    scanParquetSchemaEvolution, sortClusteredWriteStats)
+    scanParquetSchemaEvolution, sortClusteredWriteStats, scanTextRoundtrip)
 }

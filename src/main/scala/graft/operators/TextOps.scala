@@ -1115,6 +1115,40 @@ object TextOps extends QueryModule {
       GROUP BY pred_lang, source ORDER BY pred_lang, source
     """.stripMargin.trim))
 
+  /** Fixed-SIZE deterministic sample (k=100): the k documents with the
+    * smallest md5(doc_id) — the reproducible equivalent of reservoir
+    * sampling (`rdd.takeSample` is seed-and-partitioning dependent;
+    * this is a pure row function, identical on any cluster layout).
+    *
+    * Scale notes (100 TB): `orderBy(h).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local top-k and
+    * only k rows per partition reach the driver-side merge; the rank
+    * window then runs on k=100 rows, not the corpus. Never a global
+    * sort.
+    */
+  val sampleReservoirFixed = Q(
+    "sample_reservoir_fixed",
+    (spark, dir) => {
+      import spark.implicits._
+      val h = md5($"doc_id".cast("string"))
+      val top = Tables.documents(spark, dir)
+        .select(h.as("h"), $"doc_id", $"source", $"n_chars")
+        .orderBy($"h")
+        .limit(100)
+      top
+        .select(
+          row_number().over(Window.orderBy($"h")).cast("long").as("sample_rank"),
+          $"doc_id", $"source", $"n_chars")
+        .orderBy($"sample_rank")
+    },
+    Some("""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS sample_rank,
+        doc_id, source, n_chars
+      FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR))
+      LIMIT 100
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
@@ -1122,5 +1156,5 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
-    sampleStratifiedByLang, pipelineCorpusCuration)
+    sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed)
 }

@@ -4,7 +4,7 @@ import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** SURVEY.md §2.1.E — window functions.
   *
@@ -426,9 +426,46 @@ object Windows extends QueryModule {
       ORDER BY user_id, ts, event_id
     """.stripMargin.trim))
 
+  /** Contribution share: each line item's revenue as a fraction of its
+    * ORDER's total — the share-of-total every report needs, computed
+    * with a windowed sum over the natural HIGH-CARDINALITY key
+    * (l_orderkey), never a single-partition global window. Exact
+    * decimal numerator/denominator; the ratio runs in double, 6dp.
+    */
+  val winPercentOfTotal = Q(
+    "win_percent_of_total",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+      val rev = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", rev.as("revenue"),
+          sum(rev).over(w).as("order_total"))
+        .select(
+          $"l_orderkey", $"l_linenumber", $"revenue",
+          ($"revenue".cast(DoubleType) / $"order_total".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("pct_of_order"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_orderkey, l_linenumber,
+          CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2)) AS revenue,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2)))
+            OVER (PARTITION BY l_orderkey) AS order_total
+        FROM lineitem
+      )
+      SELECT l_orderkey, l_linenumber, CAST(revenue AS DOUBLE) AS revenue,
+        CAST(CAST(CAST(revenue AS DOUBLE) / CAST(order_total AS DOUBLE)
+          AS DECIMAL(18,6)) AS DOUBLE) AS pct_of_order
+      FROM r ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
-    winSessionizeBatch, winMovingMedian)
+    winSessionizeBatch, winMovingMedian, winPercentOfTotal)
 }

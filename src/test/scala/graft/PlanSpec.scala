@@ -253,6 +253,24 @@ class PlanSpec extends SparkSpecBase {
       s"token explode must run once, not per stage:\n$p")
   }
 
+  test("sample_reservoir_fixed plans distributed top-k, not a global sort") {
+    val p = planString(operators.TextOps.sampleReservoirFixed.fn(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT 100 over the hash order must be top-k per partition:\n$p")
+  }
+
+  test("join_asof_forward is the union-window plan: zero join operators") {
+    val p = planString(operators.Joins.joinAsofForward.fn(spark, sfDir))
+    assert(!p.contains("Join"), s"forward as-of must not plan any join:\n$p")
+    assert(p.contains("Window"), s"expected the window formulation:\n$p")
+  }
+
+  test("win_percent_of_total reuses one l_orderkey exchange") {
+    val p = planString(operators.Windows.winPercentOfTotal.fn(spark, sfDir))
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
+      s"share-of-total must shuffle once on the order key:\n$p")
+  }
+
   test("win_moving_median shuffles once on user_id for its bounded frame") {
     val p = planString(operators.Windows.winMovingMedian.fn(spark, sfDir))
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,

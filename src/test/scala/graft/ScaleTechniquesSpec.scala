@@ -74,6 +74,39 @@ class ScaleTechniquesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition overwrite rewrites ONLY the touched partition's files") {
+    import spark.implicits._
+    val path = s"/tmp/graft_scratch/p${ProcessHandle.current().pid()}/backfill_iso_${System.nanoTime()}"
+    val withYear = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderstatus",
+        year($"o_orderdate").cast("long").as("o_year"))
+    withYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    def files(year: Int): Set[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/o_year=$year"))
+        .map(s => s.getPath.getName + ":" + s.getModificationTime).toSet
+    }
+    val untouchedBefore = files(1995)
+    val touchedBefore = files(1996)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      withYear.where($"o_year" === 1996 && $"o_orderstatus" =!= "F")
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(files(1995) == untouchedBefore,
+      "dynamic overwrite must not touch the 1995 partition's files")
+    assert(files(1996) != touchedBefore,
+      "the backfilled 1996 partition must have been rewritten")
+    val after = spark.read.parquet(path)
+    assert(after.where($"o_year" === 1996 && $"o_orderstatus" === "F").count() == 0)
+    assert(after.where($"o_year" === 1995).count() ==
+      withYear.where($"o_year" === 1995).count())
+  }
+
   test("salted join equals plain join exactly, including skewed keys") {
     import spark.implicits._
     // heavy skew: 90% of rows share one key
