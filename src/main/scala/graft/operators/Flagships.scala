@@ -190,6 +190,60 @@ object Flagships extends QueryModule {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * year — supplier nation on the lineitem side, customer nation on
+    * the orders side, the DISJUNCTIVE cross-nation predicate
+    * ((GERMANY→FRANCE) or (FRANCE→GERMANY)) applied after both
+    * broadcast joins. The one fact-fact shuffle is the l↔o sort-merge;
+    * every dim side is broadcast.
+    */
+  val tpchQ7NationVolume = Q(
+    "tpch_q7_nation_volume",
+    (spark, dir) => {
+      import spark.implicits._
+      val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+      val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+          $"l_extendedprice", $"l_discount")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    Some("""
+      SELECT supp_nation, cust_nation, l_year,
+        CAST(SUM(volume) AS DOUBLE) AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      )
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
-    tpchQ10Returns)
+    tpchQ10Returns, tpchQ7NationVolume)
 }

@@ -379,8 +379,44 @@ object ScalarFns extends QueryModule {
       GROUP BY 1, 2, 3 ORDER BY host, q_lang
     """.stripMargin.trim))
 
+  /** Error-safe arithmetic: `try_divide`/`try_mod` null out division by
+    * zero and `try_add` nulls out BIGINT overflow instead of throwing —
+    * the dirty-data discipline for long pipelines (under ANSI semantics
+    * one bad row aborts a 6-hour job; `try_*` quarantines it as NULL to
+    * filter and audit downstream). The oracle derives the same NULLs
+    * with explicit CASE guards — an independent formulation, so the
+    * pass proves the semantics, not the spelling.
+    */
+  val fnSafeArithmetic = Q(
+    "fn_safe_arithmetic",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          expr("try_divide(l_extendedprice, l_quantity - 25.0)")
+            .cast(DecimalType(18, 6)).as("safe_div"),
+          expr("try_mod(cast(l_orderkey as bigint), cast(l_quantity - 25.0 as bigint))")
+            .as("safe_mod"),
+          expr("try_add(9223372036854775800L, cast(l_quantity as bigint))")
+            .as("safe_add"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(CASE WHEN l_quantity = 25.0 THEN NULL
+          ELSE l_extendedprice / (l_quantity - 25.0) END AS DECIMAL(18,6)) AS DOUBLE) AS safe_div,
+        CASE WHEN CAST(l_quantity - 25.0 AS BIGINT) = 0 THEN NULL
+          ELSE CAST(l_orderkey AS BIGINT) % CAST(l_quantity - 25.0 AS BIGINT) END AS safe_mod,
+        CASE WHEN CAST(l_quantity AS BIGINT) > 7 THEN NULL
+          ELSE 9223372036854775800 + CAST(l_quantity AS BIGINT) END AS safe_add
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
-    fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite)
+    fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite,
+    fnSafeArithmetic)
 }

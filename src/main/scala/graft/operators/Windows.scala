@@ -463,9 +463,100 @@ object Windows extends QueryModule {
       FROM r ORDER BY l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** Longest consecutive-DAY activity streak per user — the retention
+    * metric (distinct from `win_sessionize_batch`, which islands on a
+    * time GAP; here the calendar day is the unit). Gaps-and-islands on
+    * the distinct-day table: a day-diff ≠ 1 starts a new island, a
+    * running island id groups the days, and the longest island wins.
+    *
+    * Scale notes (100 TB): the distinct-day reduction happens FIRST
+    * (map-side combinable, bounds everything downstream by users×days,
+    * not events); every window and the final aggs all key on user_id —
+    * one exchange end-to-end.
+    */
+  val winStreakLongest = Q(
+    "win_streak_longest",
+    (spark, dir) => {
+      import spark.implicits._
+      val days = Tables.events(spark, dir)
+        .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val islands = days
+        .withColumn("gap", when(
+          datediff($"day", lag($"day", 1).over(w)) === 1, 0L).otherwise(1L))
+        .withColumn("island", sum($"gap").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      islands
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy($"user_id")
+        .agg(
+          max($"streak_len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy($"user_id")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ), flagged AS (
+        SELECT user_id, day,
+          CASE WHEN day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+               THEN 0 ELSE 1 END AS gap
+        FROM days
+      ), islands AS (
+        SELECT user_id, day,
+          SUM(gap) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+      ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS streak_len
+        FROM islands GROUP BY user_id, island
+      )
+      SELECT user_id, MAX(streak_len) AS longest_streak, COUNT(*) AS n_streaks
+      FROM streaks GROUP BY user_id ORDER BY user_id
+    """.stripMargin.trim))
+
+  /** Running COUNT(DISTINCT event_type) per user over time — no engine
+    * supports DISTINCT inside a window frame, so the standard rewrite:
+    * a first-occurrence flag (`row_number` = 1 per (user, type)) summed
+    * cumulatively per user. The incremental-cardinality curve every
+    * engagement dashboard plots.
+    *
+    * Scale notes (100 TB): two windows, both hash on user-prefixed keys
+    * ((user_id, event_type) then user_id) — two bounded exchanges, no
+    * state beyond the window sort; never a per-row distinct set.
+    */
+  val winRunningDistinct = Q(
+    "win_running_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      val wFirst = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          sum($"first_seen").over(wRun).as("distinct_types_so_far"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, event_type,
+        CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_types_so_far
+      FROM (
+        SELECT event_id, user_id, ts, event_type,
+          CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
-    winSessionizeBatch, winMovingMedian, winPercentOfTotal)
+    winSessionizeBatch, winMovingMedian, winPercentOfTotal,
+    winStreakLongest, winRunningDistinct)
 }

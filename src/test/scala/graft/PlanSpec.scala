@@ -253,6 +253,14 @@ class PlanSpec extends SparkSpecBase {
       s"token explode must run once, not per stage:\n$p")
   }
 
+  test("tpch_q7_nation_volume: dims broadcast, one fact-fact shuffle, no loop join") {
+    val p = planString(operators.Flagships.tpchQ7NationVolume.fn(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier/customer nation sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the disjunctive nation predicate must not force a loop join:\n$p")
+  }
+
   test("sample_reservoir_fixed plans distributed top-k, not a global sort") {
     val p = planString(operators.TextOps.sampleReservoirFixed.fn(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
