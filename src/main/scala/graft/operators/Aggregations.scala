@@ -798,11 +798,45 @@ object Aggregations extends QueryModule {
       FROM s ORDER BY user_id
     """.stripMargin.trim))
 
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    * per-event-type sketches of the user population, then the GLOBAL
+    * distinct-user estimate derived by `hll_union_agg` over the stored
+    * sketches — never re-reading the fact table. This is what
+    * `approx_count_distinct` (`agg_approx_hll`) cannot do: its sketch
+    * is consumed inside one aggregation; these sketches are first-class
+    * binary state a warehouse keeps per partition/day and merges on
+    * demand (the pre-aggregated rollup pattern).
+    *
+    * No oracle (DuckDB has no DataSketches-compatible format);
+    * HllSketchSpec property-tests estimates within 5% of exact, merge ≡
+    * direct-sketch, and partitioning-invariance (HLL register state is
+    * max-based, hence order- and partitioning-independent).
+    *
+    * Scale notes (100 TB): each sketch is KBs regardless of input rows;
+    * the shuffle carries one sketch per (partition × type) — the same
+    * mergeable-state shape as `agg_heavy_hitters_cms`.
+    */
+  val aggHllSketchUnion = Q(
+    "agg_hll_sketch_union",
+    (spark, dir) => {
+      import spark.implicits._
+      val sk = Tables.events(spark, dir)
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      val per = sk.select($"event_type".as("scope"),
+        hll_sketch_estimate($"sk").as("est_users"))
+      val merged = sk
+        .agg(hll_union_agg($"sk").as("u"))
+        .select(lit("__ALL__").as("scope"), hll_sketch_estimate($"u").as("est_users"))
+      per.unionByName(merged).orderBy($"scope")
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
-    aggWeightedAvg, aggTimeWeightedAvg)
+    aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion)
 }

@@ -314,8 +314,55 @@ object Sources extends QueryModule {
       FROM documents
     """.stripMargin.trim))
 
+  /** Raw-binary ingestion via the `binaryFile` source — the multimodal
+    * on-ramp: images/audio/video arrive as opaque files, and this is the
+    * reader that turns a directory of them into (path, length, content)
+    * rows for the decode stages (`graft.multimodal.MediaPipeline`).
+    * Here the file corpus is materialized from the src0 documents (one
+    * `.bin` per doc, written by a `foreachPartition` sidecar writer —
+    * executor-side, no driver loop), then read back; the declared output
+    * is an order-invariant digest (file count, byte mass, distinct
+    * content-md5) the oracle derives from the source rows — equal iff
+    * ingestion was lossless.
+    *
+    * Scale notes (100 TB): `binaryFile` lists and reads files in
+    * parallel across executors; the digest agg never shuffles content —
+    * md5 reduces each blob map-side to 32 bytes.
+    */
+  val scanBinaryfileIngest = Q(
+    "scan_binaryfile_ingest",
+    (spark, dir) => {
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = scratch(s"binfiles_$runId")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      Tables.documents(spark, dir)
+        .where($"source" === "src0")
+        .select($"doc_id", $"text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      spark.read.format("binaryFile").load(s"$path/*.bin")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(length($"content")).cast(LongType).as("sum_bytes"),
+          countDistinct(md5($"content")).as("n_distinct"))
+        .orderBy($"n_files")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_files,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        COUNT(DISTINCT md5(text)) AS n_distinct
+      FROM documents WHERE source = 'src0'
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
     sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
-    scanParquetSchemaEvolution, sortClusteredWriteStats, scanTextRoundtrip)
+    scanParquetSchemaEvolution, sortClusteredWriteStats, scanTextRoundtrip,
+    scanBinaryfileIngest)
 }
