@@ -564,6 +564,43 @@ object Joins extends QueryModule {
       ORDER BY variant
     """.stripMargin.trim))
 
+  /** RIGHT outer join — the build-side-preserving mirror completing the
+    * join-type matrix (left/full/semi/anti are declared above): the
+    * per-user purchase rollup RIGHT-joined to customer keeps every
+    * customer, zero-filling the inactive ones. Semantically
+    * `left_outer` with sides swapped; declared separately because the
+    * planner treats preserved-side and streamed-side differently (a
+    * right join's preserved side is the BUILD side of a broadcast hash
+    * join, which forces Spark to pick shuffle or swap strategies).
+    */
+  val joinRightOuter = Q(
+    "join_right_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      val purch = Tables.events(spark, dir)
+        .where($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purch"), sum(dec($"value", 18, 6)).as("purch_value"))
+      purch
+        .join(Tables.customer(spark, dir), $"user_id" === $"c_custkey", "right_outer")
+        .select(
+          $"c_custkey",
+          coalesce($"n_purch", lit(0L)).as("n_purch"),
+          coalesce($"purch_value", dec(lit(0), 18, 6)).as("purch_value"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        COALESCE(n_purch, 0) AS n_purch,
+        CAST(COALESCE(purch_value, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS purch_value
+      FROM (
+        SELECT user_id, COUNT(*) AS n_purch,
+          SUM(CAST(value AS DECIMAL(18,6))) AS purch_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      ) p RIGHT JOIN customer ON user_id = c_custkey
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
   /** FORWARD as-of join: each purchase attributed to the NEXT click at
     * or after it (in sort order) — the mirror of `join_asof`'s backward
     * pass, same union-window formulation: one user_id exchange, zero
@@ -659,5 +696,5 @@ object Joins extends QueryModule {
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
-    joinNotInNullAware, joinCrossEnumerate, joinAsofForward)
+    joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter)
 }

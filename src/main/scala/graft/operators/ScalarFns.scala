@@ -414,9 +414,46 @@ object ScalarFns extends QueryModule {
       ORDER BY l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** Null-preserving explode (`posexplode_outer`): a doc whose filtered
+    * token array is EMPTY keeps its row with NULL pos/token, where plain
+    * `explode` silently drops it — the row-loss bug every per-document
+    * fan-out pipeline hits (a doc with no long tokens must still appear
+    * in a per-doc report). The long-token filter runs as a lambda
+    * `filter` (higher-order function, codegen'd, no UDF).
+    */
+  val fnExplodeOuter = Q(
+    "fn_explode_outer",
+    (spark, dir) => {
+      import spark.implicits._
+      val longToks = filter(
+        split(lower($"text"), " "), t => length(t) >= 7)
+      Tables.documents(spark, dir)
+        .select($"doc_id", posexplode_outer(longToks).as(Seq("pos", "tok")))
+        .select(
+          $"doc_id",
+          $"pos".cast("long").as("pos"),
+          coalesce($"tok", lit("(no-long-token)")).as("tok"))
+        .orderBy($"doc_id", $"pos")
+    },
+    // DuckDB drops empty arrays on UNNEST like explode does; outer
+    // semantics are reconstructed with a LEFT JOIN back to the doc list
+    // (and range(len) zips 0-based positions, as in fn_explode_posexplode)
+    Some("""
+      WITH exploded AS (
+        SELECT doc_id,
+          UNNEST(list_filter(string_split(lower(text), ' '), t -> LENGTH(t) >= 7)) AS tok,
+          UNNEST(range(len(list_filter(string_split(lower(text), ' '), t -> LENGTH(t) >= 7)))) AS pos
+        FROM documents)
+      SELECT d.doc_id,
+        CAST(e.pos AS BIGINT) AS pos,
+        COALESCE(e.tok, '(no-long-token)') AS tok
+      FROM documents d LEFT JOIN exploded e USING (doc_id)
+      ORDER BY doc_id, pos
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
     fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite,
-    fnSafeArithmetic)
+    fnSafeArithmetic, fnExplodeOuter)
 }
