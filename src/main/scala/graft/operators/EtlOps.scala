@@ -482,7 +482,63 @@ object EtlOps extends QueryModule {
       GROUP BY 1 ORDER BY o_year
     """.stripMargin.trim))
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` surface): a month spine
+    * generated by SQL recursion from the orders span, left-joined back
+    * for a zero-filled monthly rollup — months with no orders appear as
+    * zero rows, which a plain GROUP BY silently drops. The SQL-native
+    * alternative to the `sequence()+explode` spine (`etl_gap_fill_locf`);
+    * the oracle runs the IDENTICAL text (DuckDB shares the syntax).
+    *
+    * Scale notes (100 TB): recursion depth = number of months (bounded,
+    * ~dozens); each step is a one-row frame, so the recursive part is
+    * driver-negligible — the heavy side stays one map-side-combinable
+    * rollup of the fact table plus a broadcast-sized spine join.
+    */
+  val sqlRecursiveSpine = Q(
+    "sql_recursive_spine",
+    (spark, dir) => {
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val ov = s"orders_$runId"
+      Tables.orders(spark, dir).createOrReplaceTempView(ov)
+      spark.sql(s"""
+        WITH RECURSIVE months(m) AS (
+          SELECT (SELECT DATE_TRUNC('month', MIN(o_orderdate)) FROM $ov)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM $ov)
+        ), monthly AS (
+          SELECT DATE_TRUNC('month', o_orderdate) AS m,
+            COUNT(*) AS n_orders,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+          FROM $ov GROUP BY 1
+        )
+        SELECT months.m AS month,
+          COALESCE(n_orders, 0) AS n_orders,
+          CAST(COALESCE(revenue, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+        ORDER BY month
+      """)
+    },
+    Some("""
+      WITH RECURSIVE months(m) AS (
+        SELECT (SELECT DATE_TRUNC('month', MIN(o_orderdate)) FROM orders)
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM orders)
+      ), monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+          COUNT(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+      )
+      SELECT months.m AS month,
+        COALESCE(n_orders, 0) AS n_orders,
+        CAST(COALESCE(revenue, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM months LEFT JOIN monthly ON months.m = monthly.m
+      ORDER BY month
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
-    etlBackfillDynamicOverwrite)
+    etlBackfillDynamicOverwrite, sqlRecursiveSpine)
 }
