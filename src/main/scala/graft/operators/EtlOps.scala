@@ -538,7 +538,64 @@ object EtlOps extends QueryModule {
       ORDER BY month
     """.stripMargin.trim))
 
+  /** Catalog statistics collection (`ANALYZE TABLE … COMPUTE STATISTICS
+    * FOR COLUMNS`) — the nightly stats job that feeds the cost-based
+    * optimizer: without stats, CBO join reorder and stats-based
+    * broadcast decisions cannot fire. The declared output reads the
+    * EXACT fields back from the catalog (row count, per-column null
+    * count and min/max — `distinctCount` is HLL-approximate and engine-
+    * specific, so it is deliberately excluded) and the oracle recomputes
+    * them from the data: a pass proves the catalog agrees with the
+    * table, which is precisely what a stats-freshness audit asserts.
+    *
+    * Scale notes (100 TB): ANALYZE is one map-side-combinable scan per
+    * run; stats are O(columns) bytes in the metastore. Table name is
+    * per-invocation unique (same no-shared-state discipline as the
+    * other saveAsTable rows), dropped after the stats frame is built.
+    */
+  val etlCatalogStats = Q(
+    "etl_catalog_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val t = s"stats_orders_$runId"
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").saveAsTable(t)
+      try {
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey, o_totalprice")
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val stats = meta.stats.get
+        val rows = stats.rowCount.get.toLong
+        val cols = stats.colStats.toSeq.sortBy(_._1).map { case (c, s) =>
+          (c, rows, s.nullCount.map(_.toLong).getOrElse(-1L),
+            s.min.map(_.toDouble).getOrElse(Double.NaN),
+            s.max.map(_.toDouble).getOrElse(Double.NaN))
+        }
+        spark.createDataset(cols)
+          .toDF("col_name", "row_count", "null_count", "min_val", "max_val")
+          .orderBy($"col_name")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    },
+    Some("""
+      SELECT 'o_custkey' AS col_name, COUNT(*) AS row_count,
+        COUNT(*) - COUNT(o_custkey) AS null_count,
+        CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+        CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+      FROM orders
+      ORDER BY col_name
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
-    etlBackfillDynamicOverwrite, sqlRecursiveSpine)
+    etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats)
 }
