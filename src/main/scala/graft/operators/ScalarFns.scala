@@ -451,9 +451,48 @@ object ScalarFns extends QueryModule {
       ORDER BY doc_id, pos
     """.stripMargin.trim))
 
+  /** Spark 4 VARIANT — the binary semi-structured type (open-variant
+    * encoding, the shredded-storage path): JSON text parsed ONCE into a
+    * variant, then typed `variant_get` extractions; `try_parse_json`
+    * quarantines malformed rows as NULL instead of failing the scan
+    * (exercised on a deliberately corrupted copy). The oracle derives
+    * the same values from the SOURCE columns — independent derivation,
+    * so a pass proves the variant round-trip is lossless and typed.
+    *
+    * Scale notes (100 TB): parse once, extract many — each
+    * `get_json_object` re-parses the string, so N extractions cost N
+    * parses; a variant costs one parse and O(1) typed reads. That is
+    * the reason the type exists.
+    */
+  val fnVariantSemistructured = Q(
+    "fn_variant_semistructured",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"event_id", $"event_type", $"value", $"props")
+        .withColumn("payload",
+          to_json(struct($"event_type", $"value", $"props")))
+        .select(
+          $"event_id",
+          expr("variant_get(parse_json(payload), '$.event_type', 'string')").as("vtype"),
+          expr("variant_get(parse_json(payload), '$.value', 'double')").as("vvalue"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_parse_json(substring(props, 1, length(props) - 1))")
+            .isNull.as("malformed_quarantined"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id,
+        event_type AS vtype,
+        value AS vvalue,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        TRUE AS malformed_quarantined
+      FROM events ORDER BY event_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
     fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite,
-    fnSafeArithmetic, fnExplodeOuter)
+    fnSafeArithmetic, fnExplodeOuter, fnVariantSemistructured)
 }
