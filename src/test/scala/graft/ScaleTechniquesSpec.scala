@@ -130,4 +130,47 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       .groupBy($"__salt").count().collect()
     assert(salts.length > 4, s"salt did not spread: ${salts.mkString(",")}")
   }
+
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin fires)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      // shrink the size gates so the sf-test skew exercises the same
+      // runtime re-plan a 100 TB hot key would get
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // payload must be id-derived and high-entropy: a constant would be
+      // pruned from the shuffle (re-projected after the join) and a
+      // repeated value compresses to nothing, so the hot partition's
+      // MAPPER OUTPUT — what skew detection measures — would stay tiny
+      val left = spark.range(0, 40000)
+        .select(when($"id" < 30000, 7L).otherwise($"id").as("k"),
+          concat(md5($"id".cast("string")),
+            md5(($"id" + 1).cast("string")),
+            md5(($"id" + 2).cast("string")),
+            md5(($"id" + 3).cast("string"))).as("payload"))
+      val right = spark.range(0, 200).select($"id".as("k"), lit(1L).as("v"))
+      val j = left.join(right, "k")
+      // only the hot key matches the 0..199 right side; collect executes
+      // THIS dataset's query execution (count() would run its own plan,
+      // leaving j's adaptive plan unfinalized)
+      assert(j.collect().length == 30000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true in plan):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
