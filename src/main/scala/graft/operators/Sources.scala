@@ -360,9 +360,92 @@ object Sources extends QueryModule {
       FROM documents WHERE source = 'src0'
     """.stripMargin.trim))
 
+  /** TRUE 2-D z-order clustering — the multi-dimensional data-skipping
+    * layout (the mechanism behind Delta/Iceberg OPTIMIZE ZORDER): the
+    * year index (0..7, 3 bits) and an md5 customer bucket (0..7,
+    * 3 bits) are bit-INTERLEAVED into a 6-bit z-value, computed with
+    * pure div/mod arithmetic so both engines derive identical values.
+    * `repartitionByRange(z)` + in-partition sort means every written
+    * file covers a narrow, globally DISJOINT z-range — so a predicate
+    * on EITHER dimension prunes most files by footer min/max, which
+    * 1-D clustering (`sort_clustered_write_stats`) can only do for its
+    * single sort key.
+    *
+    * The read-back side proves the property from the real files:
+    * per-file z min/max via `input_file_name`, globally sorted, overlap
+    * count must be 0 (in-partition: sorted sequential chunks; across
+    * partitions: range partitioning is disjoint by construction).
+    * Declared output = per-z-octant stats + that violation count; the
+    * octant row counts and dim bounds are pure functions of the data,
+    * which the oracle recomputes.
+    */
+  val sortZorder2dStats = Q(
+    "sort_zorder_2d_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = scratch(s"zorder_orders_$runId")
+      val a = (year($"o_orderdate") - 1995).cast("long") // 0..7 in this corpus
+      val b = conv(substring(md5($"o_custkey".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 8
+      // interleave 3 bits of each: z = Σ a_i·2^(2i+1) + b_i·2^(2i)
+      def bit(c: org.apache.spark.sql.Column, i: Int) = (c / (1L << i)).cast("long") % 2
+      val z = (0 to 2).map(i =>
+        bit(a, i) * (1L << (2 * i + 1)) + bit(b, i) * (1L << (2 * i)))
+        .reduce(_ + _)
+      Tables.orders(spark, dir)
+        .select(z.as("z"), a.as("year_idx"), b.as("cust_bucket"), $"o_orderkey")
+        .repartitionByRange(8, $"z")
+        .sortWithinPartitions($"z", $"o_orderkey")
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", "4000")
+        .parquet(path)
+      val back = spark.read.parquet(path)
+      val perFile = back
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"z").as("f_min"), max($"z").as("f_max"))
+      val wf = org.apache.spark.sql.expressions.Window.orderBy($"f_min", $"f")
+      val violations = perFile
+        .withColumn("prev_max", lag($"f_max", 1).over(wf))
+        .agg(sum(when($"prev_max".isNotNull && $"f_min" <= $"prev_max", 1L)
+          .otherwise(0L)).as("v"))
+        .head().getLong(0)
+      back
+        .groupBy(($"z" / 8).cast("long").as("z_octant"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min($"year_idx").as("min_year_idx"), max($"year_idx").as("max_year_idx"),
+          min($"cust_bucket").as("min_cust_bucket"),
+          max($"cust_bucket").as("max_cust_bucket"))
+        .withColumn("overlap_violations", lit(violations))
+        .orderBy($"z_octant")
+    },
+    Some("""
+      WITH zed AS (
+        SELECT
+          (CAST(year(o_orderdate) - 1995 AS BIGINT) % 2) * 2
+            + (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT) % 8 % 2) * 1
+            + ((CAST(year(o_orderdate) - 1995 AS BIGINT) // 2) % 2) * 8
+            + ((CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT) % 8 // 2) % 2) * 4
+            + ((CAST(year(o_orderdate) - 1995 AS BIGINT) // 4) % 2) * 32
+            + ((CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT) % 8 // 4) % 2) * 16
+            AS z,
+          CAST(year(o_orderdate) - 1995 AS BIGINT) AS year_idx,
+          CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS BIGINT) % 8 AS cust_bucket
+        FROM orders
+      )
+      SELECT z // 8 AS z_octant,
+        COUNT(*) AS n_rows,
+        MIN(year_idx) AS min_year_idx, MAX(year_idx) AS max_year_idx,
+        MIN(cust_bucket) AS min_cust_bucket, MAX(cust_bucket) AS max_cust_bucket,
+        CAST(0 AS BIGINT) AS overlap_violations
+      FROM zed
+      GROUP BY 1 ORDER BY z_octant
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
     sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
     scanParquetSchemaEvolution, sortClusteredWriteStats, scanTextRoundtrip,
-    scanBinaryfileIngest)
+    scanBinaryfileIngest, sortZorder2dStats)
 }
