@@ -1149,6 +1149,59 @@ object TextOps extends QueryModule {
       LIMIT 100
     """.stripMargin.trim))
 
+  /** URL canonicalization + dedup — the web-corpus ingest step (the
+    * same page arrives as `HTTPS://Host/path?utm_source=…#frag` and
+    * `https://host/path`; a crawl dedup that misses this keeps every
+    * variant). Two deterministic messy variants are synthesized per
+    * document (uppercase host + tracking params + fragment; trailing
+    * slash), canonicalized — lowercase, fragment stripped, `utm_*`
+    * params stripped, dangling separators and trailing slash removed —
+    * and deduped by the canonical form; per-source stats prove every
+    * variant pair collapsed to ONE canonical URL.
+    *
+    * Scale notes (100 TB): canonicalization is pure per-row string
+    * work (map-side); the dedup is one hash agg on the canonical
+    * string — the same single-shuffle shape as `text_exact_dedup`.
+    */
+  val textDedupUrlCanonical = Q(
+    "text_dedup_url_canonical",
+    (spark, dir) => {
+      import spark.implicits._
+      val messy = concat(lit("HTTPS://"), upper($"source"),
+        lit(".Example.org/docs/"), $"doc_id".cast("string"),
+        lit("?utm_source=feed&lang="), $"lang", lit("&utm_campaign=x#frag"))
+      val slashy = concat(lit("https://"), $"source",
+        lit(".example.org/docs/"), $"doc_id".cast("string"),
+        lit("/?lang="), $"lang")
+      def canonical(u: org.apache.spark.sql.Column) = {
+        val noFrag = regexp_replace(u, "#.*$", "")
+        val noUtm = regexp_replace(noFrag, "[?&]utm_[^&]*", "")
+        // a stripped LEADING param leaves "&lang=…" with no "?" — turn
+        // the first separator back into "?" (anchored: applies once)
+        val fixedSep = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+        regexp_replace(lower(fixedSep), "/(\\?|$)", "$1")
+      }
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          explode(array(messy, slashy)).as("raw_url"))
+        .select($"doc_id", $"source", canonical($"raw_url").as("canon"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_raw_urls"),
+          countDistinct($"canon").as("n_canonical"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source,
+        2 * COUNT(*) AS n_raw_urls,
+        COUNT(DISTINCT 'https://' || source || '.example.org/docs/' ||
+          CAST(doc_id AS VARCHAR) || '?lang=' || lang) AS n_canonical,
+        COUNT(DISTINCT doc_id) AS n_docs
+      FROM documents
+      GROUP BY source ORDER BY source
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
@@ -1156,5 +1209,6 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
-    sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed)
+    sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
+    textDedupUrlCanonical)
 }

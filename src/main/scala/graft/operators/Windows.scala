@@ -553,10 +553,40 @@ object Windows extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** `cume_dist` over a PARTITIONED window (the rank-family member
+    * `win_rank_family` doesn't cover, and per-segment rather than its
+    * global frame): cumulative distribution of account balances within
+    * each market segment. No tiebreak in the window ORDER BY on
+    * purpose — cume_dist counts PEER GROUPS (rows with equal keys share
+    * a value), so a tiebreak column would change the semantics; the
+    * value is a pure function of (segment, acctbal), hence
+    * deterministic anyway.
+    */
+  val winCumeDist = Q(
+    "win_cume_dist",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+      Tables.customer(spark, dir)
+        .select(
+          $"c_custkey", $"c_mktsegment", $"c_acctbal",
+          cume_dist().over(w).cast(DecimalType(18, 6)).as("bal_cume"),
+          percent_rank().over(w).cast(DecimalType(18, 6)).as("bal_prnk"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS bal_cume,
+        CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS bal_prnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
-    winStreakLongest, winRunningDistinct)
+    winStreakLongest, winRunningDistinct, winCumeDist)
 }
