@@ -832,11 +832,93 @@ object Aggregations extends QueryModule {
     },
     None)
 
+  /** Per-group OLS — `regr_slope` / `regr_intercept` / R² semantics —
+    * from EXACT decimal moments (n, Σx, Σy, Σxy, Σx², Σy²), regressing
+    * line-item revenue on quantity per return flag. Native `regr_*`
+    * functions accumulate doubles in partition order (non-reproducible
+    * at cluster scale); power sums in decimal are associative and
+    * exact, and both engines then run the same double algebra on the
+    * same inputs — the `agg_corr_covar` discipline extended to
+    * regression. One map-side-combinable pass.
+    */
+  val aggRegressionMoments = Q(
+    "agg_regression_moments",
+    (spark, dir) => {
+      import spark.implicits._
+      val x = dec($"l_quantity", 18, 2)
+      // y at scale 4 LOSSLESSLY (price·(1-disc) is exactly scale 2+2) so
+      // every product below stays within 38 digits in BOTH engines
+      // (DuckDB errors on decimal width overflow rather than adjusting)
+      val y = (dec($"l_extendedprice", 18, 2) * dec(lit(1) - $"l_discount"))
+        .cast(DecimalType(18, 4))
+      val m = Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(28, 4))).as("sx"),
+          sum(y.cast(DecimalType(28, 4))).as("sy"),
+          sum((x * y).cast(DecimalType(38, 6))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 6))).as("sxx"),
+          sum((y * y).cast(DecimalType(38, 8))).as("syy"))
+      val n = $"n".cast(DoubleType)
+      val sx = $"sx".cast(DoubleType); val sy = $"sy".cast(DoubleType)
+      val sxy = $"sxy".cast(DoubleType); val sxx = $"sxx".cast(DoubleType)
+      val syy = $"syy".cast(DoubleType)
+      val covn = sxy - sx * sy / n
+      val varxn = sxx - sx * sx / n
+      val varyn = syy - sy * sy / n
+      val slope = covn / varxn
+      m.select(
+          $"l_returnflag", $"n",
+          slope.cast(DecimalType(18, 6)).as("slope"),
+          ((sy - slope * sx) / n).cast(DecimalType(18, 6)).as("intercept"),
+          (covn * covn / (varxn * varyn)).cast(DecimalType(18, 6)).as("r2"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      WITH src AS (
+        -- operands widened to 19 digits: DuckDB multiplies DECIMAL(18)s
+        -- in int64 and overflows at runtime; 19 forces int128 internals
+        -- (the VALUES are identical to Spark's 18-digit operands)
+        SELECT l_returnflag,
+          CAST(l_quantity AS DECIMAL(19,2)) AS x,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(19,4)) AS y
+        FROM lineitem
+      ), m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(x AS DECIMAL(28,4))) AS sx,
+          SUM(CAST(y AS DECIMAL(28,4))) AS sy,
+          SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+          SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+          SUM(CAST(y * y AS DECIMAL(38,8))) AS syy
+        FROM src GROUP BY l_returnflag
+      ), alg AS (
+        SELECT l_returnflag, n,
+          CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+          CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+          CAST(syy AS DOUBLE) AS syy
+        FROM m
+      ), fit AS (
+        SELECT l_returnflag, n,
+          (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+          sx, sy, sxy, sxx, syy
+        FROM alg
+      )
+      SELECT l_returnflag, n,
+        CAST(CAST(slope AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+        CAST(CAST((sy - slope * sx) / n AS DECIMAL(18,6)) AS DOUBLE) AS intercept,
+        CAST(CAST((sxy - sx * sy / n) * (sxy - sx * sy / n)
+          / ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS DECIMAL(18,6)) AS DOUBLE) AS r2
+      FROM fit ORDER BY l_returnflag
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
-    aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion)
+    aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
+    aggRegressionMoments)
 }

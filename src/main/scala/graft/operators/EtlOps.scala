@@ -616,7 +616,67 @@ object EtlOps extends QueryModule {
       ORDER BY col_name
     """.stripMargin.trim))
 
+  /** Order-independent TABLE CHECKSUM — cross-system migration
+    * validation without moving data: each row hashes to a 60-bit value
+    * (md5 over '|'-joined canonicalized columns — doubles rendered at
+    * fixed decimal scale so both engines hash identical bytes), and the
+    * EXACT decimal sum of row hashes is the table's checksum. Two
+    * engines computing the same (count, checksum) pair proves the
+    * tables are equal with overwhelming probability — the tool a
+    * migration signs off with, here declared over three dims in long
+    * format.
+    *
+    * Scale notes (100 TB): the checksum is one map-side-combinable
+    * aggregation per table — each partition reduces to a single
+    * (count, sum) pair before the shuffle, so validating a 100 TB
+    * table costs one scan and transfers bytes.
+    */
+  val etlRowChecksumAudit = Q(
+    "etl_row_checksum_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      def checksum(name: String, df: org.apache.spark.sql.DataFrame,
+                   cols: org.apache.spark.sql.Column*) = {
+        val h = conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long")
+        df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(h.cast(DecimalType(38, 0))).as("checksum"))
+          .select(lit(name).as("table_name"), $"n_rows", $"checksum")
+      }
+      checksum("nation", Tables.nation(spark, dir),
+          $"n_nationkey", $"n_name", $"n_regionkey")
+        .unionByName(checksum("region", Tables.region(spark, dir),
+          $"r_regionkey", $"r_name"))
+        .unionByName(checksum("supplier", Tables.supplier(spark, dir),
+          $"s_suppkey", $"s_name", $"s_nationkey",
+          dec($"s_acctbal").cast("string")))
+        .orderBy($"table_name")
+    },
+    Some("""
+      SELECT 'nation' AS table_name, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+          CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR))), 1, 15)
+          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS checksum
+      FROM nation
+      UNION ALL
+      SELECT 'region', COUNT(*),
+        CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+          CAST(r_regionkey AS VARCHAR), r_name)), 1, 15)
+          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+      FROM region
+      UNION ALL
+      SELECT 'supplier', COUNT(*),
+        CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+          CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR),
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR))), 1, 15)
+          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+      FROM supplier
+      ORDER BY table_name
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
-    etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats)
+    etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
+    etlRowChecksumAudit)
 }

@@ -564,6 +564,67 @@ object Joins extends QueryModule {
       ORDER BY variant
     """.stripMargin.trim))
 
+  /** NEAREST-direction as-of join, completing the as-of family
+    * (backward `join_asof`, forward `join_asof_forward`, toleranced
+    * `join_asof_tolerance`): each purchase attributed to whichever
+    * click is CLOSER in time, backward preferred on exact ties — the
+    * sensor-alignment semantics (`pandas merge_asof
+    * direction='nearest'`). Both directions come from the SAME
+    * union-window pass on one user_id exchange; still zero join
+    * operators.
+    */
+  val joinAsofNearest = Q(
+    "join_asof_nearest",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .filter($"event_type".isin("click", "purchase"))
+      val order = Seq($"ts", $"event_type", $"event_id")
+      val wB = Window.partitionBy($"user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"user_id").orderBy(order: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickTs = when($"event_type" === "click", $"ts")
+      ev.withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wB))
+        .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(wF))
+        .filter($"event_type" === "purchase")
+        .withColumn("gap_b", expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .withColumn("gap_f", expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+        .select(
+          $"event_id", $"user_id", $"ts",
+          when($"prev_ts".isNull && $"next_ts".isNull, lit(null).cast("timestamp_ntz"))
+            .when($"next_ts".isNull || ($"prev_ts".isNotNull && $"gap_b" <= $"gap_f"), $"prev_ts")
+            .otherwise($"next_ts").as("nearest_click_ts"),
+          when($"prev_ts".isNull && $"next_ts".isNull, "none")
+            .when($"next_ts".isNull || ($"prev_ts".isNotNull && $"gap_b" <= $"gap_f"), "backward")
+            .otherwise("forward").as("direction"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+        CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND gap_b <= gap_f) THEN prev_ts
+             ELSE next_ts END AS nearest_click_ts,
+        CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN 'none'
+             WHEN next_ts IS NULL OR (prev_ts IS NOT NULL AND gap_b <= gap_f) THEN 'backward'
+             ELSE 'forward' END AS direction
+      FROM (
+        SELECT event_id, user_id, ts, event_type, prev_ts, next_ts,
+          CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_b,
+          CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS gap_f
+        FROM (
+          SELECT event_id, user_id, ts, event_type,
+            LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+            FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+          FROM events WHERE event_type IN ('click', 'purchase')))
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   /** RIGHT outer join — the build-side-preserving mirror completing the
     * join-type matrix (left/full/semi/anti are declared above): the
     * per-user purchase rollup RIGHT-joined to customer keeps every
@@ -696,5 +757,6 @@ object Joins extends QueryModule {
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
-    joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter)
+    joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter,
+    joinAsofNearest)
 }

@@ -1210,5 +1210,62 @@ object TextOps extends QueryModule {
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
-    textDedupUrlCanonical)
+    textDedupUrlCanonical, textCharEntropy)
+
+  /** Per-document character-level Shannon entropy — the gibberish
+    * detector token-level stats miss: low entropy flags repetition /
+    * keyboard-mash boilerplate, implausibly high entropy flags random
+    * noise; both are corpus-quality filter signals.
+    *
+    * Determinism (§2.0): a naive -Σp·log₂p SUMS DOUBLES in shuffle
+    * order — not reproducible. Instead H = log₂(t) - Σ(c·log₂c)/t with
+    * each c·log₂c term rounded to DECIMAL(28,8) BEFORE the sum: the
+    * per-term rounding is a pure row function (identical in both
+    * engines), the decimal sum is exact and order-independent, and the
+    * final algebra runs in double on exact inputs. Two map-side-
+    * combinable aggs on doc-prefixed keys, no window.
+    */
+  lazy val textCharEntropy = Q(
+    "text_char_entropy",
+    (spark, dir) => {
+      import spark.implicits._
+      val chars = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split(lower($"text"), "")).as("ch"))
+        .where($"ch" =!= "")
+      val c = $"c".cast(DoubleType)
+      chars.groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"c").as("n_chars_seen"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum((c * log(2.0, c)).cast(DecimalType(28, 8))).as("slg"))
+        .select(
+          $"doc_id", $"n_chars_seen", $"n_distinct_chars",
+          (log(2.0, $"n_chars_seen".cast(DoubleType)) -
+            $"slg".cast(DoubleType) / $"n_chars_seen".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("entropy_bits"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '')) AS ch
+        FROM documents
+      ), freq AS (
+        SELECT doc_id, ch, COUNT(*) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+      ), agg AS (
+        SELECT doc_id,
+          SUM(c) AS n_chars_seen,
+          COUNT(*) AS n_distinct_chars,
+          SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS slg
+        FROM freq GROUP BY doc_id
+      )
+      SELECT doc_id,
+        CAST(n_chars_seen AS BIGINT) AS n_chars_seen,
+        n_distinct_chars,
+        CAST(CAST(log2(CAST(n_chars_seen AS DOUBLE))
+          - CAST(slg AS DOUBLE) / CAST(n_chars_seen AS DOUBLE)
+          AS DECIMAL(18,6)) AS DOUBLE) AS entropy_bits
+      FROM agg ORDER BY doc_id
+    """.stripMargin.trim))
 }
