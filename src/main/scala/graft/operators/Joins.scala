@@ -178,6 +178,44 @@ object Joins extends QueryModule {
       ORDER BY s_suppkey, c_custkey
     """.stripMargin.trim))
 
+  /** The 100 TB band-join formulation (the scale path this module's
+    * header promises beside `join_theta_band`'s broadcast loop):
+    * |s_bal − c_bal| < 10 becomes an EQUI-join on floor(bal/width)
+    * buckets — each supplier row probes its own bucket and both
+    * neighbors via a 3-element explode (a band of width w ≤ bucket
+    * width can only match within ±1 bucket), then the exact band
+    * predicate filters residuals. Identical result set to the theta
+    * form (the oracle is the same SQL), but the plan is a hash join
+    * on the bucket key: it works when NEITHER side fits a broadcast,
+    * where the loop join would be quadratic.
+    */
+  val joinBandBucketized = Q(
+    "join_band_bucketized",
+    (spark, dir) => {
+      import spark.implicits._
+      val width = 10.0
+      val s = Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_acctbal",
+          explode(array(
+            floor($"s_acctbal" / width).cast("long") - 1,
+            floor($"s_acctbal" / width).cast("long"),
+            floor($"s_acctbal" / width).cast("long") + 1)).as("bucket"))
+      val c = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal",
+          floor($"c_acctbal" / width).cast("long").as("bucket"))
+      s.join(c, Seq("bucket"))
+        .where(abs($"s_acctbal" - $"c_acctbal") < 10)
+        .select($"s_suppkey", $"c_custkey",
+          dec($"s_acctbal" - $"c_acctbal").as("bal_diff"))
+        .orderBy($"s_suppkey", $"c_custkey")
+    },
+    Some("""
+      SELECT s_suppkey, c_custkey,
+        CAST(CAST(s_acctbal - c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_diff
+      FROM supplier JOIN customer ON ABS(s_acctbal - c_acctbal) < 10
+      ORDER BY s_suppkey, c_custkey
+    """.stripMargin.trim))
+
   val joinRangeInterval = Q(
     "join_range_interval",
     (spark, dir) => {
@@ -758,5 +796,5 @@ object Joins extends QueryModule {
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
     joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter,
-    joinAsofNearest)
+    joinAsofNearest, joinBandBucketized)
 }

@@ -583,10 +583,40 @@ object Windows extends QueryModule {
       ORDER BY c_custkey
     """.stripMargin.trim))
 
+  /** `nth_value` — the navigation-family member first/last/lag/lead
+    * leave out: each customer's 3rd-cheapest order value, NULL where
+    * the customer has fewer than three orders. The frame is the
+    * EXPLICIT full partition — like `last_value`, the default frame
+    * ends at CURRENT ROW, which silently turns nth_value into "nth so
+    * far" (the classic bug this row pins down).
+    */
+  val winNthValue = Q(
+    "win_nth_value",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, dir)
+        .select(
+          $"o_custkey", $"o_orderkey", dec($"o_totalprice").as("totalprice"),
+          dec(nth_value($"o_totalprice", 3).over(w)).as("third_cheapest"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        CAST(CAST(NTH_VALUE(o_totalprice, 3) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS third_cheapest
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
-    winStreakLongest, winRunningDistinct, winCumeDist)
+    winStreakLongest, winRunningDistinct, winCumeDist, winNthValue)
 }

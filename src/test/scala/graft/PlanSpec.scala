@@ -261,6 +261,14 @@ class PlanSpec extends SparkSpecBase {
       s"the disjunctive nation predicate must not force a loop join:\n$p")
   }
 
+  test("join_band_bucketized hash-joins on the bucket key — no loop join") {
+    val p = planString(operators.Joins.joinBandBucketized.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucketized band must be an equi hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketized band fell back to the loop join it exists to replace:\n$p")
+  }
+
   test("sample_reservoir_fixed plans distributed top-k, not a global sort") {
     val p = planString(operators.TextOps.sampleReservoirFixed.fn(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
