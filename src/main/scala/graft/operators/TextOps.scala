@@ -728,7 +728,14 @@ object TextOps extends QueryModule {
     * jumping is the classic PRAM trick that makes it logarithmic).
     * Each round is two equi-joins + one groupBy on the PAIR table —
     * never the corpus; the pair table is the small output of
-    * LSH/Jaccard candidate generation. On a real cluster the
+    * LSH/Jaccard candidate generation. The pair pipeline is
+    * materialized ONCE via an eager `localCheckpoint` before the loop,
+    * so no round's plan contains the shingle join, and the edge/label
+    * tables are sized to the pair count (`pairPartitions`) rather than
+    * the session shuffle default — at bench scale that is a single
+    * partition (no 32-task scheduling overhead on a few-hundred-row
+    * table); at 100 TB the same formula spreads a billions-of-edges
+    * pair table across thousands of partitions. On a real cluster the
     * per-round truncation would be a reliable `checkpoint` to the
     * cluster FS rather than executor-local blocks. The DuckDB oracle
     * computes the same components via a recursive transitive-closure
@@ -739,14 +746,21 @@ object TextOps extends QueryModule {
     "dedup_connected_components",
     (spark, dir) => {
       import spark.implicits._
+      // Materialize the near-dup pair table exactly once; every round
+      // below joins this checkpointed table, never the shingle pipeline.
       val pairs = textJaccardSimpairs.fn(spark, dir)
-        .select($"d1", $"d2").cache()
+        .select($"d1", $"d2").localCheckpoint(true)
+      val nPairs = pairs.count()
+      // ~1M edge-rows per partition; 1 partition at bench scale.
+      val nPart = math.max(1, (nPairs / 500000L).toInt)
       val verts = pairs.select($"d1".as("id"))
         .union(pairs.select($"d2".as("id"))).distinct()
       val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
         .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
-        .cache()
-      var labels = verts.select($"id", $"id".as("comp")).localCheckpoint(true)
+        .repartition(nPart, $"dst")
+        .localCheckpoint(true)
+      var labels = verts.select($"id", $"id".as("comp"))
+        .repartition(nPart, $"id").localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
         val nbrMin = edges
@@ -768,12 +782,9 @@ object TextOps extends QueryModule {
         changed = next.where($"comp" < $"old").count()
         labels = next.select($"id", $"comp")
       }
-      val out = labels
+      labels
         .select($"id".as("doc_id"), $"comp")
         .orderBy($"doc_id")
-      pairs.unpersist(false)
-      edges.unpersist(false)
-      out
     },
     Some("""
       WITH RECURSIVE tok AS (
