@@ -561,6 +561,11 @@ object Windows extends QueryModule {
     * a value), so a tiebreak column would change the semantics; the
     * value is a pure function of (segment, acctbal), hence
     * deterministic anyway.
+    *
+    * Scale bound: c_mktsegment has 5 values, so each window partition
+    * holds 20% of the table at ANY scale — this form is didactic.
+    * `win_cume_dist_scalable` below computes identical values from the
+    * (segment, acctbal) frequency table without partitioning the fact.
     */
   val winCumeDist = Q(
     "win_cume_dist",
@@ -572,6 +577,53 @@ object Windows extends QueryModule {
           $"c_custkey", $"c_mktsegment", $"c_acctbal",
           cume_dist().over(w).cast(DecimalType(18, 6)).as("bal_cume"),
           percent_rank().over(w).cast(DecimalType(18, 6)).as("bal_prnk"))
+        .orderBy($"c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS bal_cume,
+        CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS bal_prnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      ORDER BY c_custkey
+    """.stripMargin.trim))
+
+  /** The 100 TB formulation of `win_cume_dist`: its 5-value
+    * c_mktsegment partitioning puts 20% of the table in one window
+    * partition at any scale. cume_dist/percent_rank are pure functions
+    * of (segment, acctbal), so compute them on the per-(segment,
+    * acctbal) FREQUENCY table — bounded by the acctbal domain
+    * (~1.1M distinct cents values × 5 segments), not row count — and
+    * broadcast-join back: cume = running cnt / segment total,
+    * percent_rank = (1 + Σ cnt(key < x) − 1)/(n − 1). The fact table
+    * never hits a window; its only shuffle-free cost is the broadcast
+    * hash join. Verified value-identical to the native window
+    * functions by the same oracle as the weak twin.
+    */
+  val winCumeDistScalable = Q(
+    "win_cume_dist_scalable",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = Tables.customer(spark, dir)
+        .groupBy($"c_mktsegment", $"c_acctbal")
+        .agg(count(lit(1)).as("cnt"))
+      val byKey = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+      val ranked = freq.select(
+        $"c_mktsegment", $"c_acctbal",
+        (coalesce(
+          sum($"cnt").over(byKey.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1).as("rnk"),
+        sum($"cnt").over(byKey.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+        sum($"cnt").over(Window.partitionBy($"c_mktsegment")).as("n"))
+      Tables.customer(spark, dir)
+        .join(broadcast(ranked), Seq("c_mktsegment", "c_acctbal"))
+        .select(
+          $"c_custkey", $"c_mktsegment", $"c_acctbal",
+          ($"cum".cast("double") / $"n")
+            .cast(DecimalType(18, 6)).as("bal_cume"),
+          when($"n" === 1, lit(0.0))
+            .otherwise(($"rnk" - 1).cast("double") / ($"n" - 1))
+            .cast(DecimalType(18, 6)).as("bal_prnk"))
         .orderBy($"c_custkey")
     },
     Some("""
@@ -618,5 +670,6 @@ object Windows extends QueryModule {
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
-    winStreakLongest, winRunningDistinct, winCumeDist, winNthValue)
+    winStreakLongest, winRunningDistinct, winCumeDist,
+    winCumeDistScalable, winNthValue)
 }
