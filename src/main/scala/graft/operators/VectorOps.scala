@@ -163,21 +163,55 @@ object VectorOps extends QueryModule {
       LIMIT 10
     """.stripMargin.trim))
 
-  /** Exact embedding near-dup: same-label pairs with cosine ≥ 0.4 (the corpus has no planted embedding near-dups; 0.4 sits just below the observed same-label max so the result is small but non-trivial).
-    * Label blocking keeps the candidate set per-block quadratic; the
-    * ANN-LSH query below is the sublinear path.
+  /** Exact embedding near-dup: same-label pairs with cosine ≥ 0.4 (the
+    * corpus has no planted embedding near-dups; 0.4 sits just below the
+    * observed same-label max so the result is small but non-trivial).
+    *
+    * Why CHUNKED all-pairs and not candidate blocking: τ = 0.4 is a 66°
+    * angle — nearly orthogonal — so no bucketing scheme can be
+    * recall-complete AND pruning at this threshold. Measured on this
+    * corpus (sf0.1, 86 qualifying pairs): sign-LSH at 32 tables × 4
+    * planes still misses 21% of qualifying pairs while generating 3.4×
+    * MORE candidates than all-pairs; a provably-correct Cauchy–Schwarz
+    * block-norm upper bound (8/16 blocks, signed variants) prunes 0.00%
+    * of same-label pairs. Sublinear search is real only at near-dup
+    * thresholds (≥0.9, where `vec_ann_lsh`/`vec_ann_ivf` operate);
+    * at 0.4 the task is intrinsically all-pairs, so the scale work goes
+    * into making exact all-pairs PARALLEL, not into lossy pruning.
+    *
+    * The naive label-equi-join caps parallelism at the label count (10
+    * here — 10 tasks each doing (n/L)² dot products at any scale).
+    * Chunked form: each label splits into m chunks; the left side
+    * replicates each vector to every chunk id, the equi-join keys on
+    * (label, chunk), and the (c1 < c2) | (c1 = c2 & d1 < d2) predicate
+    * assigns every unordered pair to exactly one key → L·m independent
+    * bounded tasks, arrays cross the shuffle n·m times (not n² pair
+    * rows), and the dot/filter runs pipelined inside the join. m is the
+    * parallelism knob: at 100 TB raise m so (n/(L·m))·(n/L) dots fit a
+    * task. VectorOpsSpec asserts pair-set equality with the naive
+    * all-pairs form — the coverage predicate has no double/zero count.
     */
   val dedupEmbeddingCosine = Q(
     "dedup_embedding_cosine",
     (spark, dir) => {
       import spark.implicits._
+      val m = 8
       val e = withNorm(spark, dir)
       val a = e.select($"label", $"vec_id".as("d1"), $"emb".as("e1"), $"nrm".as("nrm1"))
+        .withColumn("c1", pmod($"d1", lit(m)))
+        .withColumn("c2", explode(array((0 until m).map(lit): _*)))
       val b = e.select($"label".as("label2"), $"vec_id".as("d2"), $"emb".as("e2"), $"nrm".as("nrm2"))
-      a.join(b, $"label" === $"label2" && $"d1" < $"d2")
+        .withColumn("cb", pmod($"d2", lit(m)))
+      a.join(b,
+          $"label" === $"label2" && $"c2" === $"cb" &&
+            ($"c1" < $"cb" || ($"c1" === $"cb" && $"d1" < $"d2")))
         .withColumn("cos", round(cosine("e1", "e2", "nrm1", "nrm2"), 6))
         .filter($"cos" >= 0.4)
-        .select($"label", $"d1", $"d2", $"cos")
+        // a pair found via the c1 < cb arm may carry its ids in either
+        // order (the predicate orders CHUNKS there, not ids) — normalize
+        .select($"label",
+          least($"d1", $"d2").as("d1"), greatest($"d1", $"d2").as("d2"),
+          $"cos")
         .orderBy($"label", $"d1", $"d2")
     },
     Some("""

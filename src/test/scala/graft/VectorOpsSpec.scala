@@ -167,4 +167,27 @@ class VectorOpsSpec extends SparkSpecBase {
         s"vec $id: got ($zn,$mz) expected ($ezn,$emz)")
     }
   }
+
+  test("dedup_embedding_cosine chunked all-pairs ≡ naive all-pairs (sf0.01)") {
+    import spark.implicits._
+    // the chunked form's (c1 < cb) | (c1 = cb & d1 < d2) coverage
+    // predicate must assign every unordered same-label pair to exactly
+    // one (label, chunk) key — compare against the direct formulation
+    val dir = "/root/testdata/sf0.01"
+    val chunked = operators.VectorOps.dedupEmbeddingCosine.fn(spark, dir)
+      .select($"label", $"d1", $"d2", $"cos".cast("double"))
+      .selectExpr("cast(label as long)", "d1", "d2", "cos").as[(Long, Long, Long, Double)].collect().toSet
+    val e = operators.VectorOps.withNorm(spark, dir)
+    val a = e.select($"label", $"vec_id".as("d1"), $"emb".as("e1"), $"nrm".as("n1"))
+    val b = e.select($"label".as("l2"), $"vec_id".as("d2"), $"emb".as("e2"), $"nrm".as("n2"))
+    val naive = a.join(b, $"label" === $"l2" && $"d1" < $"d2")
+      .withColumn("cos",
+        round(graft.functions.GraftFunctions.dot($"e1", $"e2") / ($"n1" * $"n2"), 6))
+      .filter($"cos" >= 0.4)
+      .select($"label", $"d1", $"d2", $"cos".cast("double"))
+      .selectExpr("cast(label as long)", "d1", "d2", "cos").as[(Long, Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
+    assert(chunked == naive,
+      s"pair sets differ: only-chunked=${chunked -- naive}, only-naive=${naive -- chunked}")
+  }
 }
