@@ -513,7 +513,10 @@ object EtlOps extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val ov = s"orders_$runId"
       Tables.orders(spark, dir).createOrReplaceTempView(ov)
-      spark.sql(s"""
+      // spark.sql analyzes eagerly, binding the view's plan into the
+      // returned frame — the view can be dropped as soon as the frame
+      // exists (repeated invocations must not accumulate temp views)
+      try spark.sql(s"""
         WITH RECURSIVE idx(i) AS (
           SELECT CAST(v AS BIGINT) FROM VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11) t(v)
           UNION ALL
@@ -540,6 +543,7 @@ object EtlOps extends QueryModule {
         FROM months LEFT JOIN monthly ON months.m = monthly.m
         ORDER BY month
       """)
+      finally spark.catalog.dropTempView(ov)
     },
     Some("""
       WITH RECURSIVE idx(i) AS (
@@ -630,11 +634,15 @@ object EtlOps extends QueryModule {
     * validation without moving data: each row hashes to a 60-bit value
     * (md5 over '|'-joined canonicalized columns — doubles rendered at
     * fixed decimal scale so both engines hash identical bytes), and the
-    * EXACT decimal sum of row hashes is the table's checksum. Two
-    * engines computing the same (count, checksum) pair proves the
-    * tables are equal with overwhelming probability — the tool a
-    * migration signs off with, here declared over three dims in long
-    * format.
+    * EXACT decimal sum of row hashes, folded modulo 2^63 into a
+    * BIGINT, is the table's checksum. The fold matters: a ~100-row sum
+    * of 60-bit hashes (~5e19) already exceeds 2^53, so rendering the
+    * raw sum as DOUBLE rounds away the low ~6 digits — exactly the
+    * digits a single-cell corruption perturbs; the BIGINT fold keeps
+    * the cross-engine compare exact to the last bit. Two engines
+    * computing the same (count, checksum) pair proves the tables are
+    * equal with overwhelming probability — the tool a migration signs
+    * off with, here declared over three dims in long format.
     *
     * Scale notes (100 TB): the checksum is one map-side-combinable
     * aggregation per table — each partition reduces to a single
@@ -649,9 +657,10 @@ object EtlOps extends QueryModule {
                    cols: org.apache.spark.sql.Column*) = {
         val h = conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
           .cast("long")
+        val fold = lit(BigDecimal("9223372036854775808")).cast(DecimalType(38, 0))
         df.agg(
             count(lit(1)).as("n_rows"),
-            sum(h.cast(DecimalType(38, 0))).as("checksum"))
+            (sum(h.cast(DecimalType(38, 0))) % fold).cast("long").as("checksum"))
           .select(lit(name).as("table_name"), $"n_rows", $"checksum")
       }
       checksum("nation", Tables.nation(spark, dir),
@@ -667,20 +676,20 @@ object EtlOps extends QueryModule {
       SELECT 'nation' AS table_name, COUNT(*) AS n_rows,
         CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
           CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR))), 1, 15)
-          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS checksum
+          AS BIGINT) AS DECIMAL(38,0))) % CAST('9223372036854775808' AS DECIMAL(38,0)) AS BIGINT) AS checksum
       FROM nation
       UNION ALL
       SELECT 'region', COUNT(*),
         CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
           CAST(r_regionkey AS VARCHAR), r_name)), 1, 15)
-          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+          AS BIGINT) AS DECIMAL(38,0))) % CAST('9223372036854775808' AS DECIMAL(38,0)) AS BIGINT)
       FROM region
       UNION ALL
       SELECT 'supplier', COUNT(*),
         CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
           CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR),
           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR))), 1, 15)
-          AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE)
+          AS BIGINT) AS DECIMAL(38,0))) % CAST('9223372036854775808' AS DECIMAL(38,0)) AS BIGINT)
       FROM supplier
       ORDER BY table_name
     """.stripMargin.trim))

@@ -265,7 +265,12 @@ object Sources extends QueryModule {
           count(lit(1)).as("n_files"),
           min($"f_min").as("min_date"),
           max($"f_max").as("max_date"),
-          sum(when($"prev_max".isNotNull && $"f_min" <= $"prev_max", 1L)
+          // STRICT overlap only: maxRecordsPerFile splits at arbitrary
+          // record boundaries, so a date straddling a split legally
+          // yields f_min == prev_max (touching, not disorder) — at
+          // sf0.1 (~8 rows/date, 2000-row caps) that happens at nearly
+          // every split; f_min < prev_max is what a sorted run forbids
+          sum(when($"prev_max".isNotNull && $"f_min" < $"prev_max", 1L)
             .otherwise(0L)).as("overlap_violations"))
         .orderBy($"bucket")
     },
@@ -335,15 +340,33 @@ object Sources extends QueryModule {
       import spark.implicits._
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val path = scratch(s"binfiles_$runId")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      // Sidecar corpus written through the Hadoop FileSystem API so on
+      // a real cluster the .bin files land on the shared/dfs filesystem
+      // the subsequent binaryFile scan lists — a java.nio write would
+      // scatter them across executor-local disks (correct only in
+      // local mode). Hadoop's Configuration is not serializable, so the
+      // driver's conf ships as a plain Map and is rebuilt per partition.
+      val confMap: Map[String, String] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(hp)
       Tables.documents(spark, dir)
         .where($"source" === "src0")
         .select($"doc_id", $"text")
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val hc = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => hc.set(k, v) }
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
           it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(s"$path/doc_${r.getLong(0)}.bin"),
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(path, s"doc_${r.getLong(0)}.bin"), true)
+            try out.write(
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           }
         }
       spark.read.format("binaryFile").load(s"$path/*.bin")
@@ -407,9 +430,11 @@ object Sources extends QueryModule {
       val wf = org.apache.spark.sql.expressions.Window.orderBy($"f_min", $"f")
       val violations = perFile
         .withColumn("prev_max", lag($"f_max", 1).over(wf))
-        .agg(sum(when($"prev_max".isNotNull && $"f_min" <= $"prev_max", 1L)
-          .otherwise(0L)).as("v"))
-        .head().getLong(0)
+        // strict: coarse z values (0..63, thousands of rows each) split
+        // across file caps and range-partition edges share a boundary z
+        // — f_min == prev_max is a legal touching range, not disorder
+        .agg(sum(when($"prev_max".isNotNull && $"f_min" < $"prev_max", 1L)
+          .otherwise(0L)).as("overlap_violations"))
       back
         .groupBy(($"z" / 8).cast("long").as("z_octant"))
         .agg(
@@ -417,7 +442,9 @@ object Sources extends QueryModule {
           min($"year_idx").as("min_year_idx"), max($"year_idx").as("max_year_idx"),
           min($"cust_bucket").as("min_cust_bucket"),
           max($"cust_bucket").as("max_cust_bucket"))
-        .withColumn("overlap_violations", lit(violations))
+        // 1-row broadcast frame, not a driver-side head(): the audit
+        // stays one lazy distributed plan
+        .crossJoin(broadcast(violations))
         .orderBy($"z_octant")
     },
     Some("""

@@ -412,7 +412,12 @@ object Windows extends QueryModule {
       // element_at needs INT ordinals; Column `/` is double division
       val mid = ((n + 1) / 2).cast("int")
       val lo = (n / 2).cast("int")
-      val med = when(n % 2 === 1, element_at(arr, mid))
+      // n == 0 guard: collect_list drops NULLs, so an all-NULL frame
+      // yields an empty array and element_at(arr, 0) would throw under
+      // ANSI mode — the operator must be total over nullable inputs
+      // (native MEDIAN returns NULL there)
+      val med = when(n === 0, lit(null).cast(DoubleType))
+        .when(n % 2 === 1, element_at(arr, mid))
         .otherwise((element_at(arr, lo) + element_at(arr, lo + 1)) / 2.0)
       Tables.events(spark, dir)
         .select($"event_id", $"user_id", $"ts", $"value", med.as("moving_median"))
