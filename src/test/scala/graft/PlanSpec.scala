@@ -293,4 +293,31 @@ class PlanSpec extends SparkSpecBase {
       s"moving median must reuse one user_id exchange:\n$p")
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
+
+  test("sink_jdbc_roundtrip read side splits into parallel JDBC partitions") {
+    // the cluster-grade JDBC read path: numPartitions=4 stride scans,
+    // each executor opening its own connection — not one driver-choked
+    // connection. The scan's RDD must carry >1 partition and the strides
+    // must reassemble the exact table.
+    val df = operators.Sources.sinkJdbcRoundtrip.fn(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("JDBCRelation") && p.contains("numPartitions=4"),
+      s"expected a partitioned JDBCRelation scan:\n$p")
+    val suppliers = Tables.supplier(spark, sfDir).count()
+    assert(df.count() == suppliers,
+      "partition strides do not reassemble the full table")
+  }
+
+  test("win_cume_dist_scalable never windows the fact table") {
+    val df = operators.Windows.winCumeDistScalable.fn(spark, sfDir)
+    val p = planString(df)
+    // windows may only run over the (segment, acctbal) frequency table;
+    // the customer fact joins back via broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"freq table must broadcast back to the fact:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("windowspecdefinition"), "no window at all?")
+    assert(p.contains("HashAggregate"),
+      s"expected the frequency-table aggregation:\n$p")
+  }
 }
