@@ -98,6 +98,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSorted(streamed) == collectSorted(batch.select($"event_id", $"user_id", $"events_since_signup")))
   }
 
+  test("transformWithState (arbitrary state v2): streamed equals declared batch formulation") {
+    // the direct stream≡batch proof through Spark 4's transformWithState
+    // API (StreamingRobustnessSpec separately proves TWS ≡ fMGWS) —
+    // RocksDB provider is required by the v2 state store contract
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StatefulOps.Event]
+      val q = StatefulOps
+        .eventsSinceSignupTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("stateful_tws").outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_stateful_tws_${System.nanoTime()}")
+        .start()
+      try {
+        evs.map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+          .grouped(evs.size / 4 + 1)
+          .foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("stateful_tws")
+      .select($"event_id", $"user_id", $"events_since_signup")
+    val batch = operators.Streaming.streamStatefulCustom.fn(spark, sfDir)
+    assert(collectSorted(streamed) == collectSorted(batch.select($"event_id", $"user_id", $"events_since_signup")))
+  }
+
   test("stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
