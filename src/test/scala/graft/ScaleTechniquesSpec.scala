@@ -173,4 +173,36 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("heaviest shuffles complete by SPILLING, not OOM, under a constrained memory manager") {
+    // forks graft.SpillProbe: tpch_q18_bigorders + join_sortmerge_facts
+    // on ×8-duplicated sf0.1 facts and dedup_connected_components on
+    // ×8-duplicated documents, with the unified memory manager capped at
+    // 64 MiB — far below the workload's sort/agg state. A fork is
+    // required because the memory manager is sized at SparkContext
+    // start; the shared test session cannot be re-constrained.
+    import scala.sys.process._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++
+      Seq("-Xmx2g", "-cp", cp, "graft.SpillProbe")
+    val out = new StringBuilder
+    val code = Process(cmd).!(
+      ProcessLogger(l => out.synchronized(out.append(l).append('\n')), _ => ()))
+    val log = out.toString
+    assert(code == 0, s"spill probe failed (exit $code):\n${log.takeRight(3000)}")
+    val spilled = "spilled_bytes=(\\d+)".r.findFirstMatchIn(log).map(_.group(1).toLong)
+    assert(spilled.exists(_ > 0L),
+      s"probe completed but recorded no spill — constraint too loose:\n$log")
+    info(s"spilled ${spilled.get / (1 << 20)} MiB under a 64 MiB memory manager")
+  }
 }
