@@ -151,7 +151,17 @@ object TextOps extends QueryModule {
 
   /** Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5). The
     * shingle equi-join makes candidate generation linear in total
-    * shingle occurrences; MinHash-LSH below is the 100-TB path.
+    * shingle occurrences.
+    *
+    * Scale bound (declared-exact BY DESIGN, weak at 100 TB): the
+    * equi-join skews on HOT shingles — a stop-3-gram appearing in a
+    * constant fraction of documents makes that single join key emit a
+    * near-quadratic pair fan-out, concentrated in one task. A
+    * frequency-capped shingle filter would fix the skew but change the
+    * result (and the oracle), so this row stays the exact formulation;
+    * `text_minhash_lsh` below (banded signature equi-join, no per-key
+    * quadratic blowup) is the 100 TB candidate-generation path, with
+    * TextOpsSpec pinning its recall against this row's ground truth.
     */
   val textJaccardSimpairs = Q(
     "text_jaccard_simpairs",
