@@ -51,6 +51,19 @@ object Windows extends QueryModule {
       ORDER BY o_custkey, rn
     """.stripMargin.trim))
 
+  /** The rank family over a GLOBAL window — rank/dense_rank/
+    * percent_rank/ntile in their canonical unpartitioned form.
+    *
+    * Scale bound (declared BY DESIGN as the didactic twin): an
+    * unpartitioned `Window.orderBy` is a single-partition global sort —
+    * one task holds the whole table at any scale. The 100 TB
+    * formulation is `win_rank_global_scalable` below (frequency-table
+    * ranks broadcast back, no fact-side sort), verified value-identical
+    * by the same native-window oracle; this row stays declared because
+    * ntile has no order-independent reformulation (ties are assigned
+    * arbitrarily) and the canonical form is the API surface users
+    * reach for first.
+    */
   val winRankFamily = Q(
     "win_rank_family",
     (spark, dir) => {
@@ -125,6 +138,14 @@ object Windows extends QueryModule {
       ORDER BY o_custkey, o_orderkey
     """.stripMargin.trim))
 
+  /** Value-RANGE frame over a global order (±5 on p_size).
+    *
+    * Scale bound (declared BY DESIGN as the didactic twin): the global
+    * `Window.orderBy` single-partition-sorts the table;
+    * `win_range_frame_scalable` below computes identical values from
+    * the per-distinct-size aggregate (a range frame depends only on
+    * the ORDER BY key) with no fact-side sort.
+    */
   val winRangeFrame = Q(
     "win_range_frame",
     (spark, dir) => {
