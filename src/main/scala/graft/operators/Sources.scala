@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import org.apache.spark.sql.SaveMode
 
 /** SURVEY.md §2.1.A — scans, sources, sinks.
@@ -470,9 +470,63 @@ object Sources extends QueryModule {
       GROUP BY 1 ORDER BY z_octant
     """.stripMargin.trim))
 
+  /** Malformed-record QUARANTINE on CSV ingest — the dirty-feed
+    * discipline every production loader needs: rows that fail the
+    * schema land in `columnNameOfCorruptRecord` under PERMISSIVE mode
+    * instead of killing the job (FAILFAST) or vanishing (DROPMALFORMED,
+    * which silently under-counts). The feed is constructed
+    * deterministically from orders — every 50th order's price field is
+    * replaced by a non-numeric token — so the quarantine counts and the
+    * clean-row reconciliation total are pure functions of the source
+    * the oracle recomputes.
+    *
+    * Scale notes (100 TB): PERMISSIVE parsing is per-row map-side work
+    * on the parallel CSV scan; the audit is one map-side-combinable
+    * aggregate. No shuffle of raw lines.
+    */
+  val scanCsvQuarantine = Q(
+    "scan_csv_quarantine",
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.{DoubleType => DT, StringType, StructField, StructType}
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = scratch(s"csv_quarantine_$runId")
+      Tables.orders(spark, dir)
+        .select(concat_ws(",",
+          $"o_orderkey",
+          $"o_custkey",
+          when($"o_orderkey" % 50 === 0, lit("CORRUPT"))
+            .otherwise($"o_totalprice".cast(DecimalType(18, 2)).cast("string")))
+          .as("line"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("ck", LongType),
+        StructField("price", DT), StructField("_bad", StringType)))
+      spark.read
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"_bad").as("n_quarantined"),
+          count(when($"_bad".isNull, 1)).as("n_clean"),
+          sum(when($"_bad".isNull, $"price".cast(DecimalType(18, 2))))
+            .as("clean_price_total"))
+        .orderBy($"n_rows")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN o_orderkey % 50 = 0 THEN 1 END) AS n_quarantined,
+        COUNT(CASE WHEN o_orderkey % 50 <> 0 THEN 1 END) AS n_clean,
+        CAST(SUM(CASE WHEN o_orderkey % 50 <> 0
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS clean_price_total
+      FROM orders
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     scanParquetPushdown, scanCsvRoundtrip, scanJsonRoundtrip,
     sinkParquetPartitioned, sinkJdbcRoundtrip, scanOrcRoundtrip,
     scanParquetSchemaEvolution, sortClusteredWriteStats, scanTextRoundtrip,
-    scanBinaryfileIngest, sortZorder2dStats)
+    scanBinaryfileIngest, sortZorder2dStats, scanCsvQuarantine)
 }

@@ -1231,7 +1231,8 @@ object TextOps extends QueryModule {
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
-    textDedupUrlCanonical, textCharEntropy)
+    textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
+    sampleImportanceWeighted)
 
   /** Per-document character-level Shannon entropy — the gibberish
     * detector token-level stats miss: low entropy flags repetition /
@@ -1288,5 +1289,145 @@ object TextOps extends QueryModule {
           - CAST(slg AS DOUBLE) / CAST(n_chars_seen AS DOUBLE)
           AS DECIMAL(18,6)) AS DOUBLE) AS entropy_bits
       FROM agg ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Unigram cross-entropy quality proxy — the perplexity-filter stage
+    * of a pretraining pipeline (docs whose tokens are improbable under
+    * the corpus's own unigram LM are boilerplate/gibberish candidates;
+    * CCNet-style filtering uses exactly this score, there with an
+    * external LM). Per doc: bits/token under the corpus unigram model,
+    * xent = log2(T) − (Σ c_t·log2(cc_t))/n for corpus token total T,
+    * per-doc token count c_t, corpus count cc_t.
+    *
+    * Cross-engine determinism uses the `text_char_entropy` recipe:
+    * each c·log₂(cc) term is rounded to DECIMAL(28,8) BEFORE the sum
+    * (pure row function → identical in both engines; decimal sum exact
+    * and order-independent; final algebra double-on-exact-inputs).
+    *
+    * Scale notes (100 TB): two token-keyed map-side-combinable aggs,
+    * one equi-join of (doc,tok) counts against the vocab-sized model
+    * table (broadcastable for real vocabularies), corpus total via a
+    * 1-row broadcast frame — no window, no collect.
+    */
+  lazy val textPerplexityProxy = Q(
+    "text_perplexity_proxy",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = tokens(Tables.documents(spark, dir)).select($"doc_id", $"tok")
+      val model = tok.groupBy($"tok").agg(count(lit(1)).as("cc"))
+      val total = model.agg(sum($"cc").as("t"))
+      val docTok = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      docTok
+        .join(model, "tok")
+        .groupBy($"doc_id")
+        .agg(
+          sum($"c").as("n_tokens"),
+          sum(($"c".cast(DoubleType) * log(2.0, $"cc".cast(DoubleType)))
+            .cast(DecimalType(28, 8))).as("slg"))
+        .crossJoin(broadcast(total))
+        .select(
+          $"doc_id", $"n_tokens",
+          (log(2.0, $"t".cast(DoubleType)) -
+            $"slg".cast(DoubleType) / $"n_tokens".cast(DoubleType))
+            .cast(DecimalType(18, 6)).as("xent_bits"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+      ), model AS (
+        SELECT tok, COUNT(*) AS cc FROM tok GROUP BY tok
+      ), total AS (
+        SELECT SUM(cc) AS t FROM model
+      ), doc_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+      ), agg AS (
+        SELECT doc_id,
+          SUM(c) AS n_tokens,
+          SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(cc AS DOUBLE)) AS DECIMAL(28,8))) AS slg
+        FROM doc_tok JOIN model USING (tok)
+        GROUP BY doc_id
+      )
+      SELECT doc_id,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(CAST(log2(CAST(t AS DOUBLE))
+          - CAST(slg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          AS DECIMAL(18,6)) AS DOUBLE) AS xent_bits
+      FROM agg CROSS JOIN total ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** Importance-weighted deterministic sampling — quality-weighted
+    * corpus downsampling (keep high-quality docs at higher rate), the
+    * step between scoring and training-mix assembly. Weight = the
+    * stopword-ratio quality gate in [0,1]; a doc is kept iff its md5
+    * bucket (pure row function of doc_id) falls below weight·10000, so
+    * P(keep) ≈ weight, the decision is reproducible on any cluster
+    * layout, and membership never flips on re-runs (same property as
+    * `sample_stratified_by_lang`, with a per-ROW rate instead of a
+    * per-stratum one). Output: per-lang audit of population, sample
+    * size, mean weight (= expected rate) and realized rate.
+    *
+    * Scale notes (100 TB): weight and bucket are pure row functions —
+    * one scan, one tiny groupBy; unsampled rows never shuffle.
+    */
+  lazy val sampleImportanceWeighted = Q(
+    "sample_importance_weighted",
+    (spark, dir) => {
+      import spark.implicits._
+      val stop = Seq("the", "a", "and", "of", "to")
+      // weight in [0,1]: min(1, 4·stopword_ratio), rounded to 4dp so the
+      // keep threshold compares identical values in both engines —
+      // favors natural prose over keyword-mash
+      val scored = tokens(Tables.documents(spark, dir))
+        .groupBy($"doc_id", $"lang")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when($"tok".isin(stop: _*), 1)).as("n_stop"))
+        .select($"doc_id", $"lang",
+          least(lit(1.0), $"n_stop".cast(DoubleType) * 4.0 / $"n_tokens")
+            .cast(DecimalType(18, 4)).as("w"))
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10000
+      scored
+        .withColumn("keep",
+          (bucket < ($"w" * 10000).cast("long")).cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum($"keep").as("n_sampled"),
+          // exact decimal sum ÷ count in double — AVG(decimal) returns
+          // engine-specific types (Spark decimal, DuckDB double), the
+          // sum/count form renders identically
+          (sum($"w").cast(DoubleType) / count(lit(1)))
+            .cast(DecimalType(18, 6)).as("mean_weight"),
+          (sum($"keep") * lit(1.0) / count(lit(1))).cast(DecimalType(18, 6))
+            .as("realized_rate"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          CAST(LEAST(1.0, CAST(COUNT(CASE WHEN tok IN ('the','a','and','of','to') THEN 1 END) AS DOUBLE)
+            * 4.0 / COUNT(*)) AS DECIMAL(18,4)) AS w
+        FROM (SELECT doc_id, lang, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id, lang
+      ), flagged AS (
+        SELECT lang, w,
+          CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 10000
+               < CAST(w * 10000 AS BIGINT) THEN 1 ELSE 0 END AS keep
+        FROM scored
+      )
+      SELECT lang,
+        COUNT(*) AS n_total,
+        CAST(SUM(keep) AS BIGINT) AS n_sampled,
+        CAST(CAST(CAST(SUM(w) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS mean_weight,
+        CAST(CAST(SUM(keep) * 1.0 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS realized_rate
+      FROM flagged
+      GROUP BY lang ORDER BY lang
     """.stripMargin.trim))
 }

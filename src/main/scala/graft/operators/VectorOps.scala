@@ -487,8 +487,54 @@ object VectorOps extends QueryModule {
       FROM z GROUP BY vec_id ORDER BY vec_id
     """.stripMargin.trim))
 
+  /** Maximum-inner-product search (MIPS) top-k — the UNNORMALIZED
+    * retrieval scoring recommendation / two-tower models serve (cosine
+    * deliberately discards magnitude; an inner-product index must not,
+    * which is why ANN libraries treat IP as its own metric). Brute-force
+    * exact baseline over the corpus: probes broadcast, one corpus pass,
+    * codegen'd `DotProduct`, score rounded 6dp with vec_id tiebreak.
+    *
+    * Scale notes (100 TB): identical shape to `vec_cosine_topk` — the
+    * big side streams through one scan with zero shuffle of the corpus;
+    * per-probe top-k runs in the window over the (tiny) probe
+    * partition. The IVF/LSH rows are the sublinear path; for MIPS the
+    * standard reduction (append sqrt(M²−‖x‖²) to make IP a cosine
+    * problem) applies unchanged on top of `vec_ann_lsh`.
+    */
+  val vecMipsTopk = Q(
+    "vec_mips_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val probes = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      val w = Window.partitionBy($"q_id").orderBy($"ip".desc, $"vec_id")
+      e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+        .withColumn("ip", round(GraftFunctions.dot($"emb", $"q_emb"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id", $"ip", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some("""
+      SELECT q_id, vec_id, ip, rn FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[])), 6) AS ip,
+          ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                     e.vec_id) AS rn
+        FROM embeddings e
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rn <= 5
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
-    vecStandardizeDims)
+    vecStandardizeDims, vecMipsTopk)
 }
