@@ -913,6 +913,57 @@ object Aggregations extends QueryModule {
       FROM fit ORDER BY l_returnflag
     """.stripMargin.trim))
 
+  /** Event-type TRANSITION MATRIX — the user-journey Markov view the
+    * funnel/retention/streak rows don't cover: per-user consecutive
+    * event pairs (lag over the user timeline), counted per
+    * (from_type, to_type) with each cell's share of its from-row —
+    * i.e. the empirical transition probability P(to | from). The input
+    * to journey mining, next-action prediction baselines, and
+    * anomaly-flow detection.
+    *
+    * Scale notes (100 TB): one user_id shuffle for the lag (the same
+    * exchange every per-user window shares), then a map-side-combinable
+    * count on a |types|² ≤ tiny key space; the share join is against a
+    * broadcast-sized per-from rollup.
+    */
+  val aggTransitionMatrix = Q(
+    "agg_transition_matrix",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("from_type", lag($"event_type", 1).over(w))
+        .where($"from_type".isNotNull)
+      val cells = pairs
+        .groupBy($"from_type", $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = cells.groupBy($"from_type").agg(sum($"n").as("from_n"))
+      cells
+        .join(broadcast(fromTotals), "from_type")
+        .select(
+          $"from_type", $"to_type", $"n",
+          ($"n".cast(DoubleType) / $"from_n")
+            .cast(DecimalType(18, 6)).as("p_transition"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+          event_type AS to_type
+        FROM events
+      ), cells AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+      )
+      SELECT from_type, to_type, n,
+        CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+          AS DECIMAL(18,6)) AS DOUBLE) AS p_transition
+      FROM cells
+      ORDER BY from_type, to_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -920,5 +971,5 @@ object Aggregations extends QueryModule {
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
-    aggRegressionMoments)
+    aggRegressionMoments, aggTransitionMatrix)
 }
