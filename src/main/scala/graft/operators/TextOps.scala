@@ -163,26 +163,33 @@ object TextOps extends QueryModule {
     * quadratic blowup) is the 100 TB candidate-generation path, with
     * TextOpsSpec pinning its recall against this row's ground truth.
     */
+  /** Exact 3-gram-shingle Jaccard pairs over an arbitrary documents
+    * frame — shared by the declared pair row, the component clustering,
+    * and the composed dedup pipeline.
+    */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("za"), col("d1") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+      .select(
+        col("d1"), col("d2"), col("i"),
+        col("za.n").as("n1"), col("zb.n").as("n2"),
+        (col("i").cast(DoubleType) / (col("za.n") + col("zb.n") - col("i")))
+          .cast(DecimalType(18, 6)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val textJaccardSimpairs = Q(
     "text_jaccard_simpairs",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shingles(Tables.documents(spark, dir)).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("za"), $"d1" === $"za.doc_id")
-        .join(sizes.as("zb"), $"d2" === $"zb.doc_id")
-        .select(
-          $"d1", $"d2", $"i",
-          $"za.n".as("n1"), $"zb.n".as("n2"),
-          ($"i".cast(DoubleType) / ($"za.n" + $"zb.n" - $"i"))
-            .cast(DecimalType(18, 6)).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"d1", $"d2")
+      jaccardPairs(Tables.documents(spark, dir)).orderBy($"d1", $"d2")
     },
     Some("""
       WITH tok AS (
@@ -752,47 +759,54 @@ object TextOps extends QueryModule {
     * CTE — a genuinely different algorithm, so agreement is strong
     * evidence.
     */
+  /** Min-label pointer-jumping connected components over an undirected
+    * pair table with columns (d1, d2) — returns (id, comp). Shared by
+    * the declared component row and the composed dedup pipeline.
+    */
+  def connectedComponents(pairsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Materialize the pair table exactly once; every round below joins
+    // this checkpointed table, never the upstream candidate pipeline.
+    val pairs = pairsIn.select(col("d1"), col("d2")).localCheckpoint(true)
+    val nPairs = pairs.count()
+    // ~1M edge-rows per partition; 1 partition at bench scale.
+    val nPart = math.max(1, (nPairs / 500000L).toInt)
+    val verts = pairs.select(col("d1").as("id"))
+      .union(pairs.select(col("d2").as("id"))).distinct()
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(nPart, col("dst"))
+      .localCheckpoint(true)
+    var labels = verts.select(col("id"), col("id").as("comp"))
+      .repartition(nPart, col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src")).agg(min(col("nbr_comp")).as("nbr"))
+      val stepped = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("old"))
+      // pointer jump: comp := label(comp). Labels only decrease, so
+      // composing with the (pre-step) map is still an upper bound of
+      // the true component minimum — but it halves chain depth.
+      val next = stepped
+        .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.where(col("comp") < col("old")).count()
+      labels = next.select(col("id"), col("comp"))
+    }
+    labels
+  }
+
   val dedupConnectedComponents = Q(
     "dedup_connected_components",
     (spark, dir) => {
       import spark.implicits._
-      // Materialize the near-dup pair table exactly once; every round
-      // below joins this checkpointed table, never the shingle pipeline.
-      val pairs = textJaccardSimpairs.fn(spark, dir)
-        .select($"d1", $"d2").localCheckpoint(true)
-      val nPairs = pairs.count()
-      // ~1M edge-rows per partition; 1 partition at bench scale.
-      val nPart = math.max(1, (nPairs / 500000L).toInt)
-      val verts = pairs.select($"d1".as("id"))
-        .union(pairs.select($"d2".as("id"))).distinct()
-      val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
-        .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
-        .repartition(nPart, $"dst")
-        .localCheckpoint(true)
-      var labels = verts.select($"id", $"id".as("comp"))
-        .repartition(nPart, $"id").localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nbrMin = edges
-          .join(labels.select($"id".as("dst"), $"comp".as("nbr_comp")), "dst")
-          .groupBy($"src").agg(min($"nbr_comp").as("nbr"))
-        val stepped = labels
-          .join(nbrMin.select($"src".as("id"), $"nbr"), Seq("id"), "left")
-          .select($"id", least($"comp", coalesce($"nbr", $"comp")).as("comp"),
-            $"comp".as("old"))
-        // pointer jump: comp := label(comp). Labels only decrease, so
-        // composing with the (pre-step) map is still an upper bound of
-        // the true component minimum — but it halves chain depth.
-        val next = stepped
-          .join(labels.select($"id".as("cid"), $"comp".as("ccomp")),
-            $"comp" === $"cid", "left")
-          .select($"id", least($"comp", coalesce($"ccomp", $"comp")).as("comp"),
-            $"old")
-          .localCheckpoint(true)
-        changed = next.where($"comp" < $"old").count()
-        labels = next.select($"id", $"comp")
-      }
-      labels
+      connectedComponents(jaccardPairs(Tables.documents(spark, dir)))
         .select($"id".as("doc_id"), $"comp")
         .orderBy($"doc_id")
     },
@@ -1232,7 +1246,7 @@ object TextOps extends QueryModule {
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
-    sampleImportanceWeighted)
+    sampleImportanceWeighted, pipelineNearDedup)
 
   /** Per-document character-level Shannon entropy — the gibberish
     * detector token-level stats miss: low entropy flags repetition /
@@ -1429,5 +1443,89 @@ object TextOps extends QueryModule {
         CAST(CAST(SUM(keep) * 1.0 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS realized_rate
       FROM flagged
       GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
+  /** Near-dup dedup END-TO-END — candidates → components → the dedup
+    * DECISION: over the `en` slice, exact Jaccard≥0.5 pairs feed the
+    * pointer-jumping component clustering, every component keeps its
+    * min-doc_id representative, and the declared output is the
+    * corpus-curation summary a pipeline signs off on: docs in, docs in
+    * dup groups, group count, keepers, dropped. Composes `jaccardPairs`
+    * and `connectedComponents` — the same building blocks as the pair
+    * and component rows, proving they chain into one decision pass.
+    *
+    * Scale notes (100 TB): the slice filter pushes to the scan; the
+    * pair/component stages are the CC row's (pair-table-only joins,
+    * O(log d) rounds); the summary is one broadcast-sized aggregate.
+    * The DuckDB oracle recomputes the identical decision through a
+    * recursive transitive-closure CTE — a different algorithm agreeing
+    * on every count.
+    */
+  lazy val pipelineNearDedup = Q(
+    "pipeline_near_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).where($"lang" === "en")
+      val comp = connectedComponents(jaccardPairs(docs))
+      val groups = comp.groupBy($"comp").agg(count(lit(1)).as("gsz"))
+      val summary = docs
+        .join(comp.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
+        .join(broadcast(groups), Seq("comp"), "left")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count($"comp").as("n_in_dup_groups"),
+          countDistinct($"comp").as("n_groups"))
+        .select(
+          $"n_docs", $"n_in_dup_groups", $"n_groups",
+          ($"n_docs" - $"n_in_dup_groups" + $"n_groups").as("n_keepers"),
+          ($"n_in_dup_groups" - $"n_groups").as("n_dropped"))
+        .orderBy($"n_docs")
+      summary
+    },
+    Some("""
+      WITH RECURSIVE endocs AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'en'
+      ), tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM endocs) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), verts AS (
+        SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs
+      ), edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+      ), reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
+      )
+      SELECT COUNT(*) AS n_docs,
+        COUNT(comp) AS n_in_dup_groups,
+        COUNT(DISTINCT comp) AS n_groups,
+        COUNT(*) - COUNT(comp) + COUNT(DISTINCT comp) AS n_keepers,
+        COUNT(comp) - COUNT(DISTINCT comp) AS n_dropped
+      FROM endocs LEFT JOIN comp USING (doc_id)
     """.stripMargin.trim))
 }
