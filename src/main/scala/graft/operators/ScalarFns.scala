@@ -490,9 +490,62 @@ object ScalarFns extends QueryModule {
       FROM events ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Higher-order LAMBDA functions over arrays — the codegen-friendly
+    * per-row compute path that replaces scalar UDFs (`fn_array_ops`
+    * covers transform/slice; this row pins the fold and predicate
+    * family): `aggregate` (decimal-guarded fold — per-element rounding
+    * then exact addition, so the fold value is order- and
+    * engine-independent; the final scale-6 downcast rounds HALF_UP in
+    * Spark but truncates in DuckDB, so the oracle rounds explicitly),
+    * `filter`, `exists`, `forall`, and `zip_with`
+    * (element-paired against the reversed head — rendered at fixed
+    * decimal scale so both engines produce identical strings).
+    */
+  val fnHofLambdaSuite = Q(
+    "fn_hof_lambda_suite",
+    (spark, dir) => {
+      import spark.implicits._
+      val dec3str = (x: org.apache.spark.sql.Column) =>
+        dec(x, 18, 3).cast(StringType)
+      val head4 = slice($"emb", 1, 4)
+      Tables
+        .embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .select(
+          $"vec_id",
+          aggregate($"emb", lit(0).cast(DecimalType(38, 12)),
+            (acc, x) => (acc + (x * x).cast(DecimalType(28, 12)))
+              .cast(DecimalType(38, 12)))
+            .cast(DecimalType(18, 6)).cast(DoubleType).as("sumsq"),
+          size(filter($"emb", x => x > 0)).cast(LongType).as("n_pos"),
+          exists($"emb", x => abs(x) > 2.0).as("any_big"),
+          forall($"emb", x => abs(x) < 10.0).as("all_small"),
+          array_join(
+            zip_with(head4, reverse(head4),
+              (a, b) => concat(dec3str(a), lit(":"), dec3str(b))),
+            ",").as("zip_head"))
+        .orderBy($"vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      )
+      SELECT vec_id,
+        CAST(CAST(round(list_sum(list_transform(emb, x -> CAST(x*x AS DECIMAL(28,12)))), 6)
+          AS DECIMAL(18,6)) AS DOUBLE) AS sumsq,
+        len(list_filter(emb, x -> x > 0)) AS n_pos,
+        list_bool_or(list_transform(emb, x -> abs(x) > 2.0)) AS any_big,
+        list_bool_and(list_transform(emb, x -> abs(x) < 10.0)) AS all_small,
+        array_to_string(list_transform(range(1, 5),
+          i -> CAST(CAST(emb[CAST(i AS INT)] AS DECIMAL(18,3)) AS VARCHAR) || ':' ||
+            CAST(CAST(emb[CAST(5 - i AS INT)] AS DECIMAL(18,3)) AS VARCHAR)), ',') AS zip_head
+      FROM e ORDER BY vec_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
     fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite,
-    fnSafeArithmetic, fnExplodeOuter, fnVariantSemistructured)
+    fnSafeArithmetic, fnExplodeOuter, fnVariantSemistructured,
+    fnHofLambdaSuite)
 }
