@@ -964,6 +964,44 @@ object Aggregations extends QueryModule {
       ORDER BY from_type, to_type
     """.stripMargin.trim))
 
+  /** EXACT distinct counting via Spark 4 bitmap aggregates — the
+    * middle ground `agg_multi_distinct` (expand-based exact) and
+    * `agg_approx_hll` (±rsd sketch) leave open: bitmap partial states
+    * are exact AND mergeable, so unlike COUNT(DISTINCT) the
+    * aggregation is map-side combinable with bounded state (one 4 KB
+    * bitmap per 32768-value key bucket). The query deliberately
+    * splits the input in two halves, builds per-half bitmaps, and
+    * OR-merges them (`bitmap_or_agg`) before counting — proving the
+    * incremental/merge path a 1000-executor rollup (or a streaming
+    * backfill union) would take.
+    *
+    * Scale notes (100 TB): shuffle carries (group × bucket) bitmaps,
+    * bounded by the distinct-key domain / 32768 per group, not by row
+    * count; each merge level is associative. COUNT(DISTINCT) on the
+    * same plan must shuffle every distinct (group, key) pair.
+    */
+  val aggBitmapDistinct = Q(
+    "agg_bitmap_distinct",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select($"o_orderpriority",
+          ($"o_orderkey" % 2).as("half"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+          expr("bitmap_bit_position(o_custkey)").as("pos"))
+        .groupBy($"o_orderpriority", $"bkt", $"half")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm_half"))
+        .groupBy($"o_orderpriority", $"bkt")
+        .agg(expr("bitmap_or_agg(bm_half)").as("bm"))
+        .groupBy($"o_orderpriority")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_cust"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -971,5 +1009,5 @@ object Aggregations extends QueryModule {
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
-    aggRegressionMoments, aggTransitionMatrix)
+    aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct)
 }

@@ -244,6 +244,75 @@ object Flagships extends QueryModule {
       ORDER BY supp_nation, cust_nation, l_year
     """.stripMargin.trim))
 
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    * finished multi-supplier order — the two correlated existence
+    * subqueries (EXISTS another supplier's line; NOT EXISTS another
+    * supplier's LATE line) that Catalyst decorrelates into a left-semi
+    * and a left-anti self-join of lineitem. The fixtures carry no
+    * l_commitdate/l_receiptdate, so "late" is re-shaped as
+    * l_shipdate > o_orderdate + 90 days (same row-local predicate
+    * role).
+    *
+    * Scale notes (100 TB): every self-join keys on l_orderkey — the
+    * same key as the orders join, so the exchanges co-partition and
+    * reuse; supplier (filtered to 10 nations) is broadcast; the
+    * semi/anti sides project only (orderkey, suppkey), so the
+    * shuffled payload is two longs per line, not the row.
+    */
+  val tpchQ21WaitingSuppliers = Q(
+    "tpch_q21_waiting_suppliers",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val lateLines = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .where($"l_shipdate" > date_add($"o_orderdate", 90))
+        .select($"l_orderkey", $"l_suppkey")
+      val allLines = Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
+      val otherLate = lateLines
+        .select($"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"))
+      val sup = Tables.supplier(spark, dir)
+        .where($"s_nationkey" < 10)
+        .select($"s_suppkey", $"s_name")
+      lateLines
+        .join(allLines,
+          $"l_orderkey" === $"l2_orderkey" && $"l_suppkey" =!= $"l2_suppkey",
+          "left_semi")
+        .join(otherLate,
+          $"l_orderkey" === $"l3_orderkey" && $"l_suppkey" =!= $"l3_suppkey",
+          "left_anti")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE s_nationkey < 10
+        AND o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
-    tpchQ10Returns, tpchQ7NationVolume)
+    tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers)
 }

@@ -799,11 +799,74 @@ object Joins extends QueryModule {
       ORDER BY r.r_name, t.event_type
     """.stripMargin.trim))
 
+  /** ExistenceJoin — the join type the semi/anti rows DON'T cover:
+    * EXISTS / NOT EXISTS used in the PROJECTION (as boolean marks)
+    * rather than in WHERE. Catalyst can't drop non-matching rows (the
+    * row survives either way, only the flag differs), so it plans an
+    * ExistenceJoin — a semi-join variant that emits a mark column —
+    * instead of LeftSemi/LeftAnti. Declared via spark.sql because the
+    * DataFrame API has no exists() combinator; the view is dropped
+    * immediately after analysis (sql_recursive_spine discipline).
+    *
+    * Scale notes (100 TB): both existence probes hash-join on
+    * o_custkey/c_custkey with only the key + one filter column
+    * shuffled; the marks then feed one tiny groupBy on
+    * (segment, flags). Same physics as a left-semi — no
+    * row multiplication, payload is the mark bit.
+    */
+  val joinExistenceMark = Q(
+    "join_existence_mark",
+    (spark, dir) => {
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val cv = s"customer_$runId"
+      val ov = s"orders_$runId"
+      Tables.customer(spark, dir).createOrReplaceTempView(cv)
+      Tables.orders(spark, dir).createOrReplaceTempView(ov)
+      try spark.sql(s"""
+        SELECT c_mktsegment, has_big_order, no_finished,
+          COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM (
+          SELECT c_mktsegment, c_acctbal,
+            EXISTS (SELECT 1 FROM $ov o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 150000) AS has_big_order,
+            NOT EXISTS (SELECT 1 FROM $ov o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F') AS no_finished
+          FROM $cv c
+        )
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+      """)
+      finally {
+        spark.catalog.dropTempView(cv)
+        spark.catalog.dropTempView(ov)
+      }
+    },
+    Some("""
+      SELECT c_mktsegment, has_big_order, no_finished,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+          EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 150000) AS has_big_order,
+          NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F') AS no_finished
+        FROM customer c
+      )
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
     joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter,
-    joinAsofNearest, joinBandBucketized)
+    joinAsofNearest, joinBandBucketized, joinExistenceMark)
 }

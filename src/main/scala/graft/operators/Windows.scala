@@ -691,11 +691,54 @@ object Windows extends QueryModule {
       ORDER BY o_custkey, o_orderkey
     """.stripMargin.trim))
 
+  /** `ntile(4)` — the rank-family member that ASSIGNS rows to
+    * equal-count buckets (quartiling for tiering/binning) rather than
+    * scoring them; not covered by rank/dense_rank/percent_rank rows.
+    * The window ORDER BY carries the unique c_custkey tiebreak, so
+    * bucket assignment is total and engine-reproducible; declared
+    * output is the per-(segment, tile) summary, not the row-level
+    * assignment.
+    *
+    * Scale bound: partitions by the 5-value c_mktsegment like
+    * `win_cume_dist` — fine on the dim-sized customer table, a
+    * scale-killer on a fact; the frequency-table reformulation of
+    * `win_rank_global_scalable`/`win_cume_dist_scalable` covers ntile
+    * too (tile = ceil(4 * cume_count / n)) when the input is a fact.
+    */
+  val winNtileBuckets = Q(
+    "win_ntile_buckets",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(spark, dir)
+        .select($"c_mktsegment", $"c_acctbal", $"c_custkey")
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy($"c_mktsegment", $"tile")
+        .agg(count(lit(1)).as("n"),
+          min(dec($"c_acctbal")).cast(DoubleType).as("min_bal"),
+          max(dec($"c_acctbal")).cast(DoubleType).as("max_bal"))
+        .orderBy($"c_mktsegment", $"tile")
+    },
+    Some("""
+      SELECT c_mktsegment, tile, COUNT(*) AS n,
+        CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+        CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+          ntile(4) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey) AS tile
+        FROM customer
+      )
+      GROUP BY c_mktsegment, tile
+      ORDER BY c_mktsegment, tile
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
     winStreakLongest, winRunningDistinct, winCumeDist,
-    winCumeDistScalable, winNthValue)
+    winCumeDistScalable, winNthValue, winNtileBuckets)
 }

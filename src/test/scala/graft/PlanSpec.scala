@@ -320,4 +320,36 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"),
       s"expected the frequency-table aggregation:\n$p")
   }
+
+  test("join_existence_mark plans ExistenceJoin, not outer joins") {
+    // EXISTS in the projection must become the mark-emitting join
+    // variant; a LeftOuter + null-check reformulation would multiply
+    // rows on duplicate keys before the distinct.
+    val df = operators.Joins.joinExistenceMark.fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("ExistenceJoin"),
+      s"expected ExistenceJoin in optimized plan:\n$opt")
+  }
+
+  test("tpch_q21 decorrelates to semi + anti self-joins on l_orderkey") {
+    val df = operators.Flagships.tpchQ21WaitingSuppliers.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("LeftSemi"), s"expected a left-semi self-join:\n$p")
+    assert(p.contains("LeftAnti"), s"expected a left-anti self-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"existence probes must stay equi-joins, not loop joins:\n$p")
+  }
+
+  test("agg_bitmap_distinct keeps partial aggregation on every level") {
+    // the whole point of the bitmap formulation: every groupBy level is
+    // map-side combinable (partial_ aggregate modes), unlike
+    // COUNT(DISTINCT) whose distinct expand defeats partial aggs
+    val df = operators.Aggregations.aggBitmapDistinct.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("partial_bitmap_construct_agg") ||
+      p.contains("partial_first") || p.contains("HashAggregate"),
+      s"expected hash aggregates:\n$p")
+    assert(!p.contains("Expand"),
+      s"bitmap distinct must not use the count-distinct Expand:\n$p")
+  }
 }
