@@ -694,8 +694,57 @@ object EtlOps extends QueryModule {
       ORDER BY table_name
     """.stripMargin.trim))
 
+  /** Correlated SCALAR subquery (the third correlated-subquery form
+    * beside `join_existence_mark`'s EXISTS and
+    * `join_not_in_null_aware`'s NOT IN): each order compared against
+    * ITS OWN customer's average order value — Catalyst decorrelates
+    * the per-row aggregate lookup into one grouped aggregate plus an
+    * equi-join, the rewrite that makes "vs own-group average"
+    * queries linear instead of O(n·groups).
+    *
+    * Cross-engine knife-edge note: prices carry 2 decimals, so the
+    * smallest nonzero |price − avg| is 1/(100·n_orders) — orders of
+    * magnitude above Spark's scale-6 avg rounding and double
+    * conversion error, so the strict > comparison can't flip between
+    * engines (equality ⇒ false on both).
+    *
+    * Scale notes (100 TB): the decorrelated form shuffles orders once
+    * on o_custkey for the avg and joins back on the same key (exchange
+    * reuse); the final rollup is a 5-key hash agg.
+    */
+  val sqlCorrelatedScalar = Q(
+    "sql_correlated_scalar",
+    (spark, dir) => {
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val ov = s"orders_$runId"
+      Tables.orders(spark, dir).createOrReplaceTempView(ov)
+      try spark.sql(s"""
+        SELECT o_orderpriority,
+          COUNT(*) AS n_above,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        FROM $ov o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+          (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+           FROM $ov i WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+      finally spark.catalog.dropTempView(ov)
+    },
+    Some("""
+      SELECT o_orderpriority,
+        COUNT(*) AS n_above,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        (SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
-    etlRowChecksumAudit)
+    etlRowChecksumAudit, sqlCorrelatedScalar)
 }

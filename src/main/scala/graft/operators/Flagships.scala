@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** SURVEY.md §2.1.L — composed analytical pipelines: TPC-H-shaped
   * multi-join queries adapted to this corpus's columns (the fixtures
@@ -313,6 +314,59 @@ object Flagships extends QueryModule {
       LIMIT 20
     """.stripMargin.trim))
 
+  /** TPC-H Q14 shape: promotion-revenue share for one ship month — the
+    * conditional-aggregation ratio (SUM(CASE)/SUM) every marketing
+    * rollup uses. Both aggregates are exact decimals; the ratio is
+    * computed as one double division of the two exact sums (same
+    * expression order both engines), so the single output row is
+    * bit-reproducible.
+    *
+    * Scale notes (100 TB): the month predicate is pushed to the
+    * lineitem scan (row-group pruning on l_shipdate); part is a
+    * broadcast dim; the aggregate is global but partial — each
+    * partition emits one (num, den) pair, so the final reduce sees
+    * #partitions rows.
+    */
+  val tpchQ14PromoRatio = Q(
+    "tpch_q14_promo_ratio",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+      val rev = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+      Tables.lineitem(spark, dir)
+        .where($"l_shipdate" >= "1995-09-01" && $"l_shipdate" < "1995-10-01")
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", rev)).as("num"),
+          sum(rev).as("den"))
+        .select(
+          (lit(100.0) * $"num".cast(DoubleType) / $"den".cast(DoubleType))
+            .as("promo_pct"),
+          $"num".cast(DoubleType).as("promo_revenue"),
+          $"den".cast(DoubleType).as("total_revenue"))
+        .orderBy($"promo_pct")
+    },
+    Some("""
+      SELECT
+        CAST(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS DOUBLE) AS promo_pct,
+        CAST(num AS DOUBLE) AS promo_revenue,
+        CAST(den AS DOUBLE) AS total_revenue
+      FROM (
+        SELECT
+          SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2)) END) AS num,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS den
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+      )
+      ORDER BY promo_pct
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
-    tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers)
+    tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
+    tpchQ14PromoRatio)
 }

@@ -542,10 +542,61 @@ object ScalarFns extends QueryModule {
       FROM e ORDER BY vec_id
     """.stripMargin.trim))
 
+  /** Map HIGHER-ORDER functions — the lambda family over MapType that
+    * `fn_map_ops` (keys/values/element_at) and `fn_hof_lambda_suite`
+    * (array lambdas) leave uncovered: `transform_values`,
+    * `map_filter`, `map_zip_with` (outer-merge of two maps), and
+    * `transform_keys`. Maps are built per-row from order columns and
+    * rendered as lexicographically sorted `k=v` strings (map iteration
+    * order is engine-internal; the sorted rendering is the
+    * deterministic contract). The oracle derives the same strings
+    * directly from the source columns — an independent derivation, no
+    * map type crosses the comparator.
+    */
+  val fnMapHof = Q(
+    "fn_map_hof",
+    (spark, dir) => {
+      import spark.implicits._
+      val render = (m: org.apache.spark.sql.Column) => array_join(
+        array_sort(transform(map_entries(m),
+          e => concat(e.getField("key"), lit("="),
+            e.getField("value").cast(StringType)))), ",")
+      Tables.orders(spark, dir)
+        .select($"o_orderkey",
+          map(lit("base"), dec($"o_totalprice"),
+            lit("fee"), dec(lit(5))).as("m1"),
+          map(lit("base"), dec(lit(10)),
+            lit("tip"), dec(lit(2.5))).as("m2"))
+        .select(
+          $"o_orderkey",
+          render(transform_values($"m1", (_, v) => dec(v * 2))).as("doubled"),
+          render(map_filter($"m1", (_, v) => v > 1000)).as("big_only"),
+          render(map_zip_with($"m1", $"m2", (_, a, b) =>
+            dec(coalesce(a, dec(lit(0))) + coalesce(b, dec(lit(0))))))
+            .as("merged"),
+          render(transform_keys($"m1", (k, _) => upper(k))).as("upper_keys"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      WITH b AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS base
+        FROM orders
+      )
+      SELECT o_orderkey,
+        'base=' || CAST(CAST(base * 2 AS DECIMAL(18,2)) AS VARCHAR) ||
+          ',fee=10.00' AS doubled,
+        CASE WHEN base > 1000
+          THEN 'base=' || CAST(base AS VARCHAR) ELSE '' END AS big_only,
+        'base=' || CAST(CAST(base + 10 AS DECIMAL(18,2)) AS VARCHAR) ||
+          ',fee=5.00,tip=2.50' AS merged,
+        'BASE=' || CAST(base AS VARCHAR) || ',FEE=5.00' AS upper_keys
+      FROM b ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     fnStringSuite, fnDatetimeSuite, fnMathSuite, fnArrayOps,
     fnExplodePosexplode, fnMapOps, fnJsonExtract,
     fnRegexSuite, fnBitwiseConditional, fnHashSuite, fnUrlSuite,
     fnSafeArithmetic, fnExplodeOuter, fnVariantSemistructured,
-    fnHofLambdaSuite)
+    fnHofLambdaSuite, fnMapHof)
 }

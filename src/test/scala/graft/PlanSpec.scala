@@ -352,4 +352,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Expand"),
       s"bitmap distinct must not use the count-distinct Expand:\n$p")
   }
+
+  test("sql_correlated_scalar decorrelates to one agg + equi-join") {
+    // the per-row scalar lookup must become a grouped avg + join on
+    // o_custkey — a correlated re-execution per row (or a loop join)
+    // would be O(n·groups)
+    val df = operators.EtlOps.sqlCorrelatedScalar.fn(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"scalar subquery survived decorrelation:\n$opt")
+    val p = planString(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated join must stay an equi-join:\n$p")
+    assert(p.contains("avg("), s"expected the grouped average:\n$p")
+  }
 }
