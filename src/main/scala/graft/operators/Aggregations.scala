@@ -1002,6 +1002,163 @@ object Aggregations extends QueryModule {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """.stripMargin.trim))
 
+  /** OHLC time-series DOWNSAMPLING — the bar-chart/telemetry rollup:
+    * per (event_type, day) the Open (first value by time), High, Low,
+    * Close (last value by time). Open/close use `min_by`/`max_by`
+    * with a (ts, event_id) struct ordering key, so ties in ts cannot
+    * make the bar engine-dependent. DuckDB lacks struct-keyed
+    * arg_min, so the oracle derives first/last via tie-broken
+    * first_value/last_value windows — same rows, different route.
+    *
+    * Scale notes (100 TB): one map-side-combinable hash agg; min_by's
+    * partial state is a single (value, key) pair per group per
+    * partition — downsampling 100 TB of ticks emits (types × days)
+    * rows, never sorting the fact.
+    */
+  val aggOhlcDownsample = Q(
+    "agg_ohlc_downsample",
+    (spark, dir) => {
+      import spark.implicits._
+      val ordKey = struct($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .select($"event_type", to_date($"ts").as("day"), $"ts", $"event_id",
+          dec($"value", 18, 6).as("v"))
+        .groupBy($"event_type", $"day")
+        .agg(
+          min_by($"v", ordKey).cast(DoubleType).as("open"),
+          max($"v").cast(DoubleType).as("high"),
+          min($"v").cast(DoubleType).as("low"),
+          max_by($"v", ordKey).cast(DoubleType).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy($"event_type", $"day")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(value AS DECIMAL(18,6)) AS v,
+          first_value(CAST(value AS DECIMAL(18,6))) OVER w AS open_v,
+          last_value(CAST(value AS DECIMAL(18,6))) OVER w AS close_v
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      )
+      SELECT event_type, day,
+        CAST(MIN(open_v) AS DOUBLE) AS open,
+        CAST(MAX(v) AS DOUBLE) AS high,
+        CAST(MIN(v) AS DOUBLE) AS low,
+        CAST(MIN(close_v) AS DOUBLE) AS close,
+        COUNT(*) AS n_ticks
+      FROM t
+      GROUP BY event_type, day
+      ORDER BY event_type, day
+    """.stripMargin.trim))
+
+  /** RFM customer segmentation — the recency/frequency/monetary
+    * scoring every CRM rollup starts from: per-customer aggregates
+    * (days since last order vs the fixed anchor 1998-12-31; order
+    * count; exact decimal spend) bucketed by fixed business
+    * thresholds into 2×2×2 segments, output = per-segment customer
+    * count + spend. Fixed thresholds (not quantiles) keep the
+    * segmentation layout-independent; the quantile form would reuse
+    * `win_cume_dist_scalable`'s frequency-table trick.
+    *
+    * Scale notes (100 TB): two chained hash aggs — per-customer then
+    * per-segment — both map-side combinable; nothing sorts or windows
+    * the fact table.
+    */
+  val aggRfmSegments = Q(
+    "agg_rfm_segments",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(
+          datediff(lit("1998-12-31"), max($"o_orderdate")).cast("long")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(dec($"o_totalprice")).as("monetary"))
+        .select(
+          when($"recency_days" <= 365, "active").otherwise("lapsed")
+            .as("r_seg"),
+          when($"frequency" >= 10, "frequent").otherwise("occasional")
+            .as("f_seg"),
+          when($"monetary" >= 1000000, "big").otherwise("small")
+            .as("m_seg"),
+          $"monetary")
+        .groupBy($"r_seg", $"f_seg", $"m_seg")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"monetary").cast(DoubleType).as("seg_spend"))
+        .orderBy($"r_seg", $"f_seg", $"m_seg")
+    },
+    Some("""
+      WITH rfm AS (
+        SELECT o_custkey,
+          date_diff('day', MAX(o_orderdate), TIMESTAMP '1998-12-31') AS recency_days,
+          COUNT(*) AS frequency,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+      )
+      SELECT
+        CASE WHEN recency_days <= 365 THEN 'active' ELSE 'lapsed' END AS r_seg,
+        CASE WHEN frequency >= 10 THEN 'frequent' ELSE 'occasional' END AS f_seg,
+        CASE WHEN monetary >= 1000000 THEN 'big' ELSE 'small' END AS m_seg,
+        COUNT(*) AS n_customers,
+        CAST(SUM(monetary) AS DOUBLE) AS seg_spend
+      FROM rfm
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """.stripMargin.trim))
+
+  /** Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE shape,
+    * composed from primitives): each user's time-ordered journey is
+    * folded to a compact initial-letter string (tie-broken struct
+    * sort, so the string is total and engine-reproducible), then
+    * regex-classified — "error then later purchase", "journey starts
+    * with signup", "view immediately before purchase". The
+    * behavioral-cohort counting that funnel (fixed step order) and
+    * transition-matrix (adjacent pairs only) rows can't express:
+    * regexes see the WHOLE ordered journey.
+    *
+    * Scale notes (100 TB): one shuffle on user_id; per-user state is
+    * the journey string, bounded by per-user activity (not corpus
+    * size); the regex pass is a map over one row per user.
+    */
+  val aggJourneyPattern = Q(
+    "agg_journey_pattern",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct($"ts", $"event_id",
+              substring($"event_type", 1, 1).as("c")))),
+            x => x.getField("c")), "").as("journey"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when($"journey".rlike("e.*p"), 1L).otherwise(0L))
+            .as("error_then_purchase"),
+          sum(when($"journey".rlike("^s"), 1L).otherwise(0L))
+            .as("signup_first"),
+          sum(when($"journey".rlike("vp"), 1L).otherwise(0L))
+            .as("view_then_buy_adjacent"))
+        .orderBy($"n_users")
+    },
+    Some("""
+      WITH j AS (
+        SELECT user_id,
+          string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+      )
+      SELECT COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN regexp_matches(journey, 'e.*p') THEN 1 ELSE 0 END) AS BIGINT) AS error_then_purchase,
+        CAST(SUM(CASE WHEN regexp_matches(journey, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS signup_first,
+        CAST(SUM(CASE WHEN regexp_matches(journey, 'vp') THEN 1 ELSE 0 END) AS BIGINT) AS view_then_buy_adjacent
+      FROM j
+      ORDER BY n_users
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1009,5 +1166,6 @@ object Aggregations extends QueryModule {
     aggHistogramFixed, aggBoolLogic, aggModeFreq, aggRetentionCohorts,
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
-    aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct)
+    aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
+    aggOhlcDownsample, aggRfmSegments, aggJourneyPattern)
 }
