@@ -701,9 +701,14 @@ object Windows extends QueryModule {
     *
     * Scale bound: partitions by the 5-value c_mktsegment like
     * `win_cume_dist` — fine on the dim-sized customer table, a
-    * scale-killer on a fact; the frequency-table reformulation of
-    * `win_rank_global_scalable`/`win_cume_dist_scalable` covers ntile
-    * too (tile = ceil(4 * cume_count / n)) when the input is a fact.
+    * scale-killer on a fact. The fact-sized reformulation is
+    * two-level: global row rank = (frequency-table cumulative count
+    * of strictly-smaller order-key values, broadcast) + row_number
+    * within the equal-value tie group (a bounded window partition),
+    * then the exact ntile boundary arithmetic (first n%k buckets get
+    * the extra row — NOT ceil(k·r/n), which splits at different
+    * boundaries). WindowScalableSpec proves that derivation equals
+    * native ntile row-for-row.
     */
   val winNtileBuckets = Q(
     "win_ntile_buckets",
