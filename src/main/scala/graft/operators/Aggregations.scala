@@ -1159,6 +1159,63 @@ object Aggregations extends QueryModule {
       ORDER BY n_users
     """.stripMargin.trim))
 
+  /** EQUI-DEPTH histogram (quantile-bucketed — `agg_histogram_fixed`
+    * is equi-WIDTH): quartile boundaries computed by exact percentile
+    * (the engine-matching recipe proven by `agg_percentiles_exact`:
+    * interpolated midpoints of 2-decimal values are exact at scale 6,
+    * so both engines produce identical boundary decimals), broadcast
+    * back as a 1-row frame, each order bucketed by <= comparisons —
+    * the optimizer/CBO histogram build, and the data-profiling
+    * "quartile summary" every EDA pass starts with.
+    *
+    * Scale notes (100 TB): exact global percentile needs a sort at
+    * scale (the declared-exact semantic); the production path at
+    * 100 TB swaps in approx_percentile's mergeable sketch with the
+    * same downstream plan — boundary frame broadcast, one
+    * map-side-combinable bucket agg, no row ever carries more than
+    * its bucket id.
+    */
+  val aggHistogramEquidepth = Q(
+    "agg_histogram_equidepth",
+    (spark, dir) => {
+      import spark.implicits._
+      val bounds = Tables.orders(spark, dir)
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+        .select(
+          element_at($"p", 1).cast(DecimalType(18, 6)).as("q1"),
+          element_at($"p", 2).cast(DecimalType(18, 6)).as("q2"),
+          element_at($"p", 3).cast(DecimalType(18, 6)).as("q3"))
+      Tables.orders(spark, dir)
+        .select(dec($"o_totalprice").as("v"))
+        .crossJoin(broadcast(bounds))
+        .select(
+          when($"v" <= $"q1", 1L).when($"v" <= $"q2", 2L)
+            .when($"v" <= $"q3", 3L).otherwise(4L).as("bucket"), $"v")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"v").cast(DoubleType).as("lo"),
+          max($"v").cast(DoubleType).as("hi"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH bounds AS (
+        SELECT
+          CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,6)) AS q1,
+          CAST(quantile_cont(o_totalprice, 0.50) AS DECIMAL(18,6)) AS q2,
+          CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,6)) AS q3
+        FROM orders
+      )
+      SELECT
+        CAST(CASE WHEN v <= q1 THEN 1 WHEN v <= q2 THEN 2
+             WHEN v <= q3 THEN 3 ELSE 4 END AS BIGINT) AS bucket,
+        COUNT(*) AS n,
+        CAST(MIN(v) AS DOUBLE) AS lo,
+        CAST(MAX(v) AS DOUBLE) AS hi
+      FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders)
+      CROSS JOIN bounds
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1167,5 +1224,6 @@ object Aggregations extends QueryModule {
     aggFunnelSteps, aggMinmaxBy, aggHeavyHittersCms, aggSkewKurtMoments,
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
-    aggOhlcDownsample, aggRfmSegments, aggJourneyPattern)
+    aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
+    aggHistogramEquidepth)
 }

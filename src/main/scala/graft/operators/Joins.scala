@@ -862,11 +862,80 @@ object Joins extends QueryModule {
       ORDER BY 1, 2, 3
     """.stripMargin.trim))
 
+  /** INTERVAL-OVERLAP join (ranges × ranges — `join_range_interval`
+    * covers only point-in-range): urgent-order fulfillment windows
+    * [o_orderdate, +14d] × return shipping windows [l_shipdate − 7d,
+    * l_shipdate], matched where the intervals intersect. Scaled the
+    * same way as `join_band_bucketized` but two-sided: each interval
+    * explodes to the 7-day GRID CELLS it covers, the join is an
+    * EQUI-join on the cell, duplicate pairs from multi-cell overlaps
+    * collapse via distinct, and the exact overlap predicate filters
+    * residual cell-mates. The canonical temporal/spatial join
+    * pattern — a raw θ-join here is a quadratic nested loop.
+    *
+    * Scale notes (100 TB): cell fan-out is bounded by
+    * interval_length/grid + 1 (3 and 2 cells here); the equi-join
+    * hash-partitions on the cell key, so co-occurring intervals meet
+    * on one executor without any broadcast; pair dedup shuffles only
+    * (a_id, b_id, month).
+    */
+  val joinIntervalOverlapBucketized = Q(
+    "join_interval_overlap_bucketized",
+    (spark, dir) => {
+      import spark.implicits._
+      val epoch = lit("1992-01-01")
+      val a = Tables.orders(spark, dir)
+        .where($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey".as("a_id"),
+          to_date($"o_orderdate").as("a_start"),
+          date_add(to_date($"o_orderdate"), 14).as("a_end"))
+        .withColumn("cell",
+          explode(sequence(
+            floor(datediff($"a_start", epoch) / 7),
+            floor(datediff($"a_end", epoch) / 7))))
+      val b = Tables.lineitem(spark, dir)
+        .where($"l_returnflag" === "R" && $"l_quantity" > 45)
+        .select(($"l_orderkey" * 10 + $"l_linenumber").as("b_id"),
+          date_sub(to_date($"l_shipdate"), 7).as("b_start"),
+          to_date($"l_shipdate").as("b_end"))
+        .withColumn("cell",
+          explode(sequence(
+            floor(datediff($"b_start", epoch) / 7),
+            floor(datediff($"b_end", epoch) / 7))))
+      a.join(b, "cell")
+        .where($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+        .select($"a_id", $"b_id", trunc($"a_start", "month").as("month"))
+        .distinct()
+        .groupBy($"month")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"b_id").as("n_returns"))
+        .orderBy($"month")
+    },
+    Some("""
+      WITH a AS (
+        SELECT o_orderkey AS a_id,
+          CAST(o_orderdate AS DATE) AS a_start,
+          CAST(o_orderdate AS DATE) + 14 AS a_end
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+      ), b AS (
+        SELECT l_orderkey * 10 + l_linenumber AS b_id,
+          CAST(l_shipdate AS DATE) - 7 AS b_start,
+          CAST(l_shipdate AS DATE) AS b_end
+        FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+      )
+      SELECT CAST(date_trunc('month', a_start) AS DATE) AS month,
+        COUNT(*) AS n_pairs,
+        COUNT(DISTINCT b_id) AS n_returns
+      FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
     joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter,
-    joinAsofNearest, joinBandBucketized, joinExistenceMark)
+    joinAsofNearest, joinBandBucketized, joinExistenceMark,
+    joinIntervalOverlapBucketized)
 }

@@ -353,6 +353,18 @@ class PlanSpec extends SparkSpecBase {
       s"bitmap distinct must not use the count-distinct Expand:\n$p")
   }
 
+  test("join_interval_overlap_bucketized equi-joins on the grid cell") {
+    // the whole point of the grid bucketization: a ranges×ranges
+    // overlap must not fall back to a nested-loop θ-join
+    val df = operators.Joins.joinIntervalOverlapBucketized.fn(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap fell back to a loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cell key:\n$p")
+  }
+
   test("sql_correlated_scalar decorrelates to one agg + equi-join") {
     // the per-row scalar lookup must become a grouped avg + join on
     // o_custkey — a correlated re-execution per row (or a loop join)
