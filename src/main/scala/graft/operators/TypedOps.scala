@@ -175,6 +175,89 @@ object TypedOps extends QueryModule {
       ORDER BY key
     """.stripMargin.trim))
 
+  case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  case class CustRow(c_custkey: Long, c_mktsegment: String)
+
+  /** Typed `Dataset.joinWith` — the tuple-preserving join the untyped
+    * rows don't exercise: each (OrderRow, CustRow) pair survives as a
+    * typed 2-tuple (no column flattening, no name collisions), the
+    * form typed pipelines use to keep both entities whole through a
+    * join. Projected back to columns + decimal-aggregated per segment
+    * so the oracle is plain SQL.
+    *
+    * Scale notes (100 TB): joinWith plans the SAME physical join as
+    * the untyped form (broadcast here — the dim side is tiny); only
+    * the output shape differs (struct pair vs flat row), so the typed
+    * surface costs serialization at the boundary, not a different
+    * join strategy.
+    */
+  val typedJoinwithSegments = Q(
+    "typed_joinwith_segments",
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderRow]
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment").as[CustRow]
+      orders
+        .joinWith(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .map { case (o, c) => (c.c_mktsegment, o.o_totalprice) }
+        .toDF("segment", "price")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"price".cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+        .orderBy($"segment")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
+  /** Typed `reduceGroups` — per-group pairwise reduction (the typed
+    * fold: max-by with an explicit deterministic tiebreak), the API
+    * for "keep one object per key" when the pick logic lives in Scala.
+    * The reduction function is associative and commutative, so Spark
+    * runs it partially per partition before the shuffle — the typed
+    * analogue of a map-side-combinable agg, unlike flatMapGroups
+    * which must see the whole group.
+    *
+    * Scale notes (100 TB): partial reduction means the shuffle
+    * carries one object per (key × partition), not the group — the
+    * same physics as `agg_minmax_by`'s max_by, paid with Encoder
+    * serialization instead of codegen.
+    */
+  val typedReduceKeeper = Q(
+    "typed_reduce_keeper",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice").as[OrderRow]
+        .groupByKey(_.o_custkey)
+        .reduceGroups { (a: OrderRow, b: OrderRow) =>
+          // max by (price, then LOWEST orderkey as tiebreak)
+          if (a.o_totalprice > b.o_totalprice) a
+          else if (b.o_totalprice > a.o_totalprice) b
+          else if (a.o_orderkey < b.o_orderkey) a else b
+        }
+        .map { case (k, o) => (k, o.o_orderkey, o.o_totalprice) }
+        .toDF("custkey", "top_orderkey", "top_price")
+        .orderBy($"custkey")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      )
+      SELECT o_custkey AS custkey, o_orderkey AS top_orderkey,
+        o_totalprice AS top_price
+      FROM r WHERE rn = 1 ORDER BY custkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(typedTopnPerUser, typedAggDecimalStats,
-    typedCogroupReconcile)
+    typedCogroupReconcile, typedJoinwithSegments, typedReduceKeeper)
 }
