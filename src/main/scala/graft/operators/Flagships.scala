@@ -366,7 +366,274 @@ object Flagships extends QueryModule {
       ORDER BY promo_pct
     """.stripMargin.trim))
 
+  /** TPC-H Q4 shape: order counts per priority for one quarter, where
+    * the order has at least one late line (EXISTS with a correlated
+    * non-equi predicate — `l_shipdate > o_orderdate + 60d` stands in
+    * for the commit-vs-receipt lateness the fixtures don't carry).
+    * Catalyst decorrelates the EXISTS into a left-semi join with the
+    * date comparison as a residual condition.
+    *
+    * Scale notes (100 TB): the quarter predicate prunes the orders
+    * scan before the join; the semi join keys on l_orderkey so both
+    * exchanges co-partition; semi-join output carries no lineitem
+    * columns, so the shuffle after it is orders-sized.
+    */
+  val tpchQ4PriorityExists = Q(
+    "tpch_q4_priority_exists",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "1995-07-01" && $"o_orderdate" < "1995-10-01")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_shipdate")
+      o.join(l,
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > date_add($"o_orderdate", 60),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= '1995-07-01' AND o_orderdate < '1995-10-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """.stripMargin.trim))
+
+  /** TPC-H Q12 shape: late-shipment lines for one year classified into
+    * high/low order priority per return flag (l_returnflag stands in
+    * for the l_shipmode column the fixtures don't carry) — the
+    * conditional two-way count every SLA report uses.
+    *
+    * Scale notes (100 TB): the ship-year predicate prunes the
+    * lineitem scan; the join keys on the order key (one co-partitioned
+    * exchange pair); the lateness comparison is a residual on the
+    * joined row; the final agg has 3 groups — partial map-side agg
+    * reduces it to #partitions × 3 rows on the wire.
+    */
+  val tpchQ12LatePriority = Q(
+    "tpch_q12_late_priority",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables.lineitem(spark, dir)
+        .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01")
+        .select($"l_orderkey", $"l_shipdate", $"l_returnflag")
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .where($"l_shipdate" > date_add($"o_orderdate", 60))
+        .groupBy($"l_returnflag")
+        .agg(
+          count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 END) AS high_line_count,
+        COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+              THEN 1 END) AS low_line_count
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """.stripMargin.trim))
+
+  /** TPC-H Q13 shape: customer distribution by order count — LEFT
+    * OUTER join (customers with zero qualifying orders must survive
+    * as c_count=0) with an ON-clause filter (priority ≠ 5-LOW stands
+    * in for the comment NOT LIKE), then the distribution-of-counts
+    * second aggregation.
+    *
+    * Scale notes (100 TB): the first agg shuffles on c_custkey
+    * (customer-sized); the second groups by c_count whose domain is
+    * the max per-customer order count (tiny) — a two-level rollup
+    * where each level is strictly smaller than its input.
+    */
+  val tpchQ13Custdist = Q(
+    "tpch_q13_custdist",
+    (spark, dir) => {
+      import spark.implicits._
+      val c = Tables.customer(spark, dir).select($"c_custkey")
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderpriority" =!= "5-LOW")
+        .select($"o_custkey", $"o_orderkey")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey) t
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """.stripMargin.trim))
+
+  /** TPC-H Q17 shape: revenue from small-quantity lines of one brand —
+    * each line compared against 0.2× ITS OWN part's average quantity
+    * (correlated scalar over the FACT table, where
+    * `sql_correlated_scalar` correlates against a dim): decorrelated
+    * into a per-part grouped average joined back. The threshold is
+    * exact in both engines: quantities are integral doubles, so
+    * SUM/COUNT is exact and 0.2×(sum/count) is the same IEEE double
+    * on both sides.
+    *
+    * Scale notes (100 TB): the brand filter broadcasts (156 parts),
+    * restricting lineitem BEFORE the per-part average, so the
+    * correlated aggregate runs over the brand's lines only — the
+    * decorrelation Catalyst and DuckDB both apply; the avg-join keys
+    * on l_partkey (co-partitioned with the restricted fact).
+    */
+  val tpchQ17SmallqtyRevenue = Q(
+    "tpch_q17_smallqty_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = Tables.part(spark, dir)
+        .where($"p_brand" === "Brand#23")
+        .select($"p_partkey")
+      val lp = Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      val avgq = lp.groupBy($"l_partkey".as("a_partkey"))
+        .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+      lp.join(avgq, $"l_partkey" === $"a_partkey")
+        .where($"l_quantity" < lit(0.2) * $"avg_qty")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          (sum(dec($"l_extendedprice")).cast(DoubleType) / lit(7.0))
+            .as("avg_yearly"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """.stripMargin.trim))
+
+  /** TPC-H Q19 shape: revenue under a DISJUNCTIVE multi-attribute
+    * predicate (three brand/size/quantity clauses OR'd across the
+    * join) — the shape that defeats naive pushdown. The common
+    * factors (brand ∈ {12,23,34}, size ≤ 15) are pre-applied to the
+    * part side by hand so the broadcast carries only candidate parts;
+    * the full disjunction runs as a residual on joined rows.
+    *
+    * Scale notes (100 TB): part pre-filter keeps the broadcast tiny
+    * regardless of part-table scale; lineitem never shuffles (one
+    * broadcast hash join + global partial agg).
+    */
+  val tpchQ19DisjunctiveBrand = Q(
+    "tpch_q19_disjunctive_brand",
+    (spark, dir) => {
+      import spark.implicits._
+      val p = Tables.part(spark, dir)
+        .where($"p_brand".isin("Brand#12", "Brand#23", "Brand#34") &&
+          $"p_size".between(1, 15))
+        .select($"p_partkey", $"p_brand", $"p_size")
+      val rev = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+      Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .where(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(20, 30)))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(rev).cast(DoubleType).as("revenue"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_lines,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    """.stripMargin.trim))
+
+  /** TPC-H Q22 shape: high-balance customers gone idle — balance above
+    * the global positive-balance average (uncorrelated scalar
+    * subquery, broadcast as a 1-row frame, never collected) with NO
+    * recent order (NOT EXISTS on a date-windowed orders scan → left
+    * anti), rolled up per market segment (standing in for the phone
+    * country code). The threshold is an exact decimal sum divided
+    * once, so both engines compare against the identical double.
+    *
+    * Scale notes (100 TB): the scalar is one map-side-combinable agg
+    * broadcast back; the anti join keys on custkey against the
+    * date-pruned orders scan; customer never shuffles twice.
+    */
+  val tpchQ22IdleBalance = Q(
+    "tpch_q22_idle_balance",
+    (spark, dir) => {
+      import spark.implicits._
+      val cust = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      val thr = cust.where($"c_acctbal" > 0.0)
+        .agg((sum(dec($"c_acctbal")).cast(DoubleType) / count(lit(1)))
+          .as("thr"))
+      val recent = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "2000-01-01")
+        .select($"o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .where($"c_acctbal" > $"thr")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("numcust"),
+          sum(dec($"c_acctbal")).cast(DoubleType).as("totacctbal"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        COUNT(*) AS numcust,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
+    tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
+    tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio)
 }
