@@ -378,4 +378,62 @@ class PlanSpec extends SparkSpecBase {
       s"decorrelated join must stay an equi-join:\n$p")
     assert(p.contains("avg("), s"expected the grouped average:\n$p")
   }
+
+  test("tpch_q4_priority_exists decorrelates EXISTS to a keyed semi join") {
+    // the non-equi lateness predicate must ride the l_orderkey semi join
+    // as a residual — a loop join re-scanning lineitem per order would
+    // be O(orders × lines)
+    val df = operators.Flagships.tpchQ4PriorityExists.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semi join fell back to a loop join:\n$p")
+    assert(p.contains("date_add"),
+      s"lateness residual missing from the semi join:\n$p")
+  }
+
+  test("tpch_q17_smallqty_revenue restricts the fact before the correlated avg") {
+    // both the outer lines and the per-part average must come from the
+    // brand-filtered join (156 parts broadcast), so the grouped avg runs
+    // over the brand's lines only — and the broadcast is built once
+    val df = operators.Flagships.tpchQ17SmallqtyRevenue.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("ReusedExchange"),
+      s"brand-filter broadcast must be shared by both branches:\n$p")
+    assert("(?i)Brand#23".r.findFirstIn(p).nonEmpty,
+      s"brand predicate not pushed to the part scan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"threshold comparison must ride the equi-join as residual:\n$p")
+  }
+
+  test("tpch_q19_disjunctive_brand keeps lineitem shuffle-free") {
+    // the disjunctive predicate spans the join, but the hoisted brand
+    // and size factors keep part broadcast-small; lineitem must reach
+    // the global agg through one broadcast hash join, never an Exchange
+    // before aggregation
+    // sf0.01: at sf0.001 the disjunction matches zero lines and AQE
+    // collapses the join to EmptyRelation, hiding the join strategy
+    val df = operators.Flagships.tpchQ19DisjunctiveBrand
+      .fn(spark, "/root/testdata/sf0.01")
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"part side must broadcast:\n$p")
+    val preAgg = p.split("HashAggregate", 2).last
+    assert(!preAgg.contains("Exchange hashpartitioning"),
+      s"lineitem must not shuffle before the global agg:\n$p")
+  }
+
+  test("tpch_q22_idle_balance broadcasts the scalar and anti-joins on custkey") {
+    // the global-average threshold must arrive as a 1-row broadcast
+    // (IdentityBroadcastMode), never a collect; NOT EXISTS must be a
+    // keyed anti join against the date-pruned orders scan
+    val df = operators.Flagships.tpchQ22IdleBalance.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("IdentityBroadcastMode"),
+      s"scalar threshold must broadcast as a 1-row frame:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS did not become an anti join:\n$p")
+    assert(p.contains("2000-01-01"),
+      s"recency predicate not pushed to the orders scan:\n$p")
+  }
 }
