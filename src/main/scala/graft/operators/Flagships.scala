@@ -631,9 +631,176 @@ object Flagships extends QueryModule {
       ORDER BY c_mktsegment
     """.stripMargin.trim))
 
+  /** TPC-H Q6 shape: forecast-revenue-change — the pure scan-aggregate
+    * flagship: one year of shipments, a discount band, a quantity cap,
+    * and a single SUM(extendedprice * discount). No joins at all; the
+    * whole query is a filter + global aggregate.
+    *
+    * Scale notes (100 TB): all three predicates push to the parquet
+    * scan (year prunes row groups on l_shipdate min/max; discount and
+    * quantity prune via column statistics); the aggregate is one
+    * partial-sum per partition and a single-row exchange — the fastest
+    * possible shape for a full-fact question, bounded by scan
+    * bandwidth alone.
+    */
+  val tpchQ6ForecastRevenue = Q(
+    "tpch_q6_forecast_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1997-01-01" &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24.0)
+        .agg(sum(dec($"l_extendedprice") * dec($"l_discount"))
+          .cast(DoubleType).as("revenue"))
+        .orderBy($"revenue")
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24.0
+      ORDER BY revenue
+    """.stripMargin.trim))
+
+  /** TPC-H Q8 shape: national market share — the widest flagship
+    * composition (7 tables): for one part type sold into one region
+    * over two years, the share of revenue supplied by one nation per
+    * order year. The numerator/denominator conditional-ratio pattern
+    * of Q14 on top of the dim-star of Q5/Q7.
+    *
+    * Scale notes (100 TB): the part-type filter broadcasts only
+    * candidate parts, pruning lineitem FIRST (the most selective cut);
+    * supplier⋈nation and customer⋈nation⋈region are broadcast lookup
+    * maps; the only shuffle pair is lineitem⋈orders on the order key;
+    * per-year sums are exact decimals, the share a single double
+    * division per year-row — bit-reproducible across engines and
+    * partitionings.
+    */
+  val tpchQ8MarketShare = Q(
+    "tpch_q8_market_share",
+    (spark, dir) => {
+      import spark.implicits._
+      val n = Tables.nation(spark, dir)
+      val p = Tables.part(spark, dir)
+        .where($"p_type" === "STANDARD")
+        .select($"p_partkey")
+      val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(n.select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val r = Tables.region(spark, dir).where($"r_name" === "EUROPE")
+      val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+        .join(broadcast(n.select($"n_nationkey", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val o = Tables.orders(spark, dir)
+        .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1998-01-01")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+      val vol = dec($"l_extendedprice") * dec(lit(1) - $"l_discount")
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_extendedprice", $"l_discount")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_year")
+        .agg(
+          sum(when($"supp_nation" === "NATION_8", vol).otherwise(dec(lit(0))))
+            .as("nation_vol"),
+          sum(vol).as("total_vol"))
+        .select(
+          $"o_year",
+          ($"nation_vol".cast(DoubleType) / $"total_vol".cast(DoubleType))
+            .as("mkt_share"),
+          $"nation_vol".cast(DoubleType).as("nation_revenue"),
+          $"total_vol".cast(DoubleType).as("total_revenue"))
+        .orderBy($"o_year")
+    },
+    Some("""
+      SELECT o_year,
+        CAST(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE) AS DOUBLE)
+          AS mkt_share,
+        CAST(nation_vol AS DOUBLE) AS nation_revenue,
+        CAST(total_vol AS DOUBLE) AS total_revenue
+      FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          SUM(CASE WHEN n1.n_name = 'NATION_8'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_vol,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_vol
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        GROUP BY o_year
+      )
+      ORDER BY o_year
+    """.stripMargin.trim))
+
+  /** TPC-H Q15 shape: top supplier — per-supplier quarterly revenue,
+    * then the supplier(s) achieving the global maximum (the
+    * view-plus-scalar-subquery query). The max is computed as a 1-row
+    * aggregate over the supplier-sized revenue table and broadcast
+    * back as a join — never collected to the driver.
+    *
+    * Scale notes (100 TB): the quarter predicate prunes the fact scan;
+    * the per-supplier agg is supplier-cardinality (map-side combine
+    * shrinks the shuffle to #partitions × #suppliers-in-partition);
+    * everything after — the max row and the winner join — operates on
+    * dimension-sized data; supplier names arrive by broadcast.
+    */
+  val tpchQ15TopSupplier = Q(
+    "tpch_q15_top_supplier",
+    (spark, dir) => {
+      import spark.implicits._
+      val rev = Tables.lineitem(spark, dir)
+        .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+        .groupBy($"l_suppkey")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .as("total_rev"))
+      val top = rev.agg(max($"total_rev").as("max_rev"))
+      rev.join(broadcast(top), $"total_rev" === $"max_rev")
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev".cast(DoubleType).as("total_revenue"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      FROM supplier
+      JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s_suppkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
-    tpchQ14PromoRatio)
+    tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
+    tpchQ15TopSupplier)
 }

@@ -436,4 +436,45 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("2000-01-01"),
       s"recency predicate not pushed to the orders scan:\n$p")
   }
+
+  test("tpch_q6_forecast_revenue: join-free, all predicates pushed to the scan") {
+    val df = operators.Flagships.tpchQ6ForecastRevenue.fn(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("Join"), s"Q6 must compile join-free:\n$p")
+    // the PushedFilters list renders truncated in toString, so assert on
+    // the untruncated scan metadata instead
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.exists(f => f.contains("GreaterThanOrEqual(l_shipdate") &&
+        f.contains("LessThanOrEqual(l_discount") && f.contains("LessThan(l_quantity")),
+      s"year/discount/quantity predicates not pushed to the parquet scan:\n$scans")
+    // single global agg: the only exchange is the 1-row final-agg gather
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a scan-aggregate must not hash-shuffle:\n$p")
+  }
+
+  test("tpch_q8_market_share: star dims broadcast, one fact-fact shuffle pair") {
+    // sf0.01: at sf0.001 the STANDARD×EUROPE×2-year slice is near-empty
+    // and AQE may collapse joins, hiding the strategy under test
+    val df = operators.Flagships.tpchQ8MarketShare
+      .fn(spark, "/root/testdata/sf0.01")
+    val p = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier-nation/customer-region sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 7-table star must ride equi-joins only:\n$p")
+  }
+
+  test("tpch_q15_top_supplier: max row broadcast as 1-row frame, never collected") {
+    val df = operators.Flagships.tpchQ15TopSupplier.fn(spark, sfDir)
+    val p = planString(df)
+    // the global-max join must be a broadcast hash join against the
+    // 1-row aggregate; the winner row then picks up s_name by broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"max-row and supplier-name joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the max filter is an equi-join on total_rev, not a loop join:\n$p")
+  }
 }
