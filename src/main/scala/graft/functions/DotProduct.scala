@@ -87,6 +87,44 @@ object GraftFunctions {
   private[functions] val cmsInfo =
     new ExpressionInfo(classOf[CmsEstimate].getCanonicalName, "graft_cms_estimate")
 
+  private[functions] val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+      .getCanonicalName,
+    "graft_might_contain")
+
+  /** SQL surface for Catalyst's internal `BloomFilterMightContain` —
+    * the probe half of the engine's runtime-filter machinery, which
+    * Spark keeps in its INTERNAL registry (usable by InjectRuntimeFilter,
+    * invisible to SQL). The expression requires the filter argument to
+    * be foldable or a scalar subquery (it deserializes the sketch once
+    * per task), so callers pass the bloom as
+    * `(SELECT graft_bloom_agg(...) FROM …)` — the same shape Spark's
+    * own InjectRuntimeFilter rule plants.
+    */
+  private[functions] val mightContainBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 2, "graft_might_contain takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+  }
+
+  private[functions] val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+      .getCanonicalName,
+    "graft_bloom_agg")
+
+  /** SQL surface for the build half, `BloomFilterAggregate` — also
+    * internal-registry-only. Args: (xxhash64-long column,
+    * estimatedNumItems, numBits), both sizing args constant longs.
+    */
+  private[functions] val bloomAggBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 3,
+        "graft_bloom_agg takes exactly 3 arguments (value, estimatedNumItems, numBits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2)).toAggregateExpression()
+  }
+
   /** Runtime registration into an existing session (the harness builds
     * the SparkSession itself, so `spark.sql.extensions` is not an
     * option there). Idempotent.
@@ -97,6 +135,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry
       .registerFunction(
         FunctionIdentifier("graft_cms_estimate"), cmsInfo, CmsFunctions.builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_might_contain"), mightContainInfo, mightContainBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(
+        FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder)
   }
 }
 
@@ -108,5 +152,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.info, GraftFunctions.builder))
     ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
       GraftFunctions.cmsInfo, CmsFunctions.builder))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      GraftFunctions.bloomAggInfo, GraftFunctions.bloomAggBuilder))
   }
 }

@@ -720,6 +720,72 @@ object TextOps extends QueryModule {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Bloom-pre-filtered decontamination — the SAME declared output (and
+    * oracle) as `text_decontaminate_ngram`, with the benchmark set
+    * carried as a BLOOM FILTER instead of an exact broadcast set, plus
+    * an exact confirm join over the surviving candidates so false
+    * positives cannot reach the output.
+    *
+    * Why this row exists (100 TB): the exact formulation broadcasts the
+    * full distinct benchmark-shingle set — fine while benchmarks are
+    * small, but a many-benchmark contamination sweep can push that set
+    * past broadcast limits. The bloom is O(numBits) regardless of
+    * shingle count (100 KB here), reaches every task as a 1-row scalar
+    * subquery — the exact mechanism Spark's own InjectRuntimeFilter
+    * plants (`BloomFilterAggregate` build + `BloomFilterMightContain`
+    * probe), surfaced as `graft_might_contain` — and the expensive
+    * exact join then touches only the ~FP-rate fraction of training
+    * shingles that pass the probe. Sizing: 100k estimated items ×
+    * 800k bits ⇒ ~3% FP at capacity; the confirm join makes FP rate a
+    * COST knob, not a correctness one. An empty benchmark yields a
+    * null bloom, `graft_might_contain` returns null, the filter drops
+    * every candidate — identical to the exact form's empty join.
+    */
+  val textDecontaminateBloom = Q(
+    "text_decontaminate_bloom",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.documents(spark, dir)
+      val sh = shingles(docs)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val benchSh = sh.where($"source" === "src0")
+        .select($"shingle").distinct()
+      val trainSh = sh.where($"source" =!= "src0")
+        .select($"doc_id", $"shingle")
+      val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val bv = s"bench_sh_$runId"
+      val tv = s"train_sh_$runId"
+      benchSh.createOrReplaceTempView(bv)
+      trainSh.createOrReplaceTempView(tv)
+      try {
+        // analysis resolves the views eagerly, so dropping them in the
+        // finally is safe for the lazy frame returned below
+        val cand = spark.sql(
+          s"""SELECT doc_id, shingle FROM $tv
+             |WHERE graft_might_contain(
+             |  (SELECT graft_bloom_agg(xxhash64(shingle), 100000L, 800000L)
+             |   FROM $bv),
+             |  xxhash64(shingle))""".stripMargin)
+        cand
+          .join(broadcast(benchSh), "shingle")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .join(sizes, "doc_id")
+          .select(
+            $"doc_id", $"n_hits", $"n_shingles",
+            ($"n_hits".cast(DoubleType) / $"n_shingles")
+              .cast(DecimalType(18, 6)).as("contamination"))
+          .where($"n_hits" >= 3)
+          .orderBy($"doc_id")
+      } finally {
+        spark.catalog.dropTempView(bv)
+        spark.catalog.dropTempView(tv)
+      }
+    },
+    textDecontaminateNgram.oracle)
+
   /** Connected-components dedup clustering: the step that turns
     * near-dup PAIRS into dedup GROUPS — each document in any
     * Jaccard≥0.5 pair is assigned its component's canonical id (the
@@ -1243,6 +1309,7 @@ object TextOps extends QueryModule {
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
+    textDecontaminateBloom,
     dedupConnectedComponents, textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,

@@ -114,6 +114,22 @@ class TextOpsSpec extends SparkSpecBase {
       s"only-expected=${(expected.keySet -- got.keySet).take(5)}")
   }
 
+  test("bloom decontamination: plan probes the bloom, result equals the exact twin") {
+    import spark.implicits._
+    val bloom = operators.TextOps.textDecontaminateBloom.fn(spark, sfDir)
+    // the bloom probe must actually be in the candidate filter (else this
+    // row is just the exact query with extra steps)
+    val analyzed = bloom.queryExecution.analyzed.toString
+    assert(analyzed.contains("might_contain") || analyzed.contains("BloomFilter"),
+      s"no bloom probe in the plan:\n$analyzed")
+    val got = bloom
+      .select($"doc_id", $"n_hits", $"n_shingles").as[(Long, Long, Long)].collect().toSet
+    val exact = operators.TextOps.textDecontaminateNgram.fn(spark, sfDir)
+      .select($"doc_id", $"n_hits", $"n_shingles").as[(Long, Long, Long)].collect().toSet
+    assert(got == exact, s"bloom != exact: only-bloom=${(got -- exact).take(5)}, " +
+      s"only-exact=${(exact -- got).take(5)}")
+  }
+
   test("connected components equal a union-find over the declared pair list") {
     import spark.implicits._
     val pairs = operators.TextOps.textJaccardSimpairs.fn(spark, sfDir)
