@@ -23,11 +23,40 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TextOps extends QueryModule {
 
-  /** Last invocation's cached shingle frame for `text_decontaminate_ngram`
-    * — swapped (and the predecessor unpersisted) on each re-invocation.
+  /** Last invocation's cached shingle frame for the two decontamination
+    * rows — swapped (and the predecessor unpersisted) only when the
+    * plan actually changes (a different sfDir).
     */
   private val decontamCache =
     new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
+  /** Source-tagged distinct shingles, cached across invocations AND
+    * across the exact/bloom decontamination twins. A plain
+    * cache-then-unpersist-predecessor swap silently DROPS the entry
+    * when the predecessor has the identical plan (cache() dedupes by
+    * canonicalized plan, so unpersisting the old frame removes the new
+    * frame's entry too) — re-invocations then run uncached. Comparing
+    * with `sameResult` first keeps the live entry instead; the swap
+    * only happens when the input directory really changed, which is
+    * the only safe unpersist point for the lazily-returned frames.
+    */
+  private def taggedShingles(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val old = decontamCache.get()
+    if (old != null &&
+        old.queryExecution.analyzed.sameResult(sh.queryExecution.analyzed)) {
+      old
+    } else {
+      sh.cache()
+      decontamCache.set(sh)
+      if (old != null) old.unpersist(false)
+      sh
+    }
+  }
 
   /** Lowercased whitespace tokens with 0-based position. */
   def tokens(docs: org.apache.spark.sql.DataFrame) =
@@ -653,17 +682,11 @@ object TextOps extends QueryModule {
     "text_decontaminate_ngram",
     (spark, dir) => {
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
       // tag each shingle with its doc's source ONCE and cache: three
       // downstream branches (benchmark set, training set, sizes) would
-      // otherwise each re-tokenize the corpus. The previous invocation's
-      // cache is released here — the fn returns a lazy frame, so this
-      // swap is the only safe unpersist point; without it the largest
-      // text-suite intermediate would pin storage memory all session.
-      val sh = shingles(docs)
-        .join(docs.select($"doc_id", $"source"), "doc_id")
-        .cache()
-      Option(decontamCache.getAndSet(sh)).foreach(_.unpersist(false))
+      // otherwise each re-tokenize the corpus; see taggedShingles for
+      // the cross-invocation cache discipline
+      val sh = taggedShingles(spark, dir)
       val benchSh = sh.where($"source" === "src0")
         .select($"shingle").distinct()
       val trainSh = sh.where($"source" =!= "src0")
@@ -746,9 +769,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.GraftFunctions.register(spark)
-      val docs = Tables.documents(spark, dir)
-      val sh = shingles(docs)
-        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val sh = taggedShingles(spark, dir)
       val benchSh = sh.where($"source" === "src0")
         .select($"shingle").distinct()
       val trainSh = sh.where($"source" =!= "src0")
