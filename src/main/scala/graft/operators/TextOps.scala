@@ -936,6 +936,82 @@ object TextOps extends QueryModule {
       FROM reach GROUP BY a ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Per-document TRIANGLE counts over the Jaccard≥0.5 near-dup graph —
+    * the cluster-density signal connected components can't see: a
+    * component formed by a CHAIN (A~B~C with A≁C) merges documents that
+    * were never directly similar (transitive-drift risk), while a
+    * triangle-dense component is a genuine duplicate clique safe to
+    * collapse to one keeper. Standard enumeration on the d1<d2-oriented
+    * edge list: 2-paths via the shared middle vertex, closed by an
+    * existence check on the (low, high) closing edge — each triangle
+    * found exactly once.
+    *
+    * Scale notes (100 TB): the edge list is near-dup-pair-sized (orders
+    * below the corpus); it is localCheckpointed once so the three
+    * self-references never recompute the quadratic shingle pipeline.
+    * The 2-path join keys on the middle vertex and the closing check is
+    * a LEFT SEMI join keyed on the (a, c) pair — co-partitioned hash
+    * joins throughout, no loop join. Degree skew is bounded by dup
+    * cluster size; for a pathological hub vertex the standard fix is
+    * degree-ordered orientation (point each edge at the higher-degree
+    * endpoint), noted here and unnecessary at this corpus's max degree.
+    */
+  val dedupTriangleCount = Q(
+    "dedup_triangle_count",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = jaccardPairs(Tables.documents(spark, dir))
+        .select($"d1", $"d2").localCheckpoint(true)
+      val tri = e.as("e1")
+        .join(e.as("e2"), $"e1.d2" === $"e2.d1")
+        .select($"e1.d1".as("a"), $"e1.d2".as("b"), $"e2.d2".as("c"))
+        .join(e.as("e3"), $"a" === $"e3.d1" && $"c" === $"e3.d2", "left_semi")
+      tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.d2 = e2.d1
+        WHERE EXISTS (
+          SELECT 1 FROM pairs e3 WHERE e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+      ), verts AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      )
+      SELECT doc_id, COUNT(*) AS n_triangles
+      FROM verts GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
+
   /** Stratified deterministic sampling: per-language sampling rates
     * (50% for `en`, 20% for the rest) decided by an md5 bucket of
     * (lang, doc_id) — the `sampleBy` semantics done reproducibly.
@@ -1331,7 +1407,7 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     textDecontaminateBloom,
-    dedupConnectedComponents, textPiiRedact, textRepetitionStats,
+    dedupConnectedComponents, dedupTriangleCount, textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
     sampleImportanceWeighted, pipelineNearDedup)
