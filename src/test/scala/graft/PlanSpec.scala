@@ -467,6 +467,14 @@ class PlanSpec extends SparkSpecBase {
       s"the 7-table star must ride equi-joins only:\n$p")
   }
 
+  test("dedup_triangle_count: 2-path and closing joins are hash joins, no loop join") {
+    val df = operators.TextOps.dedupTriangleCount.fn(spark, sfDir)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must ride equi-joins (middle vertex, (a,c) pair):\n$p")
+    assert(p.contains("LeftSemi"), s"the closing-edge check must be a semi join:\n$p")
+  }
+
   test("tpch_q15_top_supplier: max row broadcast as 1-row frame, never collected") {
     val df = operators.Flagships.tpchQ15TopSupplier.fn(spark, sfDir)
     val p = planString(df)
