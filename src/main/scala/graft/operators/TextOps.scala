@@ -214,11 +214,41 @@ object TextOps extends QueryModule {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Last computed full-corpus near-dup pair frame — the shared input
+    * of the graph family (simpairs / connected components / triangles).
+    */
+  private val pairsCache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+
+  /** Jaccard≥0.5 pairs over the FULL documents table, cached across the
+    * graph-family queries with the same sameResult discipline as
+    * `taggedShingles`: each of simpairs, connected components and
+    * triangle counting consumes this exact frame, so only the first
+    * invocation per input directory pays the quadratic shingle
+    * pipeline. (The en-filtered variant in `pipeline_near_dedup` is a
+    * different plan and intentionally not cached here.)
+    */
+  private def corpusJaccardPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val fresh = jaccardPairs(Tables.documents(spark, dir))
+    val old = pairsCache.get()
+    if (old != null &&
+        old.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed)) {
+      old
+    } else {
+      fresh.cache()
+      pairsCache.set(fresh)
+      if (old != null) old.unpersist(false)
+      fresh
+    }
+  }
+
   val textJaccardSimpairs = Q(
     "text_jaccard_simpairs",
     (spark, dir) => {
       import spark.implicits._
-      jaccardPairs(Tables.documents(spark, dir)).orderBy($"d1", $"d2")
+      corpusJaccardPairs(spark, dir).orderBy($"d1", $"d2")
     },
     Some("""
       WITH tok AS (
@@ -893,7 +923,7 @@ object TextOps extends QueryModule {
     "dedup_connected_components",
     (spark, dir) => {
       import spark.implicits._
-      connectedComponents(jaccardPairs(Tables.documents(spark, dir)))
+      connectedComponents(corpusJaccardPairs(spark, dir))
         .select($"id".as("doc_id"), $"comp")
         .orderBy($"doc_id")
     },
@@ -960,7 +990,7 @@ object TextOps extends QueryModule {
     "dedup_triangle_count",
     (spark, dir) => {
       import spark.implicits._
-      val e = jaccardPairs(Tables.documents(spark, dir))
+      val e = corpusJaccardPairs(spark, dir)
         .select($"d1", $"d2").localCheckpoint(true)
       val tri = e.as("e1")
         .join(e.as("e2"), $"e1.d2" === $"e2.d1")
