@@ -542,6 +542,77 @@ object TextOps extends QueryModule {
       GROUP BY split ORDER BY split
     """.stripMargin.trim))
 
+  /** Sequence PACKING — the step that turns a filtered corpus into
+    * fixed-token-budget training rows (docs greedily concatenated to a
+    * 512-token budget, the fill-ratio-vs-padding trade every LLM data
+    * pipeline makes). Formulation: per (lang, md5-bucket) streams,
+    * docs in doc_id order, running token count; a doc joins the pack
+    * its PREFIX sum lands in (`floor((cum - n_tok)/budget)` — exact:
+    * the divisor is a power of two, so the double division is lossless).
+    * Declared output is the per-pack manifest (doc count, token mass,
+    * fill ratio, oversize count); docs longer than the budget get an
+    * oversized pack of their own and are surfaced in `n_oversize`
+    * (a real packer splits them — the split point is a tokenizer
+    * decision, out of engine scope).
+    *
+    * Scale notes (100 TB): the window partitions on (lang, bucket)
+    * where the BUCKET COUNT IS THE SCALE KNOB — buckets ∝ corpus
+    * tokens / (tasks-worth of packs × budget) keeps every window
+    * partition bounded (8 here ≈ thousands of docs each at sf0.1); the
+    * md5 bucketing is partitioning-independent and engine-mirrorable
+    * (`sample_hash_split`'s arithmetic). One shuffle on (lang, bucket),
+    * one window pass, one map-side-combinable agg on the same key
+    * prefix — the agg reuses the window's exchange.
+    */
+  val textPackSequences = Q(
+    "text_pack_sequences",
+    (spark, dir) => {
+      import spark.implicits._
+      val budget = 512
+      val toks = Tables.documents(spark, dir)
+        .select(
+          $"doc_id", $"lang",
+          size(filter(split(lower($"text"), " "), t => t =!= ""))
+            .cast("long").as("n_tok"),
+          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("bucket"))
+      val w = Window.partitionBy($"lang", $"bucket").orderBy($"doc_id")
+      toks
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("pack_id",
+          floor(($"cum" - $"n_tok") / lit(budget.toDouble)).cast("long"))
+        .groupBy($"lang", $"bucket", $"pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("pack_tokens"),
+          sum(when($"n_tok" > budget, 1L).otherwise(0L)).as("n_oversize"))
+        .select(
+          $"lang", $"bucket", $"pack_id", $"n_docs", $"pack_tokens", $"n_oversize",
+          ($"pack_tokens".cast(DoubleType) / budget)
+            .cast(DecimalType(18, 6)).as("fill_ratio"))
+        .orderBy($"lang", $"bucket", $"pack_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tok,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS BIGINT) AS bucket
+        FROM documents
+      ), packed AS (
+        SELECT lang, bucket, n_tok,
+          CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang, bucket ORDER BY doc_id) - n_tok) / 512.0) AS BIGINT) AS pack_id
+        FROM toks
+      )
+      SELECT lang, bucket, pack_id,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+        CAST(SUM(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+        CAST(CAST(SUM(n_tok) AS DOUBLE) / 512 AS DECIMAL(18,6)) AS fill_ratio
+      FROM packed
+      GROUP BY lang, bucket, pack_id
+      ORDER BY lang, bucket, pack_id
+    """.stripMargin.trim))
+
   /** TF-IDF: smooth-idf weights (ln((N+1)/(df+1))+1, scikit-style) with
     * top-3 terms per queried doc. Document frequency aggregates over the
     * WHOLE corpus (distinct (doc,tok) then count per tok — two shuffles
@@ -1437,7 +1508,8 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     textDecontaminateBloom,
-    dedupConnectedComponents, dedupTriangleCount, textPiiRedact, textRepetitionStats,
+    dedupConnectedComponents, dedupTriangleCount, textPackSequences,
+    textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
     sampleImportanceWeighted, pipelineNearDedup)
