@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import graft.functions.GraftFunctions
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -533,8 +534,75 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** Matryoshka-truncation quality report — how much similarity signal
+    * survives truncating embeddings to their first k dimensions
+    * (k ∈ {8, 16, 32} of 64), the MRL-style storage/recall trade every
+    * large vector store evaluates before shipping truncated indexes.
+    * Per label: energy retention Σ‖v[0..k)‖² / Σ‖v‖² and its square
+    * root (the RMS retained cosine, since cos(v, v[0..k) zero-padded)
+    * = ‖v[0..k)‖/‖v‖) — one posexplode pass with conditional DECIMAL
+    * power sums yields every k simultaneously.
+    *
+    * Scale notes (100 TB): one explode + one map-side-combinable agg
+    * keyed by label — no joins, no windows, no per-vector rounding;
+    * the exact decimal sums make the result partition-order
+    * independent (§2.0) and the single final division is performed on
+    * engine-identical doubles (no decimal re-rounding boundary), the
+    * same discipline as `vec_norms_stats`.
+    */
+  val vecMatryoshkaEnergy = Q(
+    "vec_matryoshka_energy",
+    (spark, dir) => {
+      import spark.implicits._
+      val sq = ($"v".cast(DoubleType) * $"v".cast(DoubleType))
+        .cast(DecimalType(28, 12))
+      def ratio(c: Column): Column = c.cast(DoubleType) / $"ss_full".cast(DoubleType)
+      Tables.embeddings(spark, dir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label")
+        .agg(
+          count(when($"pos" === 0, 1)).as("n"),
+          sum(sq).as("ss_full"),
+          sum(when($"pos" < 8, sq)).as("ss8"),
+          sum(when($"pos" < 16, sq)).as("ss16"),
+          sum(when($"pos" < 32, sq)).as("ss32"))
+        .select(
+          $"label", $"n",
+          ratio($"ss8").as("energy8"),
+          ratio($"ss16").as("energy16"),
+          ratio($"ss32").as("energy32"),
+          sqrt(ratio($"ss8")).as("rms_cos8"),
+          sqrt(ratio($"ss16")).as("rms_cos16"),
+          sqrt(ratio($"ss32")).as("rms_cos32"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+          UNNEST(embedding) AS v,
+          UNNEST(range(len(embedding))) AS pos
+        FROM embeddings
+      ), sq AS (
+        SELECT label,
+          COUNT(CASE WHEN pos = 0 THEN 1 END) AS n,
+          SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS ss_full,
+          SUM(CASE WHEN pos < 8 THEN CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12)) END) AS ss8,
+          SUM(CASE WHEN pos < 16 THEN CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12)) END) AS ss16,
+          SUM(CASE WHEN pos < 32 THEN CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(28,12)) END) AS ss32
+        FROM e GROUP BY label
+      )
+      SELECT label, n,
+        CAST(ss8 AS DOUBLE) / CAST(ss_full AS DOUBLE) AS energy8,
+        CAST(ss16 AS DOUBLE) / CAST(ss_full AS DOUBLE) AS energy16,
+        CAST(ss32 AS DOUBLE) / CAST(ss_full AS DOUBLE) AS energy32,
+        SQRT(CAST(ss8 AS DOUBLE) / CAST(ss_full AS DOUBLE)) AS rms_cos8,
+        SQRT(CAST(ss16 AS DOUBLE) / CAST(ss_full AS DOUBLE)) AS rms_cos16,
+        SQRT(CAST(ss32 AS DOUBLE) / CAST(ss_full AS DOUBLE)) AS rms_cos32
+      FROM sq ORDER BY label
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
-    vecStandardizeDims, vecMipsTopk)
+    vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy)
 }
