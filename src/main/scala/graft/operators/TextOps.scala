@@ -1501,6 +1501,76 @@ object TextOps extends QueryModule {
       GROUP BY source ORDER BY source
     """.stripMargin.trim))
 
+  /** Temperature-based mixture reweighting across corpus SOURCES — the
+    * standard LLM data-mixing step: a source's natural share p_s =
+    * tokens_s/Σtokens is flattened to q_s ∝ p_s^α (α = 0.5 here), so
+    * small high-value sources are upsampled and giant ones downweighted;
+    * the report carries natural share, temperature share, and the
+    * implied per-source boost factor q_s/p_s an epoch sampler applies.
+    * Since q_s ∝ p_s^0.5 ∝ √tokens_s, the weights reduce to
+    * √tokens_s / Σ√tokens — no intermediate normalization needed.
+    *
+    * Determinism (§2.0): √tokens_s is a pure row function of an exact
+    * BIGINT (identical doubles in both engines), rounded once to
+    * DECIMAL(28,12); the cross-source normalizers Σtokens and Σ√tokens
+    * are exact sums (BIGINT / decimal) over the source-sized aggregate,
+    * computed by an unpartitioned window — bounded by the SOURCE DOMAIN
+    * cardinality (20 here, maybe thousands at 100 TB), never by corpus
+    * row count, the same freq-table bound as `win_cume_dist_scalable`.
+    * The corpus itself is touched by one two-level map-side-combinable
+    * token agg (doc-keyed pre-agg spreads hot sources before the
+    * source rollup).
+    */
+  lazy val sampleMixtureTemperature = Q(
+    "sample_mixture_temperature",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          explode(split(lower($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"doc_id", $"source").agg(count(lit(1)).as("t"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"t").as("tokens"))
+        .withColumn("s", sqrt($"tokens".cast(DoubleType)).cast(DecimalType(28, 12)))
+        .withColumn("tot_tokens", sum($"tokens").over(w))
+        .withColumn("tot_s", sum($"s").over(w))
+        .select(
+          $"source", $"n_docs", $"tokens",
+          ($"tokens".cast(DoubleType) / $"tot_tokens".cast(DoubleType))
+            .as("natural_share"),
+          ($"s".cast(DoubleType) / $"tot_s".cast(DoubleType))
+            .as("temp_share"),
+          (($"s".cast(DoubleType) / $"tot_s".cast(DoubleType)) /
+            ($"tokens".cast(DoubleType) / $"tot_tokens".cast(DoubleType)))
+            .as("boost"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH per_doc AS (
+        SELECT doc_id, source, COUNT(*) AS t
+        FROM (SELECT doc_id, source, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id, source
+      ), per_src AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS tokens,
+          CAST(SQRT(CAST(SUM(t) AS DOUBLE)) AS DECIMAL(28,12)) AS s
+        FROM per_doc GROUP BY source
+      ), normed AS (
+        SELECT *, SUM(tokens) OVER () AS tot_tokens, SUM(s) OVER () AS tot_s
+        FROM per_src
+      )
+      SELECT source, n_docs, tokens,
+        CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS natural_share,
+        CAST(s AS DOUBLE) / CAST(tot_s AS DOUBLE) AS temp_share,
+        (CAST(s AS DOUBLE) / CAST(tot_s AS DOUBLE)) /
+          (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+      FROM normed ORDER BY source
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
@@ -1512,7 +1582,7 @@ object TextOps extends QueryModule {
     textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
-    sampleImportanceWeighted, pipelineNearDedup)
+    sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature)
 
   /** Per-document character-level Shannon entropy — the gibberish
     * detector token-level stats miss: low entropy flags repetition /
