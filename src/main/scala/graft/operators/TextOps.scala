@@ -1113,6 +1113,90 @@ object TextOps extends QueryModule {
       FROM verts GROUP BY doc_id ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Per-component QUALITY report over the near-dup graph — the
+    * collapse-vs-review decision table that closes the graph family:
+    * components (`dedup_connected_components`) say WHAT merges,
+    * triangles (`dedup_triangle_count`) say how cliquish locally; this
+    * row scores each component globally — size, internal edge count,
+    * density 2E/(n(n-1)), and an is_clique flag. A dedup pass collapses
+    * dense components to one keeper and routes sparse chain-formed ones
+    * (transitive drift) to review.
+    *
+    * Scale notes (100 TB): reuses the cached pair table and the
+    * pointer-jumping label propagation; the report itself is one
+    * equi-join of the PAIR table to the label table (d1's component =
+    * d2's by construction) plus two component-keyed aggs — everything
+    * is near-dup-pair-sized, orders below the corpus. Density is a
+    * pure row function of two exact BIGINTs, identical across engines.
+    */
+  lazy val dedupClusterQuality = Q(
+    "dedup_cluster_quality",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = corpusJaccardPairs(spark, dir).select($"d1", $"d2")
+      val labels = connectedComponents(pairs)
+      val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("n_docs"))
+      val edges = pairs
+        .join(labels.withColumnRenamed("id", "d1"), "d1")
+        .groupBy($"comp").agg(count(lit(1)).as("n_edges"))
+      sizes.join(edges, "comp")
+        .select(
+          $"comp", $"n_docs", $"n_edges",
+          (($"n_edges" * 2).cast(DoubleType) /
+            ($"n_docs" * ($"n_docs" - 1)).cast(DoubleType)).as("density"),
+          ($"n_edges" * 2 === $"n_docs" * ($"n_docs" - 1)).as("is_clique"))
+        .orderBy($"comp")
+    },
+    Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), verts AS (
+        SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs
+      ), gedges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+      ), reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN gedges e ON r.b = e.a
+      ), labels AS (
+        SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+      ), csizes AS (
+        SELECT comp, COUNT(*) AS n_docs FROM labels GROUP BY comp
+      ), cedges AS (
+        SELECT l.comp, COUNT(*) AS n_edges
+        FROM pairs p JOIN labels l ON p.d1 = l.id
+        GROUP BY l.comp
+      )
+      SELECT comp, n_docs, n_edges,
+        CAST(n_edges * 2 AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE) AS density,
+        (n_edges * 2 = n_docs * (n_docs - 1)) AS is_clique
+      FROM csizes JOIN cedges USING (comp)
+      ORDER BY comp
+    """.stripMargin.trim))
+
   /** Stratified deterministic sampling: per-language sampling rates
     * (50% for `en`, 20% for the rest) decided by an md5 bucket of
     * (lang, doc_id) — the `sampleBy` semantics done reproducibly.
@@ -1578,7 +1662,8 @@ object TextOps extends QueryModule {
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     textDecontaminateBloom,
-    dedupConnectedComponents, dedupTriangleCount, textPackSequences,
+    dedupConnectedComponents, dedupTriangleCount, dedupClusterQuality,
+    textPackSequences,
     textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
