@@ -1197,6 +1197,93 @@ object TextOps extends QueryModule {
       ORDER BY comp
     """.stripMargin.trim))
 
+  /** Quality-priority KEEPER selection per near-dup component — the
+    * final act of the dedup story: components say what merges, this row
+    * says which document SURVIVES. Keeper = the component member with
+    * the most whitespace tokens (content-richness proxy), doc_id as the
+    * deterministic tiebreak; every graph vertex gets its keeper and an
+    * `is_keeper` flag (exact-dedup's min-id rule upgraded to a quality
+    * rule, the choice real curation pipelines make).
+    *
+    * Scale notes (100 TB): reuses the cached pair table and the
+    * pointer-jumping labels; token counts are one map-side-combinable
+    * agg over the corpus. The rank window partitions by COMPONENT — its
+    * cost is bounded by component size, which LSH-banded candidate
+    * generation keeps small by construction (a pathological giant
+    * component is a data-quality signal `dedup_cluster_quality` flags
+    * for review before any keeper collapse). The keeper table re-joins
+    * back on comp — near-dup-vertex-sized, orders below the corpus.
+    */
+  lazy val dedupKeeperQuality = Q(
+    "dedup_keeper_quality",
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = corpusJaccardPairs(spark, dir).select($"d1", $"d2")
+      val labels = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      val ntok = tokens(Tables.documents(spark, dir))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+      val ranked = labels.join(ntok, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"comp").orderBy($"n_tokens".desc, $"doc_id".asc)))
+      val keepers = ranked.where($"rk" === 1)
+        .select($"comp", $"doc_id".as("keeper_id"))
+      ranked.join(keepers, "comp")
+        .select($"doc_id", $"comp", $"n_tokens", $"keeper_id",
+          ($"doc_id" === $"keeper_id").as("is_keeper"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), verts AS (
+        SELECT d1 AS id FROM pairs UNION SELECT d2 FROM pairs
+      ), gedges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+      ), reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN gedges e ON r.b = e.a
+      ), labels AS (
+        SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a
+      ), ntok AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+      ), ranked AS (
+        SELECT l.id AS doc_id, l.comp, n.n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY l.comp
+            ORDER BY n.n_tokens DESC, l.id) AS rk
+        FROM labels l JOIN ntok n ON l.id = n.doc_id
+      ), keepers AS (
+        SELECT comp, doc_id AS keeper_id FROM ranked WHERE rk = 1
+      )
+      SELECT r.doc_id, r.comp, r.n_tokens, k.keeper_id,
+        (r.doc_id = k.keeper_id) AS is_keeper
+      FROM ranked r JOIN keepers k USING (comp)
+      ORDER BY r.doc_id
+    """.stripMargin.trim))
+
   /** Stratified deterministic sampling: per-language sampling rates
     * (50% for `en`, 20% for the rest) decided by an md5 bucket of
     * (lang, doc_id) — the `sampleBy` semantics done reproducibly.
@@ -1663,7 +1750,7 @@ object TextOps extends QueryModule {
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
     textDecontaminateBloom,
     dedupConnectedComponents, dedupTriangleCount, dedupClusterQuality,
-    textPackSequences,
+    dedupKeeperQuality, textPackSequences,
     textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
