@@ -601,8 +601,107 @@ object VectorOps extends QueryModule {
       FROM sq ORDER BY label
     """.stripMargin.trim))
 
+  /** Exact k-NN GRAPH audit (k = 5, cosine, global — across labels):
+    * per-label hubness/consistency report — member count, mean 5th-
+    * neighbor similarity (the "local density" radius), and the fraction
+    * of directed kNN edges that are RECIPROCAL (dst also ranks src).
+    * Low reciprocity + low kth-similarity = isolated/hubby regions, the
+    * standard embedding-health probe before ANN-index deployment.
+    *
+    * Scale notes (100 TB): the exact graph is intrinsically n² (see
+    * `dedup_embedding_cosine`'s threshold argument — this is the exact
+    * AUDITOR one runs on a sample; `vec_ann_lsh`/`vec_ann_ivf` are the
+    * production kNN path). The same chunk trick makes it parallel: the
+    * corpus replicates m× on the left, the right side hashes into m
+    * chunks, the join keys on chunk id → m independent bounded tasks,
+    * each (n/m)·n dots pipelined inside the join; only scalar
+    * (src, dst, cos) rows reach the top-k window shuffle, never arrays.
+    * The kNN table (n·k rows) self-joins for reciprocity and aggregates
+    * to one row per label — output is label-count-sized. Cosines are
+    * rounded to 6 dp with dst-id tiebreaks before ranking (§2.0 rule 7)
+    * so the graph is identical across engines and partitionings.
+    */
+  /** Chunk-local exact-kNN candidate stage: corpus replicated to every
+    * chunk on the left, RANGE-partitioned so each of the m chunks is
+    * exactly one task; one chunk per vector on the right, broadcast.
+    * The broadcast-hash join on chunk id preserves the left's
+    * partitioning, so the chunk-local top-k window needs NO exchange —
+    * the n·(n/m)-row candidate stream never shuffles (PlanSpec asserts
+    * one Exchange total). Emits ≤ k survivors per (chunk, src).
+    */
+  def knnLocalTopK(e: org.apache.spark.sql.DataFrame, k: Int, m: Int): org.apache.spark.sql.DataFrame = {
+    val a = e.select(col("vec_id").as("src"), col("label"),
+        col("emb").as("e1"), col("nrm").as("n1"))
+      .withColumn("cb", explode(array((0 until m).map(lit): _*)))
+      .repartitionByRange(m, col("cb"))
+    val b = e.select(col("vec_id").as("dst"), col("emb").as("e2"), col("nrm").as("n2"))
+      .withColumn("c2", pmod(col("dst"), lit(m)))
+    a.join(broadcast(b), col("cb") === col("c2") && col("src") =!= col("dst"))
+      .withColumn("cos", round(cosine("e1", "e2", "n1", "n2"), 6))
+      .select(col("cb"), col("src"), col("label"), col("dst"), col("cos"))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("cb"), col("src"))
+          .orderBy(col("cos").desc, col("dst").asc)))
+      .filter(col("rn1") <= k)
+  }
+
+  lazy val vecKnnGraphStats = Q(
+    "vec_knn_graph_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val k = 5
+      val m = 32
+      // global top-k over the m·k survivors per src — n·m·k scalar rows,
+      // materialized once (checkpoint) because the reciprocity join reads
+      // the graph twice.
+      val knn = knnLocalTopK(withNorm(spark, dir), k, m)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)))
+        .filter($"rn" <= k)
+        .select($"src", $"label", $"dst", $"cos", $"rn")
+        .localCheckpoint(true)
+      val mirror = knn.select($"src".as("dst"), $"dst".as("src"), lit(true).as("mk"))
+      knn.join(mirror, Seq("src", "dst"), "left")
+        .withColumn("recip", coalesce($"mk", lit(false)))
+        .groupBy($"label")
+        .agg(
+          countDistinct($"src").as("n_vec"),
+          avg(when($"rn" === k, $"cos").cast(DecimalType(18, 6)))
+            .cast(DecimalType(18, 6)).as("avg_kth_cos"),
+          (sum(when($"recip", 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1))).cast(DecimalType(18, 6)).as("recip_frac"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), edges AS (
+        SELECT a.vec_id AS src, a.label AS label, b.vec_id AS dst,
+          ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      ), knn AS (
+        SELECT * FROM (
+          SELECT src, label, dst, cos,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+          FROM edges)
+        WHERE rn <= 5
+      ), marked AS (
+        SELECT k1.src, k1.label, k1.dst, k1.cos, k1.rn,
+          EXISTS (SELECT 1 FROM knn k2
+                  WHERE k2.src = k1.dst AND k2.dst = k1.src) AS recip
+        FROM knn k1
+      )
+      SELECT label,
+        COUNT(DISTINCT src) AS n_vec,
+        CAST(AVG(CASE WHEN rn = 5 THEN CAST(cos AS DECIMAL(18,6)) END)
+             AS DECIMAL(18,6)) AS avg_kth_cos,
+        CAST(CAST(SUM(CASE WHEN recip THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS DECIMAL(18,6)) AS recip_frac
+      FROM marked GROUP BY label ORDER BY label
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
-    vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy)
+    vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats)
 }

@@ -485,4 +485,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the max filter is an equi-join on total_rev, not a loop join:\n$p")
   }
+
+  test("vec_knn_graph candidate stage: one exchange, window rides the join partitioning") {
+    // the n·(n/m) candidate stream must never shuffle: the only Exchange
+    // is the m-way range repartition of the replicated left side (n·m
+    // rows), the chunk join is a broadcast hash join, and the chunk-local
+    // top-k window reuses hashpartitioning-compatible range partitioning
+    val df = operators.VectorOps.knnLocalTopK(
+      operators.VectorOps.withNorm(spark, sfDir), 5, 8)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), s"chunk join must broadcast:\n$p")
+    assert("Exchange (range|hash)partitioning".r.findAllIn(p).size == 1,
+      s"candidate stream must not shuffle (1 range exchange expected):\n$p")
+    assert(p.contains("Window"), s"chunk-local top-k must be a window:\n$p")
+  }
 }
