@@ -743,8 +743,86 @@ object EtlOps extends QueryModule {
       ORDER BY o_orderpriority
     """.stripMargin.trim))
 
+  /** Referential-integrity audit over the schema's FK graph, BOTH
+    * directions per relation: orphaned children (FK with no parent —
+    * broken ingest) and unreferenced parents (dimension rows no fact
+    * ever touches — retention candidates). One row per relation with
+    * counts and orphan rate; a healthy warehouse shows n_orphan = 0
+    * while n_unref_parent is expected drift.
+    *
+    * Scale notes (100 TB): each relation is ONE pass — the child side
+    * pre-aggregates per FK value (map-side-combinable, shuffle carries
+    * distinct keys not rows), the parent side is its distinct PK, and
+    * a single full-outer equi-join classifies all three populations
+    * (matched / orphan / unreferenced) before a global 1-row agg. No
+    * anti-join double-scan, no broadcast requirement (both sides are
+    * key-partitioned), and the four relations' plans are independent —
+    * a real audit fans them out as one union job.
+    */
+  val etlFkOrphanAudit = Q(
+    "etl_fk_orphan_audit",
+    (spark, dir) => {
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame, key: String,
+          parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+        val ck = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("nc"))
+        val pk = parent.select(col(pkey).as("k")).distinct
+          .withColumn("isp", lit(true))
+        ck.join(pk, Seq("k"), "full")
+          .agg(
+            coalesce(sum(coalesce(col("nc"), lit(0L))), lit(0L)).as("n_child"),
+            coalesce(sum(when(col("isp").isNull, col("nc"))), lit(0L)).as("n_orphan"),
+            count(when(col("isp"), 1)).as("n_parent"),
+            count(when(col("isp") && col("nc").isNull, 1)).as("n_unref_parent"))
+          .select(
+            lit(rel).as("relation"),
+            col("n_child").cast("long").as("n_child"),
+            col("n_orphan").cast("long").as("n_orphan"),
+            (col("n_orphan").cast(DoubleType) / col("n_child"))
+              .cast(DecimalType(18, 6)).as("orphan_rate"),
+            col("n_parent"), col("n_unref_parent"))
+      }
+      audit("events.user_id->customer", Tables.events(spark, dir), "user_id",
+          Tables.customer(spark, dir), "c_custkey")
+        .unionByName(audit("lineitem.l_orderkey->orders",
+          Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey"))
+        .unionByName(audit("lineitem.l_partkey->part",
+          Tables.lineitem(spark, dir), "l_partkey",
+          Tables.part(spark, dir), "p_partkey"))
+        .unionByName(audit("orders.o_custkey->customer",
+          Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"))
+        .orderBy(col("relation"))
+    },
+    Some("""
+      WITH
+      ek AS (SELECT user_id AS k, COUNT(*) AS nc FROM events GROUP BY 1),
+      ck AS (SELECT DISTINCT c_custkey AS k, TRUE AS isp FROM customer),
+      lk AS (SELECT l_orderkey AS k, COUNT(*) AS nc FROM lineitem GROUP BY 1),
+      ok AS (SELECT DISTINCT o_orderkey AS k, TRUE AS isp FROM orders),
+      lpk AS (SELECT l_partkey AS k, COUNT(*) AS nc FROM lineitem GROUP BY 1),
+      ppk AS (SELECT DISTINCT p_partkey AS k, TRUE AS isp FROM part),
+      ock AS (SELECT o_custkey AS k, COUNT(*) AS nc FROM orders GROUP BY 1),
+      rel AS (
+        SELECT 'events.user_id->customer' AS relation, * FROM ek FULL JOIN ck USING (k)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', * FROM lk FULL JOIN ok USING (k)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', * FROM lpk FULL JOIN ppk USING (k)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', * FROM ock FULL JOIN ck USING (k))
+      SELECT relation,
+        CAST(COALESCE(SUM(COALESCE(nc, 0)), 0) AS BIGINT) AS n_child,
+        CAST(COALESCE(SUM(CASE WHEN isp IS NULL THEN nc END), 0) AS BIGINT) AS n_orphan,
+        CAST(CAST(COALESCE(SUM(CASE WHEN isp IS NULL THEN nc END), 0) AS DOUBLE) /
+             COALESCE(SUM(COALESCE(nc, 0)), 0) AS DECIMAL(18,6)) AS orphan_rate,
+        CAST(COUNT(CASE WHEN isp THEN 1 END) AS BIGINT) AS n_parent,
+        CAST(COUNT(CASE WHEN isp AND nc IS NULL THEN 1 END) AS BIGINT) AS n_unref_parent
+      FROM rel GROUP BY relation ORDER BY relation
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
-    etlRowChecksumAudit, sqlCorrelatedScalar)
+    etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit)
 }
