@@ -844,6 +844,78 @@ object TextOps extends QueryModule {
       ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** Cross-document BOILERPLATE detection — the C4-style signal the
+    * within-doc `text_repetition_stats` and cross-corpus
+    * `text_decontaminate_ngram` rows cannot see: a 3-gram shingle
+    * appearing in ≥ 5 distinct documents is boilerplate (nav chrome,
+    * license headers, templated spans), and a document whose distinct
+    * shingle mass is dominated by such shingles is template-generated.
+    * Emits the top-40 documents by boilerplate share with exact counts.
+    *
+    * Scale notes (100 TB): the shingle document-frequency table is one
+    * map-side-combinable agg over the cached (doc_id, shingle) relation
+    * shared with the decontamination twins; the common-shingle set is
+    * df-threshold-bounded (boilerplate is by definition a small
+    * DISTINCT vocabulary even when its occurrence mass is huge) and
+    * broadcast, so the corpus-sized side never reshuffles and a hot
+    * shingle costs its occurrence count, never a pairwise blowup —
+    * the reason this formulation replaces any doc×doc overlap join.
+    * Final top-k is TakeOrderedAndProject (no global sort).
+    */
+  val textBoilerplateShare = Q(
+    "text_boilerplate_share",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = taggedShingles(spark, dir).select($"doc_id", $"shingle")
+      val common = sh.groupBy($"shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" >= 5)
+        .select($"shingle")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      val hits = sh.join(broadcast(common), "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_common"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .select(
+          $"doc_id", $"n_shingles",
+          coalesce($"n_common", lit(0L)).as("n_common"),
+          (coalesce($"n_common", lit(0L)).cast(DoubleType) / $"n_shingles")
+            .cast(DecimalType(18, 6)).as("boilerplate_share"))
+        .orderBy($"boilerplate_share".desc, $"doc_id")
+        .limit(40)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), common AS (
+        SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        WHERE df >= 5
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+      ), hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_common
+        FROM sh s JOIN common c USING (shingle) GROUP BY 1
+      )
+      SELECT z.doc_id, z.n_shingles,
+        COALESCE(h.n_common, 0) AS n_common,
+        CAST(CAST(CAST(COALESCE(h.n_common, 0) AS DOUBLE) / z.n_shingles
+             AS DECIMAL(18,6)) AS DOUBLE) AS boilerplate_share
+      FROM sizes z LEFT JOIN hits h USING (doc_id)
+      ORDER BY boilerplate_share DESC, doc_id
+      LIMIT 40
+    """.stripMargin.trim))
+
   /** Bloom-pre-filtered decontamination — the SAME declared output (and
     * oracle) as `text_decontaminate_ngram`, with the benchmark set
     * carried as a BLOOM FILTER instead of an exact broadcast set, plus
@@ -1748,7 +1820,7 @@ object TextOps extends QueryModule {
     textLangidNgram, textQualityScore, textTokenStats,
     textFingerprintRolling, sampleHashSplit, textTfidfTopterms,
     dedupFuzzyEditdistance, textChunkSliding, textDecontaminateNgram,
-    textDecontaminateBloom,
+    textDecontaminateBloom, textBoilerplateShare,
     dedupConnectedComponents, dedupTriangleCount, dedupClusterQuality,
     dedupKeeperQuality, textPackSequences,
     textPiiRedact, textRepetitionStats,
