@@ -821,8 +821,81 @@ object EtlOps extends QueryModule {
       FROM rel GROUP BY relation ORDER BY relation
     """.stripMargin.trim))
 
+  /** Per-key SKEW planning report — the "should I salt this join?"
+    * decision table a shuffle planner consults before co-partitioning
+    * on a key: exact distribution of rows-per-key (count, total, max,
+    * mean, exact discrete p50/p99, max/mean skew factor) over
+    * `events.user_id`, in long (metric, value) format.
+    *
+    * Scale notes (100 TB): the per-key frequency table is ONE
+    * map-side-combinable agg (shuffle carries distinct keys); every
+    * statistic is then derived from the freq-of-freq table — bounded
+    * by the number of DISTINCT per-key counts, which is tiny at any
+    * corpus size — so the quantile window runs on a table that never
+    * grows with the data. Quantiles use integer cumulative arithmetic
+    * (smallest n with 100·cum ≥ q·n_keys): no doubles until the two
+    * ratio metrics, each computed once from exact longs.
+    */
+  val etlKeySkewStats = Q(
+    "etl_key_skew_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = Tables.events(spark, dir)
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      // freq-of-freq: bounded by DISTINCT per-key counts — tiny at any
+      // scale. localCheckpoint so the seven metric branches below read
+      // this table, not seven re-executions of the corpus agg.
+      val cum = freq.groupBy($"n").agg(count(lit(1)).as("nk"))
+        .withColumn("cum",
+          sum($"nk").over(Window.orderBy($"n")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint()
+      val stats = cum.agg(
+        sum($"nk").as("n_keys"),
+        sum($"n" * $"nk").as("n_rows"),
+        max($"n").as("max_n"))
+      val withKeys = cum.crossJoin(broadcast(stats))
+      val p50 = withKeys.filter($"cum" * 2 >= $"n_keys")
+        .agg(min($"n").as("v"))
+      val p99 = withKeys.filter($"cum" * 100 >= $"n_keys" * 99)
+        .agg(min($"n").as("v"))
+      def m(name: String, c: org.apache.spark.sql.Column,
+          from: org.apache.spark.sql.DataFrame) =
+        from.select(lit(name).as("metric"),
+          c.cast(DecimalType(18, 6)).as("value"))
+      m("n_keys", $"n_keys", stats)
+        .union(m("n_rows", $"n_rows", stats))
+        .union(m("max_key_rows", $"max_n", stats))
+        .union(m("mean_key_rows",
+          $"n_rows".cast(DoubleType) / $"n_keys", stats))
+        .union(m("p50_key_rows", $"v", p50))
+        .union(m("p99_key_rows", $"v", p99))
+        .union(m("skew_max_over_mean",
+          $"max_n".cast(DoubleType) * $"n_keys" / $"n_rows", stats))
+        .orderBy($"metric")
+    },
+    Some("""
+      WITH freq AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      stats AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n FROM freq),
+      ff AS (SELECT n, COUNT(*) AS nk FROM freq GROUP BY 1),
+      cum AS (SELECT n, SUM(nk) OVER (ORDER BY n) AS cum FROM ff),
+      p50 AS (SELECT MIN(n) AS v FROM cum, stats WHERE cum * 2 >= n_keys),
+      p99 AS (SELECT MIN(n) AS v FROM cum, stats WHERE cum * 100 >= n_keys * 99)
+      SELECT metric, CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value FROM (
+        SELECT 'n_keys' AS metric, CAST(n_keys AS DOUBLE) AS value FROM stats
+        UNION ALL SELECT 'n_rows', CAST(n_rows AS DOUBLE) FROM stats
+        UNION ALL SELECT 'max_key_rows', CAST(max_n AS DOUBLE) FROM stats
+        UNION ALL SELECT 'mean_key_rows', CAST(n_rows AS DOUBLE) / n_keys FROM stats
+        UNION ALL SELECT 'p50_key_rows', CAST(v AS DOUBLE) FROM p50
+        UNION ALL SELECT 'p99_key_rows', CAST(v AS DOUBLE) FROM p99
+        UNION ALL SELECT 'skew_max_over_mean',
+          CAST(max_n AS DOUBLE) * n_keys / n_rows FROM stats)
+      ORDER BY metric
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
-    etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit)
+    etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,
+    etlKeySkewStats)
 }
