@@ -893,9 +893,57 @@ object EtlOps extends QueryModule {
       ORDER BY metric
     """.stripMargin.trim))
 
+  /** Per-feed FRESHNESS watermark report — the staleness dashboard a
+    * scheduled pipeline publishes after every load: per event_type, row
+    * count, high-watermark timestamp, lag behind the global watermark in
+    * whole minutes, trailing-24h row count, and a stale flag (> 60 min
+    * behind). The global watermark is a 1-row aggregate broadcast back
+    * onto the stream — never collected.
+    *
+    * Scale notes (100 TB): two passes over the event stream (global max,
+    * then one map-side-combinable per-type agg whose trailing-24h count
+    * rides the same pass via the broadcast watermark); lag arithmetic is
+    * integer microseconds (exact, engine-portable), no doubles anywhere.
+    */
+  val etlFreshnessWatermark = Q(
+    "etl_freshness_watermark",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).select($"event_type", $"ts")
+      val g = ev.agg(max($"ts").as("gmax"))
+      ev.crossJoin(broadcast(g))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          max($"ts").as("max_ts"),
+          first($"gmax").as("gmax"),
+          count(when($"ts" >= $"gmax" - expr("INTERVAL 1 DAY"), 1))
+            .as("n_last_day"))
+        .select(
+          $"event_type", $"n_rows", $"max_ts",
+          expr("timestampdiff(MICROSECOND, max_ts, gmax) div 60000000")
+            .as("lag_minutes"),
+          $"n_last_day",
+          (expr("timestampdiff(MICROSECOND, max_ts, gmax) div 60000000")
+            > 60).as("stale"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+      SELECT event_type,
+        COUNT(*) AS n_rows,
+        MAX(ts) AS max_ts,
+        (epoch_us(gmax) - epoch_us(MAX(ts))) // 60000000 AS lag_minutes,
+        COUNT(CASE WHEN ts >= gmax - INTERVAL 1 DAY THEN 1 END) AS n_last_day,
+        (epoch_us(gmax) - epoch_us(MAX(ts))) // 60000000 > 60 AS stale
+      FROM events, g
+      GROUP BY event_type, gmax
+      ORDER BY event_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
     etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,
-    etlKeySkewStats)
+    etlKeySkewStats, etlFreshnessWatermark)
 }
