@@ -1216,6 +1216,63 @@ object Aggregations extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """.stripMargin.trim))
 
+  /** GINI COEFFICIENT of per-source volume concentration within each
+    * language — the corpus-balance audit a training-data pipeline runs
+    * before mixing sources (G=0: every source contributes equally;
+    * G→1: one source dominates — reweight or cap before training).
+    * Uses the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over sources
+    * sorted ascending by volume, with a deterministic source-name
+    * tiebreak so equal-volume ranks are total. All moments are exact
+    * BIGINT sums; doubles appear only in the two final divisions —
+    * identical operand-for-operand on both engines.
+    *
+    * Scale notes (100 TB): the ranked table is (lang × source)-sized —
+    * bounded by the label domains, independent of corpus row count —
+    * so the rank window is over a bounded table; the corpus itself is
+    * touched by ONE map-side-combinable sum.
+    */
+  val aggGiniConcentration = Q(
+    "agg_gini_concentration",
+    (spark, dir) => {
+      import spark.implicits._
+      val x = Tables.documents(spark, dir)
+        .groupBy($"lang", $"source")
+        .agg(sum($"n_chars").as("chars"))
+      val w = Window.partitionBy($"lang").orderBy($"chars", $"source")
+      x.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_sources"),
+          sum($"chars").as("total_chars"),
+          sum($"i" * $"chars").as("rank_weighted"))
+        .select($"lang", $"n_sources", $"total_chars",
+          (lit(2.0) * $"rank_weighted".cast(DoubleType)
+            / ($"n_sources" * $"total_chars").cast(DoubleType)
+            - ($"n_sources" + lit(1L)).cast(DoubleType)
+              / $"n_sources".cast(DoubleType)).as("gini"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH x AS (
+        SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1, 2
+      ), r AS (
+        SELECT lang, chars,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY chars, source) AS i
+        FROM x
+      ), g AS (
+        SELECT lang, COUNT(*) AS n_sources,
+          CAST(SUM(chars) AS BIGINT) AS total_chars,
+          CAST(SUM(i * chars) AS BIGINT) AS rank_weighted
+        FROM r GROUP BY lang
+      )
+      SELECT lang, n_sources, total_chars,
+        2.0 * CAST(rank_weighted AS DOUBLE)
+          / CAST(n_sources * total_chars AS DOUBLE)
+        - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE) AS gini
+      FROM g ORDER BY lang
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1225,5 +1282,5 @@ object Aggregations extends QueryModule {
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
-    aggHistogramEquidepth)
+    aggHistogramEquidepth, aggGiniConcentration)
 }

@@ -700,8 +700,115 @@ object VectorOps extends QueryModule {
       FROM marked GROUP BY label ORDER BY label
     """.stripMargin.trim))
 
+  /** One full LLOYD ITERATION of k-means over the embedding corpus —
+    * the clustering primitive behind IVF codebook training, topic
+    * bucketing, and diversity sampling, declared as a deterministic
+    * DataFrame plan: seed centroids = the 8 lowest vec_ids (the
+    * deterministic init every engine can reproduce), ASSIGN each
+    * vector to its nearest centroid (squared L2 via the codegen'd
+    * dot-product identity ‖a‖²−2a·c+‖c‖², rounded 6 dp with cid
+    * tiebreak — §2.0 rule 4, same discipline as `vec_cosine_topk`),
+    * UPDATE centroids as exact per-dimension decimal means, and report
+    * per cluster: size, inertia (exact decimal sum of rounded d²) and
+    * centroid DRIFT ‖c_new − c_old‖ (the convergence signal that
+    * decides whether to run another round).
+    *
+    * Scale notes (100 TB): the codebook (k=8) broadcasts; assignment
+    * is one broadcast-join pass over the corpus (no shuffle of the
+    * vectors); the update is posexplode + per-(cid, dim) decimal
+    * partial agg — the shuffle carries k×64 rows, independent of
+    * corpus size. Iterating = re-running this plan with the updated
+    * codebook; each round is one scan, the textbook distributed
+    * k-means schedule.
+    */
+  val vecKmeansLloyd = Q(
+    "vec_kmeans_lloyd",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"emb".as("cemb"))
+      val d2 = round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"cemb")
+          + GraftFunctions.dot($"cemb", $"cemb"), 6)
+      val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+      val asg = e.join(broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid", $"d2")
+      // exact decimal per-dimension means of each cluster's members
+      val newc = asg
+        .join(e, "vec_id")
+        .select($"cid", posexplode($"emb").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"x".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+        .select($"cid", $"pos",
+          ($"s".cast(DoubleType) / $"n").cast(DecimalType(18, 8)).as("m"))
+      val oldc = cents.select($"cid", posexplode($"cemb").as(Seq("pos", "c")))
+      val drift = newc.join(oldc, Seq("cid", "pos"))
+        .groupBy($"cid")
+        .agg(sum((($"m".cast(DoubleType) - $"c") * ($"m".cast(DoubleType) - $"c"))
+          .cast(DecimalType(28, 12))).as("dr"))
+      asg.groupBy($"cid")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"d2".cast(DecimalType(18, 6))).as("inertia_d"))
+        .join(drift, "cid")
+        .select($"cid", $"n_vecs",
+          $"inertia_d".cast(DoubleType).as("inertia"),
+          round(sqrt($"dr".cast(DoubleType)), 6).as("drift"))
+        .orderBy($"cid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8
+      ), d AS (
+        SELECT e.vec_id, c.cid,
+          ROUND(list_inner_product(e.emb, e.emb)
+                - 2.0 * list_inner_product(e.emb, c.cemb)
+                + list_inner_product(c.cemb, c.cemb), 6) AS d2
+        FROM e CROSS JOIN c
+      ), a AS (
+        SELECT vec_id, cid, d2,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+      ), asg AS (
+        SELECT vec_id, cid, d2 FROM a WHERE rn = 1
+      ), mem AS (
+        SELECT asg.cid, u.pos, u.x
+        FROM asg JOIN (
+          SELECT vec_id,
+            UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+            UNNEST(range(len(embedding))) AS pos
+          FROM embeddings) u ON asg.vec_id = u.vec_id
+      ), newc AS (
+        SELECT cid, pos,
+          CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS m
+        FROM mem GROUP BY cid, pos
+      ), oldc AS (
+        SELECT cid, UNNEST(cemb) AS cv, UNNEST(range(len(cemb))) AS pos FROM c
+      ), drift AS (
+        SELECT n.cid,
+          SUM(CAST((n.m - o.cv) * (n.m - o.cv) AS DECIMAL(28,12))) AS dr
+        FROM newc n JOIN oldc o ON n.cid = o.cid AND n.pos = o.pos
+        GROUP BY n.cid
+      )
+      SELECT asg.cid, COUNT(*) AS n_vecs,
+        CAST(SUM(CAST(asg.d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia,
+        ROUND(SQRT(CAST(ANY_VALUE(drift.dr) AS DOUBLE)), 6) AS drift
+      FROM asg JOIN drift ON asg.cid = drift.cid
+      GROUP BY asg.cid
+      ORDER BY asg.cid
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
-    vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats)
+    vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
+    vecKmeansLloyd)
 }

@@ -739,11 +739,144 @@ object Windows extends QueryModule {
       ORDER BY c_mktsegment, tile
     """.stripMargin.trim))
 
+  /** Exponentially weighted moving average with DYADIC decay (alpha =
+    * 1/2, one-event half-life) over each user's trailing 8 events —
+    * the smoothing pass of monitoring/feature pipelines. Every weight
+    * 2^-k is an EXACT decimal, so numerator (Σ value·2^-k) and the
+    * presence-weighted denominator are exact decimal sums with ONE
+    * double division at the surface — which is what makes a
+    * recursive-looking smoother hash-comparable across engines and
+    * partitionings (a float alpha would drift in the low bits; an
+    * unbounded recursion would not be expressible as a frame at all —
+    * the 8-term truncation bounds the error at 2^-8 of the oldest
+    * weight while keeping the operator a pure window).
+    *
+    * Scale notes (100 TB): one window pass partitioned by user_id —
+    * the same single shuffle+sort as `win_lag_lead`; all 8 lag terms
+    * share that one window, no extra exchange, codegen'd throughout.
+    */
+  val winEwmaDyadic = Q(
+    "win_ewma_dyadic",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      def weight(k: Int) = lit(
+        java.math.BigDecimal.ONE
+          .divide(java.math.BigDecimal.valueOf(1L << k))
+          .setScale(7))
+      val zero = lit(new java.math.BigDecimal("0.0000000"))
+      def term(k: Int) =
+        coalesce(lag(dec($"value"), k).over(w), lit(new java.math.BigDecimal("0.00"))) * weight(k)
+      def present(k: Int) =
+        when(lag($"value", k).over(w).isNotNull, weight(k)).otherwise(zero)
+      val num = (0 to 7).map(term).reduce(_ + _)
+      val den = (0 to 7).map(present).reduce(_ + _)
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("ewma", num.cast(DoubleType) / den.cast(DoubleType))
+        .select($"event_id", $"user_id", $"ewma")
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_id, user_id,
+          CAST(value AS DECIMAL(18,2)) AS v0,
+          LAG(CAST(value AS DECIMAL(18,2)), 1) OVER w AS v1,
+          LAG(CAST(value AS DECIMAL(18,2)), 2) OVER w AS v2,
+          LAG(CAST(value AS DECIMAL(18,2)), 3) OVER w AS v3,
+          LAG(CAST(value AS DECIMAL(18,2)), 4) OVER w AS v4,
+          LAG(CAST(value AS DECIMAL(18,2)), 5) OVER w AS v5,
+          LAG(CAST(value AS DECIMAL(18,2)), 6) OVER w AS v6,
+          LAG(CAST(value AS DECIMAL(18,2)), 7) OVER w AS v7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT event_id, user_id,
+        CAST(COALESCE(v0, 0) * 1.0000000 + COALESCE(v1, 0) * 0.5000000
+           + COALESCE(v2, 0) * 0.2500000 + COALESCE(v3, 0) * 0.1250000
+           + COALESCE(v4, 0) * 0.0625000 + COALESCE(v5, 0) * 0.0312500
+           + COALESCE(v6, 0) * 0.0156250 + COALESCE(v7, 0) * 0.0078125
+          AS DOUBLE)
+        / CAST(CASE WHEN v0 IS NULL THEN 0.0000000 ELSE 1.0000000 END
+             + CASE WHEN v1 IS NULL THEN 0.0000000 ELSE 0.5000000 END
+             + CASE WHEN v2 IS NULL THEN 0.0000000 ELSE 0.2500000 END
+             + CASE WHEN v3 IS NULL THEN 0.0000000 ELSE 0.1250000 END
+             + CASE WHEN v4 IS NULL THEN 0.0000000 ELSE 0.0625000 END
+             + CASE WHEN v5 IS NULL THEN 0.0000000 ELSE 0.0312500 END
+             + CASE WHEN v6 IS NULL THEN 0.0000000 ELSE 0.0156250 END
+             + CASE WHEN v7 IS NULL THEN 0.0000000 ELSE 0.0078125 END
+          AS DOUBLE) AS ewma
+      FROM l
+      ORDER BY event_id
+    """.stripMargin.trim))
+
+  /** 2-D PARETO FRONT (skyline) over orders: the orders no other order
+    * strictly beats on BOTH price (higher) and date (earlier) — the
+    * classic "best tradeoff set" query (cheapest-newest, biggest-
+    * earliest). Strict domination on both axes; price compared at
+    * DECIMAL(18,2) on both engines.
+    *
+    * Scale notes (100 TB): the naive skyline is a quadratic NOT
+    * EXISTS self-join (the ORACLE's formulation — an independent
+    * algorithm cross-checking ours). This plan is the distributed
+    * two-level scan: band the price axis (bounded band count since
+    * the price domain is bounded), compute the min-date-over-
+    * strictly-higher-prices threshold as (a) a per-band running min
+    * over the band's DISTINCT prices and (b) a running min over the
+    * tiny per-band min table for all higher bands, then one equi-join
+    * back on (band, price) and a pure row filter. No global sort of
+    * the fact side, no quadratic join — two bounded windows + two
+    * hash joins, all map-side-combinable aggs.
+    */
+  val winParetoFront = Q(
+    "win_pareto_front",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", dec($"o_totalprice").as("price"), $"o_orderdate")
+        .withColumn("band",
+          floor($"price".cast(DoubleType) / lit(50000.0)).cast("long"))
+      // one row per (band, distinct price): earliest date at that price
+      val pp = o.groupBy($"band", $"price").agg(min($"o_orderdate").as("md"))
+      // min date among STRICTLY higher prices within the band (pp is
+      // distinct on price, so the 1-PRECEDING frame excludes ties)
+      val wInBand = Window.partitionBy($"band").orderBy($"price".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = pp.withColumn("above_in_band", min($"md").over(wInBand))
+      // min date over all strictly higher BANDS (band table is bounded:
+      // price domain / band width, independent of row count)
+      val bmin = pp.groupBy($"band").agg(min($"md").as("bm"))
+      val wBands = Window.orderBy($"band".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bprefix = bmin.withColumn("above_bands", min($"bm").over(wBands))
+      val thr = local
+        .join(bprefix.select($"band", $"above_bands"), Seq("band"))
+        .select($"band", $"price",
+          least($"above_in_band", $"above_bands").as("above"))
+      o.join(thr, Seq("band", "price"))
+        .filter($"above".isNull || $"above" >= $"o_orderdate")
+        .select($"o_orderkey", $"price".cast(DoubleType).as("price"), $"o_orderdate")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        o_orderdate
+      FROM orders x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders y
+        WHERE CAST(y.o_totalprice AS DECIMAL(18,2))
+                > CAST(x.o_totalprice AS DECIMAL(18,2))
+          AND y.o_orderdate < x.o_orderdate)
+      ORDER BY o_orderkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
     winStreakLongest, winRunningDistinct, winCumeDist,
-    winCumeDistScalable, winNthValue, winNtileBuckets)
+    winCumeDistScalable, winNthValue, winNtileBuckets,
+    winEwmaDyadic, winParetoFront)
 }
