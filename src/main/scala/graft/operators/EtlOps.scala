@@ -941,9 +941,120 @@ object EtlOps extends QueryModule {
       ORDER BY event_type
     """.stripMargin.trim))
 
+  /** BENFORD first-digit audit over order totals — the fraud /
+    * synthetic-data screen: naturally occurring monetary amounts
+    * follow P(d) = log10(1+1/d); a feed whose leading digits deviate
+    * hard was generated, truncated, or tampered with. Output per
+    * digit: count, observed fraction, Benford expectation, absolute
+    * deviation. The digit is extracted from the DECIMAL(18,2) string
+    * form (no log10-of-value boundary hazard at powers of ten);
+    * fractions are single double divisions; the expectation is
+    * rounded to 6 dp before the deviation so both engines subtract
+    * identical operands.
+    *
+    * Scale notes (100 TB): one map-side-combinable 9-group agg plus a
+    * 1-row total broadcast back — the audit costs one scan regardless
+    * of feed size.
+    */
+  val etlBenfordDeviation = Q(
+    "etl_benford_deviation",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir).select(dec($"o_totalprice").as("p"))
+      val g = o.select(substring($"p".cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n"))
+      val t = o.agg(count(lit(1)).as("total"))
+      val expFrac = round(log10(lit(1.0) + lit(1.0) / $"digit".cast(DoubleType)), 6)
+      g.crossJoin(broadcast(t))
+        .select(
+          $"digit", $"n",
+          round($"n".cast(DoubleType) / $"total".cast(DoubleType), 6).as("obs_frac"),
+          expFrac.as("exp_frac"),
+          round(abs($"n".cast(DoubleType) / $"total".cast(DoubleType) - expFrac), 6)
+            .as("abs_dev"))
+        .orderBy($"digit")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+      ), g AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+      ), t AS (
+        SELECT COUNT(*) AS total FROM orders
+      )
+      SELECT digit, n,
+        ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS obs_frac,
+        ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_frac,
+        ROUND(ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                  - ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6) AS abs_dev
+      FROM g CROSS JOIN t
+      ORDER BY digit
+    """.stripMargin.trim))
+
+  /** GAPS-AND-ISLANDS over a dense key space — "which ID ranges are
+    * missing?": per order status, the maximal runs of consecutive
+    * o_orderkey values and their gap structure (island count, row
+    * total, longest/shortest run). The declared plan is the
+    * DISTRIBUTED formulation: island STARTS are rows with no key−1
+    * predecessor and ENDS rows with no key+1 successor (two left-anti
+    * EQUI-joins — hash-joinable at any scale, no global sort of the
+    * fact side); the i-th start pairs with the i-th end per status
+    * over the islands-sized table. The ORACLE is the classic
+    * key−row_number() grouping — an independent algorithm agreeing on
+    * every count.
+    *
+    * Scale notes (100 TB): the anti-joins shuffle on the key
+    * (co-partitioned); only the start/end tables — bounded by island
+    * count, far below row count on real feeds — reach the pairing
+    * rank, and that rank block-decomposes by key range if islands
+    * ever rival rows.
+    */
+  val etlSequenceIslands = Q(
+    "etl_sequence_islands",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderstatus".as("st"), $"o_orderkey".as("k"))
+      def boundary(shift: Int) = o.as("a")
+        .join(o.as("b"),
+          col("a.st") === col("b.st") && col("a.k") === col("b.k") + shift,
+          "left_anti")
+        .select(col("a.st").as("st"), col("a.k").as("k"))
+      val starts = boundary(1).select($"st", $"k".as("start_k"))
+        .withColumn("i", row_number().over(Window.partitionBy($"st").orderBy($"start_k")))
+      val ends = boundary(-1).select($"st", $"k".as("end_k"))
+        .withColumn("i", row_number().over(Window.partitionBy($"st").orderBy($"end_k")))
+      starts.join(ends, Seq("st", "i"))
+        .select($"st", ($"end_k" - $"start_k" + 1L).as("len"))
+        .groupBy($"st")
+        .agg(
+          count(lit(1)).as("n_islands"),
+          sum($"len").as("n_rows"),
+          max($"len").as("max_len"),
+          min($"len").as("min_len"))
+        .orderBy($"st")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_orderstatus AS st, o_orderkey AS k,
+          o_orderkey - ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_orderkey) AS grp
+        FROM orders
+      ), isl AS (
+        SELECT st, grp, COUNT(*) AS len FROM g GROUP BY st, grp
+      )
+      SELECT st, COUNT(*) AS n_islands,
+        CAST(SUM(len) AS BIGINT) AS n_rows,
+        MAX(len) AS max_len, MIN(len) AS min_len
+      FROM isl GROUP BY st ORDER BY st
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
     etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,
-    etlKeySkewStats, etlFreshnessWatermark)
+    etlKeySkewStats, etlFreshnessWatermark, etlBenfordDeviation,
+    etlSequenceIslands)
 }

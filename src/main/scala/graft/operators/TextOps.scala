@@ -1826,7 +1826,66 @@ object TextOps extends QueryModule {
     textPiiRedact, textRepetitionStats,
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
-    sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature)
+    sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
+    textMadLengthOutlier)
+
+  /** MEDIAN-ABSOLUTE-DEVIATION length outlier gate per language — the
+    * ROBUST version of `etl_anomaly_zscore` for corpus curation:
+    * mean/stddev gates move when the outliers themselves pollute the
+    * moments, while median and MAD are unmoved by any minority of
+    * extreme docs (50% breakdown point) — the filter of choice for
+    * truncated/concatenated-document detection. Per lang: median
+    * length, MAD, and the count beyond the 3-MAD fence. All inputs
+    * are integers, so the interpolated medians land on exact binary
+    * fractions (k or k.5, MAD fences on k.25 steps) — bit-identical
+    * across engines with no decimal guard needed.
+    *
+    * Scale notes (100 TB): exact per-group percentiles materialize
+    * each group (sort-based agg) — fine for per-lang groups here; the
+    * 100 TB swap is `approx_percentile` in the same plan shape (the
+    * `agg_percentiles_exact` / `_approx` twin discipline). The fence
+    * pass is one map-side scan against the broadcast-sized per-lang
+    * median table.
+    */
+  lazy val textMadLengthOutlier = Q(
+    "text_mad_length_outlier",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+      val med = docs.groupBy($"lang")
+        .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("dev", abs($"n_chars" - $"med"))
+      val mad = dev.groupBy($"lang")
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max($"med").cast(DecimalType(18, 6)).cast(DoubleType).as("median_chars"),
+          max($"mad").cast(DecimalType(18, 6)).cast(DoubleType).as("mad_chars"),
+          sum(when($"dev" > lit(3.0) * $"mad", 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY lang
+      ), d AS (
+        SELECT doc.lang, ABS(doc.n_chars - m.med) AS dev
+        FROM documents doc JOIN m ON doc.lang = m.lang
+      ), md AS (
+        SELECT lang, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY lang
+      )
+      SELECT d.lang, COUNT(*) AS n_docs,
+        CAST(CAST(MAX(m.med) AS DECIMAL(18,6)) AS DOUBLE) AS median_chars,
+        CAST(CAST(MAX(md.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad_chars,
+        CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d
+      JOIN m ON d.lang = m.lang
+      JOIN md ON d.lang = md.lang
+      GROUP BY d.lang ORDER BY d.lang
+    """.stripMargin.trim))
 
   /** Per-document character-level Shannon entropy — the gibberish
     * detector token-level stats miss: low entropy flags repetition /
