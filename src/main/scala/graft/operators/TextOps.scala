@@ -1827,7 +1827,87 @@ object TextOps extends QueryModule {
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
-    textMadLengthOutlier)
+    textMadLengthOutlier, textContainmentPairs)
+
+  /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
+    * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is
+    * high when A is a quote/extract/near-subset of B even though
+    * Jaccard (normalized by the union) stays low — exactly the
+    * quotes-of-an-article and page-plus-boilerplate cases a curation
+    * pass must catch. One undirected intersection count fans out to
+    * both directed containments; declared pairs are C ≥ 0.5, each row
+    * carrying the direction (src contained-in dst).
+    *
+    * Scale notes (100 TB): same shingle equi-join skeleton (and the
+    * same hot-shingle skew bound) as `text_jaccard_simpairs`; the
+    * banded `text_minhash_lsh` candidates with per-pair exact
+    * containment re-rank is the declared scale path — containment's
+    * one-sided MinHash estimator biases low for very unequal sizes,
+    * so candidates band on the SMALLER side's signature.
+    */
+  lazy val textContainmentPairs = Q(
+    "text_containment_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = shingles(Tables.documents(spark, dir)).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("i"))
+      val ws = inter
+        .join(sizes.as("za"), col("d1") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+        .select($"d1", $"d2", $"i", col("za.n").as("n1"), col("zb.n").as("n2"))
+      val fwd = ws.select($"d1".as("src"), $"d2".as("dst"), $"i", $"n1".as("n_src"),
+        ($"i".cast(DoubleType) / $"n1").cast(DecimalType(18, 6)).as("containment"))
+      val rev = ws.select($"d2".as("src"), $"d1".as("dst"), $"i", $"n2".as("n_src"),
+        ($"i".cast(DoubleType) / $"n2").cast(DecimalType(18, 6)).as("containment"))
+      fwd.unionByName(rev)
+        .filter($"containment" >= 0.5)
+        .select($"src", $"dst", $"i", $"n_src",
+          $"containment".cast(DoubleType).as("containment"))
+        .orderBy($"src", $"dst")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), ws AS (
+        SELECT d1, d2, i, za.n AS n1, zb.n AS n2
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+      ), dirp AS (
+        SELECT d1 AS src, d2 AS dst, i, n1 AS n_src,
+          CAST(CAST(i AS DOUBLE) / n1 AS DECIMAL(18,6)) AS containment
+        FROM ws
+        UNION ALL
+        SELECT d2, d1, i, n2,
+          CAST(CAST(i AS DOUBLE) / n2 AS DECIMAL(18,6)) AS containment
+        FROM ws
+      )
+      SELECT src, dst, i, n_src, CAST(containment AS DOUBLE) AS containment
+      FROM dirp WHERE containment >= 0.5
+      ORDER BY src, dst
+    """.stripMargin.trim))
 
   /** MEDIAN-ABSOLUTE-DEVIATION length outlier gate per language — the
     * ROBUST version of `etl_anomaly_zscore` for corpus curation:

@@ -806,9 +806,79 @@ object VectorOps extends QueryModule {
       ORDER BY asg.cid
     """.stripMargin.trim))
 
+  /** PRODUCT QUANTIZATION encode — the memory-bound ANN compression
+    * standard (IVF-PQ indexes): split 64 dims into 4 subspaces of 16,
+    * quantize each slice against its own 4-centroid codebook, so a
+    * vector stores as 4 small codes (256 bytes of float32 → 4 codes)
+    * with distances later approximated from per-subspace lookup
+    * tables. Deterministic seed codebooks (slices of the 4 lowest
+    * vec_ids), nearest-code assignment via the same rounded
+    * ‖a‖²−2a·c+‖c‖² discipline as `vec_kmeans_lloyd`; declared output
+    * is the per-(subspace, code) population + summed quantization
+    * error — the codebook-balance audit that decides whether PQ
+    * training converged (`vec_quantize_int8` is the scalar sibling;
+    * this is the vector one).
+    *
+    * Scale notes (100 TB): the codebook (m×k = 16 rows) broadcasts;
+    * encoding is ONE pass over the corpus with row-local slice+argmin
+    * work — vectors never shuffle; the audit agg carries m×k rows.
+    */
+  val vecPqEncode = Q(
+    "vec_pq_encode",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      val subs = e
+        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
+        .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
+      val cents = subs.filter($"vec_id" < 4)
+        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+      val d2 = round(
+        GraftFunctions.dot($"v", $"v")
+          - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+          + GraftFunctions.dot($"cv", $"cv"), 6)
+      val w = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
+      subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"sub", $"cid")
+        .agg(count(lit(1)).as("n"),
+          sum($"d2".cast(DecimalType(18, 6))).as("sum_err_d"))
+        .select($"sub".cast("long").as("sub"), $"cid", $"n",
+          $"sum_err_d".cast(DoubleType).as("sum_err"))
+        .orderBy($"sub", $"cid")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), s AS (
+        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
+        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
+      ), c AS (
+        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
+      ), d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM s JOIN c ON s.sub = c.sub
+      ), a AS (
+        SELECT vec_id, sub, cid, d2,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+        FROM d
+      )
+      SELECT CAST(sub AS BIGINT) AS sub, cid, COUNT(*) AS n,
+        CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS sum_err
+      FROM a WHERE rn = 1
+      GROUP BY sub, cid
+      ORDER BY sub, cid
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
-    vecKmeansLloyd)
+    vecKmeansLloyd, vecPqEncode)
 }
