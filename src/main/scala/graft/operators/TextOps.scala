@@ -1849,7 +1849,9 @@ object TextOps extends QueryModule {
     "text_containment_pairs",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shingles(Tables.documents(spark, dir)).cache()
+      // reuse the decontamination twins' cached shingle frame (the
+      // source tag projects away) instead of re-shingling the corpus
+      val sh = taggedShingles(spark, dir).select($"doc_id", $"shingle")
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"),
