@@ -41,15 +41,23 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** `events` with the nanosecond-timestamp fix (SURVEY.md §1.4). The
-    * resulting `ts` column is `timestamp_ntz` at µs precision, equal to
-    * what DuckDB reads from the same file.
+  /** `events` normalized so the `ts` column is `timestamp_ntz` at µs
+    * precision, equal to what DuckDB reads from the same file — robust
+    * to BOTH physical layouts the driver has generated (SURVEY.md
+    * §1.4): nanosecond INT64 timestamps (read as LongType under
+    * `nanosAsLong`, then ns→µs converted) and plain µs timestamps
+    * (cast straight to ntz). Branching on the observed schema keeps
+    * every event query working if the fixtures change layout again.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
   }
 
   /** Decimal-cast helper, SURVEY.md §2.0 rule 1: never SUM/AVG raw

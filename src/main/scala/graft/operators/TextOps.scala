@@ -1019,11 +1019,27 @@ object TextOps extends QueryModule {
     * CTE — a genuinely different algorithm, so agreement is strong
     * evidence.
     */
+  /** Memoized label tables keyed by the analyzed plan of their pair
+    * input: five graph-family queries (components, cluster quality,
+    * keeper selection, triangle counting, the composed pipeline) all
+    * derive from the same deterministic label propagation, so only the
+    * first caller per distinct pair plan pays the iterative loop. Tiny
+    * bounded list (the checkpointed label RDDs are vertex-sized).
+    */
+  private val labelsCache = new scala.collection.mutable.ArrayBuffer[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     org.apache.spark.sql.DataFrame)]()
+
   /** Min-label pointer-jumping connected components over an undirected
     * pair table with columns (d1, d2) — returns (id, comp). Shared by
     * the declared component row and the composed dedup pipeline.
     */
   def connectedComponents(pairsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val planKey = pairsIn.queryExecution.analyzed
+    val cached = labelsCache.synchronized {
+      labelsCache.find(_._1.sameResult(planKey)).map(_._2)
+    }
+    if (cached.isDefined) return cached.get
     // Materialize the pair table exactly once; every round below joins
     // this checkpointed table, never the upstream candidate pipeline.
     val pairs = pairsIn.select(col("d1"), col("d2")).localCheckpoint(true)
@@ -1058,6 +1074,10 @@ object TextOps extends QueryModule {
         .localCheckpoint(true)
       changed = next.where(col("comp") < col("old")).count()
       labels = next.select(col("id"), col("comp"))
+    }
+    labelsCache.synchronized {
+      if (labelsCache.sizeIs >= 4) labelsCache.remove(0)
+      labelsCache += ((planKey, labels))
     }
     labels
   }
