@@ -1273,6 +1273,73 @@ object Aggregations extends QueryModule {
       FROM g ORDER BY lang
     """.stripMargin.trim))
 
+  /** Two-sample KOLMOGOROV–SMIRNOV distance (binned) between the
+    * `value` distributions of click vs view events — the standard
+    * nonparametric "did the distribution shift?" test behind drift
+    * monitors and A/B sanity checks. Values bin to integer units
+    * (floor), the per-bin frequency table's cumulative counts give both
+    * ECDFs, and D = max |F₁ − F₂| over bins, with the smallest
+    * achieving bin reported as the shift location.
+    *
+    * Scale notes (100 TB): the ONLY fact-scale work is one
+    * map-side-combinable (type, bin) count; the window that builds the
+    * ECDFs orders the BIN table (bounded by value range — hundreds of
+    * rows regardless of corpus size), the exact freq-table trick of
+    * `win_rank_global_scalable`. ECDF fractions divide exact BIGINTs
+    * by exact BIGINTs — every double is bit-identical cross-engine,
+    * and D is a max (comparison, not accumulation), so no float-order
+    * hazard exists anywhere.
+    */
+  val aggKsBinned = Q(
+    "agg_ks_binned",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .where($"event_type".isin("click", "view"))
+        .select($"event_type", floor($"value").as("bin"))
+      val freq = ev.groupBy($"bin").agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+      val wCum = Window.orderBy($"bin").rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy()
+      val ecdf = freq
+        .withColumn("f1", sum($"c1").over(wCum).cast(DoubleType) / sum($"c1").over(wTot))
+        .withColumn("f2", sum($"c2").over(wCum).cast(DoubleType) / sum($"c2").over(wTot))
+        .withColumn("d", abs($"f1" - $"f2"))
+      ecdf.withColumn("dmax", max($"d").over(wTot))
+        .agg(
+          round(max($"d"), 9).as("ks_d"),
+          min(when($"d" === $"dmax", $"bin")).as("argmax_bin"),
+          sum($"c1").as("n_click"),
+          sum($"c2").as("n_view"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin
+        FROM events WHERE event_type IN ('click', 'view')
+      ), freq AS (
+        SELECT bin,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM ev GROUP BY bin
+      ), ecdf AS (
+        SELECT bin,
+          CAST(CAST(SUM(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+            / CAST(SUM(c1) OVER () AS BIGINT) AS f1,
+          CAST(CAST(SUM(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+            / CAST(SUM(c2) OVER () AS BIGINT) AS f2,
+          c1, c2
+        FROM freq
+      ), d AS (
+        SELECT bin, ABS(f1 - f2) AS d, c1, c2 FROM ecdf
+      )
+      SELECT ROUND(MAX(d), 9) AS ks_d,
+        MIN(CASE WHEN d = (SELECT MAX(d) FROM d) THEN bin END) AS argmax_bin,
+        CAST(SUM(c1) AS BIGINT) AS n_click,
+        CAST(SUM(c2) AS BIGINT) AS n_view
+      FROM d
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1282,5 +1349,5 @@ object Aggregations extends QueryModule {
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
-    aggHistogramEquidepth, aggGiniConcentration)
+    aggHistogramEquidepth, aggGiniConcentration, aggKsBinned)
 }

@@ -1051,10 +1051,86 @@ object EtlOps extends QueryModule {
       FROM isl GROUP BY st ORDER BY st
     """.stripMargin.trim))
 
+  /** POPULATION STABILITY INDEX drift audit — the standard scorecard
+    * drift metric (PSI = Σ (p−q)·ln(p/q)) between the first and second
+    * half of the event timeline, per event type: the scheduled check a
+    * production pipeline runs to decide "has this feed's value
+    * distribution moved enough to retrain / alert?" (rule of thumb:
+    * <0.1 stable, 0.1–0.25 moderate, >0.25 shifted). Values bin to
+    * 50-unit buckets; Laplace (+1) smoothing over the per-type union
+    * bin set keeps empty cells defined — both declared identically on
+    * both engines.
+    *
+    * Scale notes (100 TB): one map-side-combinable (type, half, bin)
+    * count is the only fact-scale work; the PSI algebra runs on the
+    * bin table (≤ value-range/50 rows per type — bounded, corpus-size
+    * independent). ln() of identical doubles is identical (the
+    * entropy/TF-IDF rows prove cross-engine libm agreement); each term
+    * rounds to 12 dp before an exact DECIMAL(28,12) sum so the
+    * reduction order never shows, then the index rounds to 6 dp.
+    */
+  val etlPsiDrift = Q(
+    "etl_psi_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type",
+          when($"ts" < lit("2024-01-16").cast("timestamp_ntz"), lit("a")).otherwise(lit("b")).as("half"),
+          floor($"value" / 50).as("bin"))
+      val freq = ev.groupBy($"event_type", $"bin").agg(
+        sum(when($"half" === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"half" === "b", 1L).otherwise(0L)).as("cb"))
+      val wt = Window.partitionBy($"event_type")
+      freq
+        .withColumn("na", sum($"ca").over(wt))
+        .withColumn("nb", sum($"cb").over(wt))
+        .withColumn("nbins", count(lit(1)).over(wt))
+        .withColumn("p", ($"ca" + 1).cast(DoubleType) / ($"na" + $"nbins"))
+        .withColumn("q", ($"cb" + 1).cast(DoubleType) / ($"nb" + $"nbins"))
+        .withColumn("term", round(($"p" - $"q") * log($"p" / $"q"), 12))
+        .groupBy($"event_type")
+        .agg(
+          max($"na").as("n_first"),
+          max($"nb").as("n_second"),
+          max($"nbins").as("n_bins"),
+          round(sum($"term".cast(DecimalType(28, 12))).cast(DoubleType), 6).as("psi"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half,
+          CAST(FLOOR(value / 50) AS BIGINT) AS bin
+        FROM events
+      ), freq AS (
+        SELECT event_type, bin,
+          CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM ev GROUP BY event_type, bin
+      ), tot AS (
+        SELECT event_type, bin, ca, cb,
+          CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+          CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+          COUNT(*) OVER (PARTITION BY event_type) AS nbins
+        FROM freq
+      ), terms AS (
+        SELECT event_type, na, nb, nbins,
+          ROUND((CAST(ca + 1 AS DOUBLE) / (na + nbins)
+               - CAST(cb + 1 AS DOUBLE) / (nb + nbins))
+            * LN((CAST(ca + 1 AS DOUBLE) / (na + nbins))
+               / (CAST(cb + 1 AS DOUBLE) / (nb + nbins))), 12) AS term
+        FROM tot
+      )
+      SELECT event_type, MAX(na) AS n_first, MAX(nb) AS n_second,
+        MAX(nbins) AS n_bins,
+        ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+      FROM terms GROUP BY event_type ORDER BY event_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
     etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,
     etlKeySkewStats, etlFreshnessWatermark, etlBenfordDeviation,
-    etlSequenceIslands)
+    etlSequenceIslands, etlPsiDrift)
 }

