@@ -1074,9 +1074,93 @@ object VectorOps extends QueryModule {
       FROM flagged GROUP BY cell ORDER BY cell
     """.stripMargin.trim))
 
+  /** IVF-PQ — the composition the two halves exist for, and the
+    * architecture real 100 TB vector search deploys (FAISS-style): the
+    * IVF coarse quantizer prunes the scan to `nprobe`/`nlist` of the
+    * corpus (cell equi-join against the probed-cell list, exactly
+    * `vec_ann_ivf`'s trade), and WITHIN the surviving cells distance
+    * is PQ asymmetric lookup (4 code lookups per candidate from the
+    * query's broadcast LUT, exactly `vec_pq_adc_topk`'s trade) — so
+    * the scan touches neither most of the corpus NOR any full vector.
+    * No oracle by design (like the other ANN rows): VectorOpsSpec
+    * asserts the internal-consistency property that cell restriction
+    * can only LOSE candidates — rank-wise approximate distance of the
+    * IVF-PQ top-k dominates the unrestricted ADC top-k — plus dense
+    * ranks and non-negative distances.
+    *
+    * Scale notes (100 TB): probed-cell list and LUT broadcast; the
+    * corpus side carries (cell, 4 codes) per vector — the cell filter
+    * pushes below the LUT join, so the shuffle-free scan reads
+    * ~nprobe/nlist of a table already ~64× smaller than the vectors.
+    */
+  val vecAnnIvfpq = Q(
+    "vec_ann_ivfpq",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      // IVF half: per-label centroids, nearest-cell assignment, query probes
+      val cents = e
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", $"s".cast(DoubleType) / $"n")
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label".cast("long").as("cell"),
+          expr("transform(pc, x -> x.c)").as("cvec"))
+        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
+      def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+        df.crossJoin(broadcast(cents))
+          .withColumn("sim",
+            GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"))
+          .withColumn("cr", row_number().over(w))
+          .filter($"cr" <= keep)
+          .select($"vec_id", $"cell")
+      }
+      val assigned = nearestCells(e, 1)
+      val probes = nearestCells(e.filter($"vec_id" < 8), 3)
+        .select($"vec_id".as("q_id"), $"cell")
+      // PQ half: 4×16-dim slices, seed codebook, per-vector codes, query LUT
+      val subs = e
+        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
+        .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
+      val cb = subs.filter($"vec_id" < 4)
+        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+      val d2 = round(
+        GraftFunctions.dot($"v", $"v")
+          - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+          + GraftFunctions.dot($"cv", $"cv"), 6)
+      val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wEnc))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"sub", $"cid")
+        .join(assigned, "vec_id") // carry each vector's IVF cell
+      val lut = subs.filter($"vec_id" < 8)
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("qd2", d2)
+        .select($"vec_id".as("q_id"), $"sub", $"cid", $"qd2")
+      // probed-cell filter BELOW the LUT join, then ADC rank
+      val wTop = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      codes.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .join(broadcast(lut), Seq("q_id", "sub", "cid"))
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .withColumn("adist", $"ad".cast(DoubleType))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 5)
+        .select($"q_id", $"vec_id", $"adist", $"rn".cast("long").as("rn"))
+        .orderBy($"q_id", $"rn")
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
-    vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup)
+    vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
+    vecAnnIvfpq)
 }

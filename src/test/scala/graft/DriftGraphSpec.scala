@@ -77,6 +77,26 @@ class DriftGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("ivfpq: cell restriction only loses candidates — rank-wise adist dominates full ADC") {
+    import spark.implicits._
+    val full = SparkEntry.queries("vec_pq_adc_topk")(spark, sfDir)
+      .select($"q_id", $"adist", $"rn").as[(Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    val pruned = SparkEntry.queries("vec_ann_ivfpq")(spark, sfDir)
+      .select($"q_id", $"adist", $"rn").as[(Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2)).toMap
+    assert(pruned.nonEmpty, "ivfpq returned nothing")
+    for ((q, pa) <- pruned) {
+      assert(pa.forall(_ >= 0.0), s"negative adist for q=$q")
+      val fa = full(q)
+      // the pruned candidate set is a subset of the full set, so at
+      // every shared rank its distance can only be equal or worse
+      for (i <- pa.indices.take(fa.length))
+        assert(pa(i) >= fa(i) - 1e-9,
+          s"q=$q rank ${i + 1}: pruned ${pa(i)} beats full ${fa(i)}")
+    }
+  }
+
   test("pq adc: approximate distance is exact when the query is a codebook vector") {
     import spark.implicits._
     // for vec_id < 4 the query IS a centroid in every subspace, so its
