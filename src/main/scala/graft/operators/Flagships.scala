@@ -869,12 +869,13 @@ object Flagships extends QueryModule {
             round(lit(0.15) / $"nn"
               + lit(0.85) * (coalesce($"s".cast(DoubleType), lit(0.0)) + $"dm" / $"nn"),
               9).as("pr"))
-          // pr appears TWICE in the next round's plan (dangling mass +
-          // contributions) — without an eager cut the logical plan
-          // doubles per round (2^8 analysis blowup); the frame is
-          // node-sized, so the checkpoint is free
-          .coalesce(1)
-          .localCheckpoint(true)
+        // pr appears TWICE in the next round's plan (dangling mass +
+        // contributions), so the logical plan doubles per round without
+        // an eager cut here; the frame is node-sized so the checkpoint
+        // job is cheap. (Measured: cutting only every 4th round is
+        // SLOWER — Catalyst re-optimizing 16 copies of the join subtree
+        // costs more than 8 tiny checkpoint jobs.)
+        pr = pr.coalesce(1).localCheckpoint(true)
       }
       pr.join(broadcast(nodes), "node")
         .select($"node".as("n_nationkey"), $"n_name", round($"pr", 6).as("pagerank"))
