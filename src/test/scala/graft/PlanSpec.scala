@@ -499,4 +499,42 @@ class PlanSpec extends SparkSpecBase {
       s"candidate stream must not shuffle (1 range exchange expected):\n$p")
     assert(p.contains("Window"), s"chunk-local top-k must be a window:\n$p")
   }
+
+  test("agg_ks_binned: fact work is one partial-aggregated count, ECDF rides the bin table") {
+    val p = planString(operators.Aggregations.aggKsBinned.fn(spark, sfDir))
+    // exactly one hash-agg pair over the events scan (partial before the
+    // shuffle), everything after operates on the bounded bin table
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"KS must not join the fact table:\n$p")
+  }
+
+  test("pipeline_semantic_dedup: centroids broadcast, compare is a cell-keyed semi join") {
+    val p = planString(operators.VectorOps.pipelineSemanticDedup.fn(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"duplicate flagging must be a semi join (no pair list):\n$p")
+  }
+
+  test("vec_pq_adc_topk: LUT broadcasts, no full-vector shuffle after encoding") {
+    val p = planString(operators.VectorOps.vecPqAdcTopk.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"LUT join must be broadcast:\n$p")
+  }
+
+  test("graph_pagerank_trade: fact-scale edge agg is partial-aggregated; iterations scan checkpoints") {
+    val df = operators.Flagships.graphPagerankTrade.fn(spark, sfDir)
+    val p = planString(df)
+    // the final plan must consume the checkpointed node-sized frame, not
+    // re-derive the fact aggregation inside the iteration subtree
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"iterations must read the checkpointed graph:\n$p")
+    assert(df.count() == 25)
+  }
+
+  test("win_interval_union_length: per-key windows, single shuffle on the supplier key") {
+    val p = planString(operators.Windows.winIntervalUnionLength.fn(spark, sfDir))
+    assert(p.contains("Window"), s"sweep must be window-based:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval union must not self-join:\n$p")
+  }
 }
