@@ -1340,6 +1340,77 @@ object Aggregations extends QueryModule {
       FROM d
     """.stripMargin.trim))
 
+  /** CRAMÉR'S V association audit between two categorical columns
+    * (event type × day-of-week) — the "are these independent?" check a
+    * feature platform runs before trusting a segmentation: χ² over the
+    * contingency table against independence expectations, normalized to
+    * [0,1] by n·(min(r,c)−1). Day-of-week derives from epoch-day mod 7
+    * (identical integer arithmetic on both engines — engine-native
+    * DOW functions disagree on week start).
+    *
+    * Scale notes (100 TB): one map-side-combinable (type, dow) count is
+    * the only fact-scale work; the χ² algebra runs on the r×c cell
+    * table (35 rows here, bounded by category cardinalities).
+    * Expectations are exact-BIGINT ratios in double, each χ² term
+    * rounds to 9 dp before an exact decimal sum.
+    */
+  val aggCramersV = Q(
+    "agg_cramers_v",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type",
+          (datediff($"ts".cast("date"), lit("1970-01-01").cast("date")) % 7).as("dow"))
+      val cells = ev.groupBy($"event_type", $"dow").agg(count(lit(1)).as("nij"))
+      val wr = Window.partitionBy($"event_type")
+      val wc = Window.partitionBy($"dow")
+      val wt = Window.partitionBy()
+      cells
+        .withColumn("ri", sum($"nij").over(wr))
+        .withColumn("cj", sum($"nij").over(wc))
+        .withColumn("n", sum($"nij").over(wt))
+        .withColumn("eij", $"ri".cast(DoubleType) * $"cj" / $"n")
+        .withColumn("term", round(($"nij" - $"eij") * ($"nij" - $"eij") / $"eij", 9))
+        .agg(
+          max($"n").as("n_events"),
+          countDistinct($"event_type").as("n_types"),
+          countDistinct($"dow").as("n_dows"),
+          round(sum($"term".cast(DecimalType(28, 9))).cast(DoubleType), 6).as("chi2"))
+        .select($"n_events", $"n_types", $"n_dows", $"chi2",
+          round(sqrt($"chi2" / ($"n_events" * (least($"n_types", $"n_dows") - 1))), 6)
+            .as("cramers_v"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow
+        FROM events
+      ), cells AS (
+        SELECT event_type, dow, COUNT(*) AS nij FROM ev GROUP BY 1, 2
+      ), tot AS (
+        SELECT event_type, dow, nij,
+          CAST(SUM(nij) OVER (PARTITION BY event_type) AS BIGINT) AS ri,
+          CAST(SUM(nij) OVER (PARTITION BY dow) AS BIGINT) AS cj,
+          CAST(SUM(nij) OVER () AS BIGINT) AS n
+        FROM cells
+      ), terms AS (
+        SELECT n, event_type, dow,
+          ROUND((nij - CAST(ri AS DOUBLE) * cj / n)
+              * (nij - CAST(ri AS DOUBLE) * cj / n)
+              / (CAST(ri AS DOUBLE) * cj / n), 9) AS term
+        FROM tot
+      ), s AS (
+        SELECT MAX(n) AS n_events,
+          COUNT(DISTINCT event_type) AS n_types,
+          COUNT(DISTINCT dow) AS n_dows,
+          ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2
+        FROM terms
+      )
+      SELECT n_events, n_types, n_dows, chi2,
+        ROUND(SQRT(chi2 / (n_events * (LEAST(n_types, n_dows) - 1))), 6) AS cramers_v
+      FROM s
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1349,5 +1420,5 @@ object Aggregations extends QueryModule {
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
-    aggHistogramEquidepth, aggGiniConcentration, aggKsBinned)
+    aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV)
 }

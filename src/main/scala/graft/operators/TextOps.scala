@@ -1834,7 +1834,79 @@ object TextOps extends QueryModule {
       FROM normed ORDER BY source
     """.stripMargin.trim))
 
+  /** ZIPF-LAW slope fit over the term-frequency distribution — the
+    * corpus-health fingerprint (natural language sits near slope −1 in
+    * log-log rank/frequency space; boilerplate-heavy or synthetic
+    * corpora bend away): OLS of ln(freq) on ln(rank) over the top-100
+    * terms, from the same closed-form moment algebra as
+    * `agg_regression_moments`, plus r² as fit quality.
+    *
+    * Scale notes (100 TB): term frequencies are one map-side-combinable
+    * count (vocab ≪ corpus); the top-100 cut is TakeOrderedAndProject
+    * (never a global sort of the vocab), and the regression runs on 100
+    * rows. ln() terms round to 12 dp before exact decimal moment sums,
+    * so the fitted line is bit-stable across engines and partitionings.
+    */
+  val textZipfSlope = Q(
+    "text_zipf_slope",
+    (spark, dir) => {
+      import spark.implicits._
+      val top = tokens(Tables.documents(spark, dir))
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"tok").limit(100)
+      val w = Window.orderBy($"freq".desc, $"tok")
+      val pts = top
+        .withColumn("rank", row_number().over(w))
+        .select(
+          round(log($"rank".cast(DoubleType)), 12).as("x"),
+          round(log($"freq".cast(DoubleType)), 12).as("y"))
+      val s = pts.agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(DecimalType(28, 12))).cast(DoubleType).as("sx"),
+        sum($"y".cast(DecimalType(28, 12))).cast(DoubleType).as("sy"),
+        sum(($"x" * $"y").cast(DecimalType(28, 12))).cast(DoubleType).as("sxy"),
+        sum(($"x" * $"x").cast(DecimalType(28, 12))).cast(DoubleType).as("sxx"),
+        sum(($"y" * $"y").cast(DecimalType(28, 12))).cast(DoubleType).as("syy"))
+      s.select(
+        $"n".as("n_terms"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6).as("intercept"),
+        round(
+          (($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT tok, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY tok
+      ), top AS (
+        SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT 100
+      ), pts AS (
+        SELECT
+          ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS DOUBLE)), 12) AS x,
+          ROUND(LN(CAST(freq AS DOUBLE)), 12) AS y
+        FROM top
+      ), s AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM pts
+      )
+      SELECT n AS n_terms,
+        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      FROM s
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    textZipfSlope,
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,
     textLangidNgram, textQualityScore, textTokenStats,

@@ -60,6 +60,26 @@ class DriftGraphSpec extends SparkSpecBase {
     assert(out.forall(_._2 >= -1e-9), s"negative PSI in ${out.mkString(",")}")
   }
 
+  test("cramers v: inside [0,1], cell counts reconcile with the event total") {
+    import spark.implicits._
+    val r = SparkEntry.queries("agg_cramers_v")(spark, sfDir).collect().head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"Cramér's V $v outside [0,1]")
+    val n = Tables.events(spark, sfDir).count()
+    assert(r.getAs[Long]("n_events") == n, "contingency total != event count")
+  }
+
+  test("zipf: slope negative (frequency falls with rank), r2 within [0,1]") {
+    import spark.implicits._
+    val r = SparkEntry.queries("text_zipf_slope")(spark, sfDir).collect().head
+    // the synthetic sf0.001 vocab is smaller than the top-100 cut
+    val nt = r.getAs[Long]("n_terms")
+    assert(nt > 2 && nt <= 100L, s"n_terms $nt outside (2,100]")
+    assert(r.getAs[Double]("slope") < 0.0, "rank-frequency slope must be negative")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 outside [0,1]")
+  }
+
   test("interval union: covered ≤ naive length sum and ≥ longest single interval") {
     import spark.implicits._
     val res = SparkEntry.queries("win_interval_union_length")(spark, sfDir)
