@@ -235,8 +235,37 @@ object Streaming extends QueryModule {
       ORDER BY click_id, purchase_id
     """.stripMargin.trim))
 
+  /** Windowed DISTINCT-USER counting (DAU/HAU) — the chained-stateful
+    * shape (event-time dedup → windowed agg) real metrics pipelines
+    * run; StreamingSpec drives the same transform through MemoryStream
+    * in append mode with a watermark-advancing sentinel and proves the
+    * emitted windows equal this batch declaration.
+    *
+    * Scale notes (100 TB): dedup state is (window, user)-keyed and
+    * watermark-evicted — bounded by active users per open window, not
+    * by history; the downstream count state is windows × 1 row. In
+    * batch the same plan is one partial-aggregated distinct per hour.
+    */
+  val streamDistinctUsers = Q(
+    "stream_distinct_users_windowed",
+    (spark, dir) => {
+      import spark.implicits._
+      StreamTransforms
+        .distinctUsersPerWindow(Tables.events(spark, dir))
+        .orderBy($"w_start")
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS w_start,
+        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY w_start
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
-    streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin)
+    streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
+    streamDistinctUsers)
 }

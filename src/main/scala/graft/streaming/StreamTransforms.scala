@@ -66,6 +66,21 @@ object StreamTransforms {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Exact DISTINCT USERS per 1-hour window — the DAU/HAU counter, and
+    * the canonical CHAIN of two stateful operators: event-time dedup on
+    * (window, user) evicting state by watermark, feeding a windowed
+    * count (Spark 4 supports stateful chaining in append mode when the
+    * dedup keys carry the event-time window). Batch semantics collapse
+    * to COUNT(DISTINCT user_id) per hour — the declared oracle.
+    */
+  def distinctUsersPerWindow(events: DataFrame): DataFrame =
+    watermarked(events, "ts", "1 hour")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n_users"))
+
   /** Enrich the event stream with the static customer dimension. */
   def staticEnrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(customer, events("user_id") === customer("c_custkey"))

@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpecBase {
       collectSorted(StreamTransforms.dedupByEventId(spark.createDataFrame(evs))))
   }
 
+  test("chained stateful dedup→windowed distinct users: emitted windows equal batch") {
+    import spark.implicits._
+    val evs = loadEvs().take(500)
+    // a far-future sentinel advances the watermark past every real
+    // window so append mode finalizes and emits them all
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(999999999L, new Timestamp(maxTs + 24L * 3600 * 1000), 0L, "view", 0.0)
+    val streamed = runToCompletion("dau", "append")(StreamTransforms.distinctUsersPerWindow)(
+      Seq(evs, evs.take(100), Seq(sentinel))) // includes a redelivery batch
+    val batch = StreamTransforms.distinctUsersPerWindow(spark.createDataFrame(evs))
+    // every real (non-sentinel) window must have been emitted, exactly once
+    val sentinelStart = new Timestamp(maxTs + 24L * 3600 * 1000 - (maxTs + 24L * 3600 * 1000) % (3600 * 1000))
+    assert(collectSorted(streamed.where($"w_start" < lit(sentinelStart))) ==
+      collectSorted(batch),
+      "streamed emitted windows differ from batch distinct-user counts")
+  }
+
   test("stream-static join: streamed equals batch") {
     val evs = loadEvs()
     val customer = Tables.customer(spark, sfDir)
