@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, max}
 import java.nio.file.{Files, Paths}
 
 /** Bench entry point (SURVEY.md §3.1 EP3): times every declared query at
@@ -31,7 +32,21 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // pay one-time JVM/codegen/reader warmup outside any query's clock
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm EVERY table (footer parse, reader codegen, OS page cache) so
+    // first-touch cost never lands on an arbitrary query's clock — the
+    // r5 driver sample showed a TakeOrderedAndProject top-20 absorbing
+    // 5 s of exactly this (VERDICT r5 #2). A full-width max() scan, not
+    // a metadata-only count, so the column pages really get read.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")) {
+      val df = Tables.table(spark, sfDir, t)
+      df.select(df.columns.map(c => max(col(c).cast("string"))): _*).collect()
+    }
+    // the graph family's shared pair/label pipeline is an explicit,
+    // separately-clocked line item (VERDICT r5 #1) — per-query figures
+    // below then measure each query's OWN plan, not whichever family
+    // member happened to run first
+    val sharedStageS = operators.TextOps.prepareSharedStages(spark, sfDir)
     // (name, seconds, succeeded) — a failed query records its
     // elapsed-until-throw time AND lands in the errors list, so a crash
     // can never masquerade as a fast clean run (ADVICE round 3)
@@ -42,7 +57,9 @@ object Bench {
                  catch { case _: Throwable => false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val total = results.map(_._2).sum
+    // shared stage seconds COUNT toward the total (the work is real; it
+    // is just attributed to its own line instead of a random family query)
+    val total = results.map(_._2).sum + sharedStageS
     // the errors list is itself budgeted: a mass-failure run (data dir
     // missing) would otherwise blow the head past the tail window and
     // reproduce the very truncation failure this line format exists to
@@ -53,10 +70,11 @@ object Bench {
     val full = results.map { case (n, v, ok) =>
       "\"" + n + "\":" + (if (ok) v else -v)
     }.mkString("{\"metric\":\"total\",\"value\":" + total +
-      ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+      ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
+      "\",\"shared_stage_s\":" + sharedStageS + ",\"queries\":{", ",", "}}")
     Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     // compact stdout line: slowest queries first, greedy until MaxLine
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
       f""""$n":${if (ok) "" else "-"}$v%.3f"""
     }

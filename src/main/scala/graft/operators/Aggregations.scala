@@ -1377,7 +1377,11 @@ object Aggregations extends QueryModule {
           countDistinct($"dow").as("n_dows"),
           round(sum($"term".cast(DecimalType(28, 9))).cast(DoubleType), 6).as("chi2"))
         .select($"n_events", $"n_types", $"n_dows", $"chi2",
-          round(sqrt($"chi2" / ($"n_events" * (least($"n_types", $"n_dows") - 1))), 6)
+          // NULLIF guards the degenerate single-category table (rows*cols
+          // with min dimension 1 → denominator 0): both engines then yield
+          // NULL identically instead of Infinity-vs-error divergence.
+          round(sqrt($"chi2" /
+            nullif($"n_events" * (least($"n_types", $"n_dows") - 1), lit(0))), 6)
             .as("cramers_v"))
     },
     Some("""
@@ -1407,7 +1411,7 @@ object Aggregations extends QueryModule {
         FROM terms
       )
       SELECT n_events, n_types, n_dows, chi2,
-        ROUND(SQRT(chi2 / (n_events * (LEAST(n_types, n_dows) - 1))), 6) AS cramers_v
+        ROUND(SQRT(chi2 / NULLIF(n_events * (LEAST(n_types, n_dows) - 1), 0)), 6) AS cramers_v
       FROM s
     """.stripMargin.trim))
 

@@ -1068,14 +1068,26 @@ object EtlOps extends QueryModule {
     * entropy/TF-IDF rows prove cross-engine libm agreement); each term
     * rounds to 12 dp before an exact DECIMAL(28,12) sum so the
     * reduction order never shows, then the index rounds to 6 dp.
+    *
+    * The timeline split is DERIVED from the observed min/max ts
+    * (midpoint at integer-microsecond precision, floor division — both
+    * engines compute the identical instant), not hardcoded: a
+    * regenerated fixture with a different date range still splits the
+    * timeline in half instead of silently collapsing one side. The
+    * 1-row bounds aggregate broadcasts — no second fact-scale pass
+    * beyond the unavoidable min/max scan.
     */
   val etlPsiDrift = Q(
     "etl_psi_drift",
     (spark, dir) => {
       import spark.implicits._
+      val bounds = Tables.events(spark, dir).agg(
+        expr("timestampadd(MICROSECOND, timestampdiff(MICROSECOND, min(ts), max(ts)) div 2, min(ts))")
+          .as("mid"))
       val ev = Tables.events(spark, dir)
+        .crossJoin(broadcast(bounds))
         .select($"event_type",
-          when($"ts" < lit("2024-01-16").cast("timestamp_ntz"), lit("a")).otherwise(lit("b")).as("half"),
+          when($"ts" < $"mid", lit("a")).otherwise(lit("b")).as("half"),
           floor($"value" / 50).as("bin"))
       val freq = ev.groupBy($"event_type", $"bin").agg(
         sum(when($"half" === "a", 1L).otherwise(0L)).as("ca"),
@@ -1097,9 +1109,12 @@ object EtlOps extends QueryModule {
         .orderBy($"event_type")
     },
     Some("""
-      WITH ev AS (
+      WITH b AS (
+        SELECT MIN(ts) + to_microseconds((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS mid
+        FROM events
+      ), ev AS (
         SELECT event_type,
-          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half,
+          CASE WHEN ts < (SELECT mid FROM b) THEN 'a' ELSE 'b' END AS half,
           CAST(FLOOR(value / 50) AS BIGINT) AS bin
         FROM events
       ), freq AS (

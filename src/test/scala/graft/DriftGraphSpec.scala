@@ -48,7 +48,11 @@ class DriftGraphSpec extends SparkSpecBase {
     val dHand = bins.map { b =>
       math.abs(c.count(_ <= b).toDouble / c.length - v.count(_ <= b).toDouble / v.length)
     }.max
-    assert(math.abs(d - dHand) < 1e-9, s"declared D=$d vs hand ECDF $dHand")
+    // declared ks_d is rounded to 9 dp, so round the hand value the same
+    // way before comparing — leaves the full 1e-9 margin for genuine
+    // accumulation-order differences instead of consuming it on rounding
+    val dHand9 = math.rint(dHand * 1e9) / 1e9
+    assert(math.abs(d - dHand9) < 1e-9, s"declared D=$d vs hand ECDF $dHand9")
   }
 
   test("psi: non-negative, zero for an identical split, rows per event type") {
@@ -58,6 +62,14 @@ class DriftGraphSpec extends SparkSpecBase {
     assert(out.length == 5)
     // PSI is a sum of (p-q)ln(p/q) terms, each ≥ 0 (same sign factors)
     assert(out.forall(_._2 >= -1e-9), s"negative PSI in ${out.mkString(",")}")
+    // the derived timeline midpoint must leave both halves non-empty for
+    // every event type (guards a regenerated fixture whose date range
+    // would have defeated the old hardcoded split)
+    val halves = SparkEntry.queries("etl_psi_drift")(spark, sfDir)
+      .select($"event_type", $"n_first", $"n_second")
+      .as[(String, Long, Long)].collect()
+    assert(halves.forall(h => h._2 > 0 && h._3 > 0),
+      s"degenerate timeline split: ${halves.mkString(",")}")
   }
 
   test("cramers v: inside [0,1], cell counts reconcile with the event total") {
