@@ -319,11 +319,12 @@ object EtlOps extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val small = s"/tmp/graft_scratch/p$pid/compact_src_$runId"
       val compacted = s"/tmp/graft_scratch/p$pid/compact_out_$runId"
-      // one ship-year slice: the compaction file math (32 fragments →
-      // ceil(n/5000) files) is volume-independent — compacting all 7
-      // years just multiplies the bench write cost
+      // one ship-half-year slice: the compaction file math (32 fragments
+      // → ceil(n/5000) files) is volume-independent — compacting more
+      // history just multiplies the bench write cost (paid TWICE here:
+      // fragment write + compacted rewrite)
       Tables.lineitem(spark, dir)
-        .where($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+        .where($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1997-07-01")
         .select($"l_orderkey", $"l_linenumber", dec($"l_quantity").as("qty"))
         .repartition(32)
         .write.mode("overwrite").parquet(small)
@@ -352,7 +353,7 @@ object EtlOps extends QueryModule {
         COUNT(*) AS n_rows,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
-      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
     """.stripMargin.trim))
 
   /** CDC changelog between two snapshots of the orders table: the old

@@ -1093,12 +1093,159 @@ object VectorOps extends QueryModule {
     * pushes below the LUT join, so the shuffle-free scan reads
     * ~nprobe/nlist of a table already ~64× smaller than the vectors.
     */
+  /** Parameterized IVF-PQ top-k (the body of `vec_ann_ivfpq`, reused by
+    * the recall-report row with a wider query set).
+    */
+  def annIvfpqTopK(e: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int,
+                   nprobe: Int): org.apache.spark.sql.DataFrame = {
+    // IVF half: per-label centroids, nearest-cell assignment, query probes
+    val cents = e
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / col("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").cast("long").as("cell"),
+        expr("transform(pc, x -> x.c)").as("cvec"))
+      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
+    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= keep)
+        .select(col("vec_id"), col("cell"))
+    }
+    val assigned = nearestCells(e, 1)
+    val probes = nearestCells(e.filter(col("vec_id") < nQueries), nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    // PQ half: 4×16-dim slices, seed codebook, per-vector codes, query LUT
+    val subs = e
+      .select(col("vec_id"), explode(array((0 to 3).map(lit): _*)).as("sub"), col("emb"))
+      .select(col("vec_id"), col("sub"), expr("slice(emb, sub*16+1, 16)").as("v"))
+    val cb = subs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+    val d2 = round(
+      GraftFunctions.dot(col("v"), col("v"))
+        - lit(2.0) * GraftFunctions.dot(col("v"), col("cv"))
+        + GraftFunctions.dot(col("cv"), col("cv")), 6)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))
+    val codes = subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+      .join(assigned, "vec_id") // carry each vector's IVF cell
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qd2", d2)
+      .select(col("vec_id").as("q_id"), col("sub"), col("cid"), col("qd2"))
+    // probed-cell filter BELOW the LUT join, then ADC rank
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2").cast(DecimalType(18, 6))).as("ad"))
+      .withColumn("adist", col("ad").cast(DoubleType))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("adist"), col("rn").cast("long").as("rn"))
+  }
+
   val vecAnnIvfpq = Q(
     "vec_ann_ivfpq",
     (spark, dir) => {
       import spark.implicits._
+      annIvfpqTopK(withNorm(spark, dir), nQueries = 8, k = 5, nprobe = 3)
+        .orderBy($"q_id", $"rn")
+    },
+    None)
+
+  /** ANN RECALL@k AUDIT — the driver-visible quality number for the ANN
+    * stack (VERDICT r5 #3): IVF-PQ's top-5 candidates (nprobe=3, the
+    * production configuration of `vec_ann_ivfpq`, widened to 50 queries)
+    * scored against the EXACT squared-L2 top-5 for the same queries —
+    * the metric ADC approximates, so recall isolates quantization +
+    * cell-pruning loss rather than metric mismatch. Declared output is
+    * per-label mean recall@3 / recall@5 over the label's queries: the
+    * report a platform runs before trusting an ANN index in production.
+    * No oracle (the candidate sets are formulation-specific like every
+    * ANN row); DriftGraphSpec asserts range, query coverage, and that
+    * the index beats the random-candidates baseline.
+    *
+    * Scale notes (100 TB): the approximate side is the IVF-PQ plan
+    * (broadcast probes+LUT, pruned codes-only scan); the exact side is
+    * ONE broadcast pass of the 50 queries over the corpus — the audit
+    * runs on a query SAMPLE by construction, so its cost is
+    * queries × corpus, never corpus², and shrinks with the sample.
+    */
+  val vecAnnRecallReport = Q(
+    "vec_ann_recall_report",
+    (spark, dir) => {
+      import spark.implicits._
+      val nQ = 50
+      val k = 5
       val e = withNorm(spark, dir)
-      // IVF half: per-label centroids, nearest-cell assignment, query probes
+      val approx = annIvfpqTopK(e, nQ, k, nprobe = 3)
+        .select($"q_id", $"vec_id", $"rn".as("a_rn"))
+      val q = e.filter($"vec_id" < nQ)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"label".as("q_label"))
+      // exact squared-L2 ground truth via the same ‖a‖²−2a·q+‖q‖²
+      // identity the PQ encoder uses, rounded 6 dp, vec_id tiebreak
+      val d2 = round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+          + GraftFunctions.dot($"q_emb", $"q_emb"), 6)
+      val wq = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact = e.join(broadcast(q.select($"q_id", $"q_emb")), $"vec_id" =!= $"q_id")
+        .withColumn("d2", d2)
+        .withColumn("e_rn", row_number().over(wq))
+        .filter($"e_rn" <= k)
+        .select($"q_id", $"vec_id", $"e_rn")
+      // intersection of approximate and exact top-k id sets per query
+      val hits = approx.join(exact, Seq("q_id", "vec_id"))
+        .groupBy($"q_id")
+        .agg(
+          sum(when($"a_rn" <= 3 && $"e_rn" <= 3, 1L).otherwise(0L)).as("h3"),
+          count(lit(1)).as("h5"))
+      q.select($"q_id", $"q_label")
+        .join(hits, Seq("q_id"), "left")
+        .groupBy($"q_label".as("label"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (sum(coalesce($"h3", lit(0L))).cast(DoubleType) / (count(lit(1)) * 3))
+            .cast(DecimalType(18, 6)).as("recall_at_3"),
+          (sum(coalesce($"h5", lit(0L))).cast(DoubleType) / (count(lit(1)) * 5))
+            .cast(DecimalType(18, 6)).as("recall_at_5"))
+        .orderBy($"label")
+    },
+    None)
+
+  /** SCALABLE EMBEDDING NEAR-DUP — the declared twin of
+    * `dedup_embedding_cosine` (VERDICT r5 #7), mirroring the
+    * jaccard-exact / minhash-scalable pairing: IVF-cell CANDIDATE
+    * GENERATION (each vector multi-probes its 2 nearest centroid cells,
+    * so boundary-straddling pairs still collide) + exact cosine CONFIRM
+    * at the same τ=0.4. The exact row stays the all-pairs baseline;
+    * this is the plan that survives 100×.
+    *
+    * Scale notes (100 TB): centroids broadcast (nlist × dim); cell
+    * assignment is one map pass; the confirm join is cell-keyed, so the
+    * quadratic is bounded WITHIN cells — and nlist is the scale knob
+    * (grow ∝ √n, SemDeDup's rule, so cell populations stay bounded; here
+    * nlist = the 10 label centroids). The same centroid/assignment
+    * algebra as `pipeline_semantic_dedup` keeps it fully oracle-checkable
+    * — deterministic doubles, 6 dp rounds, id tiebreaks — unlike the
+    * hash-based LSH rows.
+    */
+  val dedupEmbeddingAnn = Q(
+    "dedup_embedding_ann",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
       val cents = e
         .select($"label", posexplode($"emb").as(Seq("pos", "v")))
         .groupBy($"label", $"pos")
@@ -1109,58 +1256,64 @@ object VectorOps extends QueryModule {
         .select($"label".cast("long").as("cell"),
           expr("transform(pc, x -> x.c)").as("cvec"))
         .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
-      def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
-        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
-        df.crossJoin(broadcast(cents))
-          .withColumn("sim",
-            GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"))
-          .withColumn("cr", row_number().over(w))
-          .filter($"cr" <= keep)
-          .select($"vec_id", $"cell")
-      }
-      val assigned = nearestCells(e, 1)
-      val probes = nearestCells(e.filter($"vec_id" < 8), 3)
-        .select($"vec_id".as("q_id"), $"cell")
-      // PQ half: 4×16-dim slices, seed codebook, per-vector codes, query LUT
-      val subs = e
-        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
-        .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
-      val cb = subs.filter($"vec_id" < 4)
-        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
-      val d2 = round(
-        GraftFunctions.dot($"v", $"v")
-          - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-          + GraftFunctions.dot($"cv", $"cv"), 6)
-      val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(wEnc))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"sub", $"cid")
-        .join(assigned, "vec_id") // carry each vector's IVF cell
-      val lut = subs.filter($"vec_id" < 8)
-        .join(broadcast(cb), Seq("sub"))
-        .withColumn("qd2", d2)
-        .select($"vec_id".as("q_id"), $"sub", $"cid", $"qd2")
-      // probed-cell filter BELOW the LUT join, then ADC rank
-      val wTop = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
-      codes.join(broadcast(probes), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .join(broadcast(lut), Seq("q_id", "sub", "cid"))
-        .groupBy($"q_id", $"vec_id")
-        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
-        .withColumn("adist", $"ad".cast(DoubleType))
-        .withColumn("rn", row_number().over(wTop))
-        .filter($"rn" <= 5)
-        .select($"q_id", $"vec_id", $"adist", $"rn".cast("long").as("rn"))
-        .orderBy($"q_id", $"rn")
+      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
+        .withColumn("cr", row_number().over(wAsg))
+        .filter($"cr" <= 2) // multi-probe: nearest 2 cells per vector
+        .select($"vec_id", $"emb", $"nrm", $"cell")
+      val b = assigned.select($"cell".as("b_cell"), $"vec_id".as("d2"),
+        $"emb".as("e2"), $"nrm".as("n2"))
+      assigned.join(b, $"cell" === $"b_cell" && $"vec_id" < $"d2")
+        .withColumn("cos", round(GraftFunctions.dot($"emb", $"e2") / ($"nrm" * $"n2"), 6))
+        .filter($"cos" >= 0.4)
+        .select($"vec_id".as("d1"), $"d2", $"cos")
+        // a pair sharing BOTH probed cells collides twice — dedupe the
+        // scalar triple, never the arrays
+        .distinct()
+        .orderBy($"d1", $"d2")
     },
-    None)
+    Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), dims AS (
+        SELECT label, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                     UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+      ), cents AS (
+        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
+        FROM dims GROUP BY label
+      ), centn AS (
+        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
+      ), sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr <= 2
+      )
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+        ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.4
+      ORDER BY d1, d2
+    """.stripMargin.trim))
 
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
-    vecAnnIvfpq)
+    vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn)
 }

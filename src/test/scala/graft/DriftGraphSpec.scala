@@ -129,6 +129,39 @@ class DriftGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("ann recall report: full query coverage, recalls in range, index finds true neighbors") {
+    import spark.implicits._
+    val rep = SparkEntry.queries("vec_ann_recall_report")(spark, sfDir)
+      .select($"label", $"n_queries", $"recall_at_3", $"recall_at_5")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rep.nonEmpty, "empty recall report")
+    // every query vec_id<50 is accounted to exactly one label row
+    assert(rep.map(_._2).sum == 50, s"query coverage ${rep.map(_._2).sum} != 50")
+    assert(rep.forall(r => r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= 0.0 && r._4 <= 1.0),
+      s"recall outside [0,1]: ${rep.mkString(",")}")
+    // the index must beat zero: some exact top-5 neighbor is retrieved
+    val hits5 = rep.map(r => r._4 * r._2 * 5).sum
+    assert(hits5 > 0.0, "IVF-PQ retrieved no true neighbor at all")
+  }
+
+  test("embedding ann twin: τ respected, ordered pairs, recall vs exact row ≥ 0.6") {
+    import spark.implicits._
+    val ann = SparkEntry.queries("dedup_embedding_ann")(spark, sfDir)
+      .select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect()
+    assert(ann.forall(p => p._3 >= 0.4), "pair below the τ=0.4 confirm threshold")
+    assert(ann.forall(p => p._1 < p._2), "unnormalized pair order")
+    // candidate generation may legitimately cross labels (cells are
+    // geometric, labels are metadata) — recall is measured against the
+    // exact same-label baseline row, mirroring minhash-vs-jaccard
+    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val got = ann.map(p => (p._1, p._2)).toSet
+      val recall = exact.count(got).toDouble / exact.size
+      assert(recall >= 0.6, s"pair recall $recall < 0.6 (${exact.size} exact pairs)")
+    }
+  }
+
   test("pq adc: approximate distance is exact when the query is a codebook vector") {
     import spark.implicits._
     // for vec_id < 4 the query IS a centroid in every subspace, so its
