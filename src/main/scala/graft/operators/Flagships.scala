@@ -841,12 +841,16 @@ object Flagships extends QueryModule {
         .select($"src", $"dst",
           ($"wgt".cast(DoubleType) / sum($"wgt").over(w).cast(DoubleType)).as("ratio"))
         // nation-pair sized (≤625 rows): 1 partition keeps every
-        // iteration's jobs at a handful of tasks
+        // iteration's jobs at a handful of tasks. Checkpoints.cut routes
+        // to reliable cluster-FS checkpoint when a checkpoint dir is
+        // configured (the promise the scale notes make), else
+        // executor-local blocks.
         .coalesce(1)
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.cut)
       val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
       val nTotal = nodes.agg(count(lit(1)).as("nn"))
-      val srcNodes = edges.select($"src".as("node")).distinct().coalesce(1).localCheckpoint(true)
+      val srcNodes = graft.Checkpoints.cut(
+        edges.select($"src".as("node")).distinct().coalesce(1))
       var pr = nodes.select($"node").crossJoin(broadcast(nTotal))
         .select($"node", (lit(1.0) / $"nn").as("pr"))
       for (_ <- 1 to 8) {
@@ -875,7 +879,7 @@ object Flagships extends QueryModule {
         // job is cheap. (Measured: cutting only every 4th round is
         // SLOWER — Catalyst re-optimizing 16 copies of the join subtree
         // costs more than 8 tiny checkpoint jobs.)
-        pr = pr.coalesce(1).localCheckpoint(true)
+        pr = graft.Checkpoints.cut(pr.coalesce(1))
       }
       pr.join(broadcast(nodes), "node")
         .select($"node".as("n_nationkey"), $"n_name", round($"pr", 6).as("pagerank"))

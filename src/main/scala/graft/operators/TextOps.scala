@@ -1030,18 +1030,19 @@ object TextOps extends QueryModule {
     labelsCache.getOrCompute(pairsIn) { p =>
       // Materialize the pair table exactly once; every round below joins
       // this checkpointed table, never the upstream candidate pipeline.
-      val pairs = p.select(col("d1"), col("d2")).localCheckpoint(true)
+      val pairs = graft.Checkpoints.cut(p.select(col("d1"), col("d2")))
       val nPairs = pairs.count()
       // ~1M edge-rows per partition; 1 partition at bench scale.
       val nPart = math.max(1, (nPairs / 500000L).toInt)
       val verts = pairs.select(col("d1").as("id"))
         .union(pairs.select(col("d2").as("id"))).distinct()
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .repartition(nPart, col("dst"))
-        .localCheckpoint(true)
-      var labels = verts.select(col("id"), col("id").as("comp"))
-        .repartition(nPart, col("id")).localCheckpoint(true)
+      val edges = graft.Checkpoints.cut(
+        pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+          .repartition(nPart, col("dst")))
+      var labels = graft.Checkpoints.cut(
+        verts.select(col("id"), col("id").as("comp"))
+          .repartition(nPart, col("id")))
       // pairs fed verts (now inside the labels checkpoint) and edges;
       // its blocks are dead weight from here on
       freeCheckpointBlocks(pairs)
@@ -1057,12 +1058,11 @@ object TextOps extends QueryModule {
         // pointer jump: comp := label(comp). Labels only decrease, so
         // composing with the (pre-step) map is still an upper bound of
         // the true component minimum — but it halves chain depth.
-        val next = stepped
+        val next = graft.Checkpoints.cut(stepped
           .join(labels.select(col("id").as("cid"), col("comp").as("ccomp")),
             col("comp") === col("cid"), "left")
           .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"),
-            col("old"))
-          .localCheckpoint(true)
+            col("old")))
         changed = next.where(col("comp") < col("old")).count()
         // next is eagerly materialized — the superseded round's blocks
         // can be released right away

@@ -180,4 +180,23 @@ class DriftGraphSpec extends SparkSpecBase {
         s"adist not ascending for q=$q")
     }
   }
+
+  // keep LAST in this suite: configuring a reliable checkpoint dir is
+  // JVM-session-wide (SparkContext has no unset), so every earlier test
+  // exercises the default executor-local mode first
+  test("iterative ops: local and reliable checkpoint modes agree exactly") {
+    val ccLocal = SparkEntry.queries("dedup_connected_components")(spark, sfDir).collect().toSeq
+    val prLocal = SparkEntry.queries("graph_pagerank_trade")(spark, sfDir).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // drop the memoized labels so the reliable-mode run really re-executes
+    // the fixpoint instead of reading the local-mode cache
+    operators.TextOps.evictSharedStages()
+    try {
+      val ccRel = SparkEntry.queries("dedup_connected_components")(spark, sfDir).collect().toSeq
+      val prRel = SparkEntry.queries("graph_pagerank_trade")(spark, sfDir).collect().toSeq
+      assert(ccRel == ccLocal, "connected components diverged between checkpoint modes")
+      assert(prRel == prLocal, "pagerank diverged between checkpoint modes")
+    } finally operators.TextOps.evictSharedStages()
+  }
 }
