@@ -1415,6 +1415,221 @@ object Aggregations extends QueryModule {
       FROM s
     """.stripMargin.trim))
 
+  /** Mutual information between event type and day-of-week (SURVEY §2
+    * I-sext) — the information-theoretic companion to `agg_cramers_v`:
+    * χ² asks "are they independent?", MI answers "how many bits does one
+    * variable tell you about the other" (the feature-selection number).
+    *
+    * Scale notes: the ONLY fact-scale work is the (type, dow) cell count
+    * — map-side combinable, shuffling r×c rows per partition. Marginals,
+    * entropies and the MI sum all derive from that bounded cell table via
+    * broadcast joins, so the plan at 100 TB is one aggregation pass plus
+    * kilobytes of driver-free tiny-frame algebra. Each p·log2 term is
+    * rounded to 12 dp and summed as DECIMAL so the result is independent
+    * of partitioning and aggregation order (the PSI/entropy recipe).
+    */
+  val aggMutualInformation = Q(
+    "agg_mutual_information",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_type",
+          (datediff($"ts".cast("date"), lit("1970-01-01").cast("date")) % 7).as("dow"))
+      val cells = ev.groupBy($"event_type", $"dow").agg(count(lit(1)).as("nij"))
+      val margX = cells.groupBy($"event_type").agg(sum($"nij").as("ri"))
+      val margY = cells.groupBy($"dow").agg(sum($"nij").as("cj"))
+      val tot = cells.agg(sum($"nij").as("n"))
+      def entropy(marg: org.apache.spark.sql.DataFrame, cnt: String, out: String) =
+        marg.crossJoin(broadcast(tot))
+          .select(
+            round((col(cnt).cast(DoubleType) / $"n") *
+              log2($"n".cast(DoubleType) / col(cnt)), 12)
+              .cast(DecimalType(28, 12)).as("term"))
+          .agg(sum($"term").as(out))
+      val hx = entropy(margX, "ri", "hx")
+      val hy = entropy(margY, "cj", "hy")
+      val mi = cells
+        .join(broadcast(margX), "event_type")
+        .join(broadcast(margY), "dow")
+        .crossJoin(broadcast(tot))
+        .select(
+          round(($"nij".cast(DoubleType) / $"n") *
+            log2(($"nij".cast(DoubleType) * $"n") / ($"ri".cast(DoubleType) * $"cj")), 12)
+            .cast(DecimalType(28, 12)).as("term"))
+        .agg(sum($"term").as("mi"))
+      tot.crossJoin(broadcast(hx)).crossJoin(broadcast(hy)).crossJoin(broadcast(mi))
+        .select(
+          $"n".as("n_events"),
+          round($"hx".cast(DoubleType), 6).as("h_type"),
+          round($"hy".cast(DoubleType), 6).as("h_dow"),
+          round($"mi".cast(DoubleType), 6).as("mi_bits"),
+          round($"mi".cast(DoubleType) /
+            nullif(least($"hx".cast(DoubleType), $"hy".cast(DoubleType)), lit(0.0d)), 6)
+            .as("nmi"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow
+        FROM events
+      ), cells AS (
+        SELECT event_type, dow, COUNT(*) AS nij FROM ev GROUP BY 1, 2
+      ), mx AS (
+        SELECT event_type, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY 1
+      ), my AS (
+        SELECT dow, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells
+      ), hx AS (
+        SELECT SUM(CAST(ROUND((CAST(ri AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / ri), 12)
+               AS DECIMAL(28,12))) AS hx FROM mx, tot
+      ), hy AS (
+        SELECT SUM(CAST(ROUND((CAST(cj AS DOUBLE) / n) * LOG2(CAST(n AS DOUBLE) / cj), 12)
+               AS DECIMAL(28,12))) AS hy FROM my, tot
+      ), mi AS (
+        SELECT SUM(CAST(ROUND((CAST(nij AS DOUBLE) / n)
+               * LOG2((CAST(nij AS DOUBLE) * n) / (CAST(ri AS DOUBLE) * cj)), 12)
+               AS DECIMAL(28,12))) AS mi
+        FROM cells JOIN mx USING (event_type) JOIN my USING (dow), tot
+      )
+      SELECT n AS n_events,
+        ROUND(CAST(hx AS DOUBLE), 6) AS h_type,
+        ROUND(CAST(hy AS DOUBLE), 6) AS h_dow,
+        ROUND(CAST(mi AS DOUBLE), 6) AS mi_bits,
+        ROUND(CAST(mi AS DOUBLE)
+              / NULLIF(LEAST(CAST(hx AS DOUBLE), CAST(hy AS DOUBLE)), 0), 6) AS nmi
+      FROM tot, hx, hy, mi
+    """.stripMargin.trim))
+
+  /** Welch's unequal-variance t-test between two customer segments on
+    * account balance (SURVEY §2 I-sext) — the A/B-experimentation
+    * significance primitive. Exact decimal moment sums per group (one
+    * map-side-combinable pass), then t and the Welch–Satterthwaite df in
+    * double algebra on identical exact operands on both engines; NULLIF
+    * guards a degenerate zero-variance pair.
+    */
+  val aggWelchTtest = Q(
+    "agg_welch_ttest",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = Tables.customer(spark, dir)
+        .where($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"c_acctbal".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(38, 10))).as("sxx"))
+      val a = m.where($"c_mktsegment" === "AUTOMOBILE")
+        .select($"n".as("n_a"), $"sx".as("sx_a"), $"sxx".as("sxx_a"))
+      val b = m.where($"c_mktsegment" === "BUILDING")
+        .select($"n".as("n_b"), $"sx".as("sx_b"), $"sxx".as("sxx_b"))
+      def mean(sx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        sx.cast(DoubleType) / n
+      def varSamp(sxx: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+                  n: org.apache.spark.sql.Column) =
+        (sxx.cast(DoubleType) - sx.cast(DoubleType) * sx.cast(DoubleType) / n) / (n - 1)
+      val va = varSamp($"sxx_a", $"sx_a", $"n_a") / $"n_a"
+      val vb = varSamp($"sxx_b", $"sx_b", $"n_b") / $"n_b"
+      a.crossJoin(broadcast(b))
+        .select(
+          $"n_a", $"n_b",
+          mean($"sx_a", $"n_a").cast(DecimalType(18, 6)).as("mean_a"),
+          mean($"sx_b", $"n_b").cast(DecimalType(18, 6)).as("mean_b"),
+          round((mean($"sx_a", $"n_a") - mean($"sx_b", $"n_b")) /
+            nullif(sqrt(va + vb), lit(0.0d)), 6).as("t_stat"),
+          round((va + vb) * (va + vb) /
+            nullif(va * va / ($"n_a" - 1) + vb * vb / ($"n_b" - 1), lit(0.0d)), 4)
+            .as("df_welch"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS sxx
+        FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')
+        GROUP BY 1
+      ), a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m WHERE c_mktsegment = 'AUTOMOBILE'),
+         b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM m WHERE c_mktsegment = 'BUILDING')
+      SELECT n_a, n_b,
+        CAST(CAST(CAST(sx_a AS DOUBLE) / n_a AS DECIMAL(18,6)) AS DOUBLE) AS mean_a,
+        CAST(CAST(CAST(sx_b AS DOUBLE) / n_b AS DECIMAL(18,6)) AS DOUBLE) AS mean_b,
+        ROUND((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+          / NULLIF(SQRT(
+              ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
+            + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b), 0), 6) AS t_stat,
+        ROUND(
+          ( ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
+          + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b )
+          * ( ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a
+            + ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b )
+          / NULLIF(
+              POWER(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a, 2) / (n_a - 1)
+            + POWER(((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b, 2) / (n_b - 1), 0), 4) AS df_welch
+      FROM a, b
+    """.stripMargin.trim))
+
+  /** Market-basket association rules over within-order brand pairs
+    * (SURVEY §2 I-sext): support / confidence / lift — the co-occurrence
+    * recommender primitive.
+    *
+    * Scale notes: the pair fan-out is bounded by distinct brands per
+    * order (~4 lines → ≤6 pairs), and the self-join is co-partitioned on
+    * l_orderkey, so pair generation scales linearly with the fact table.
+    * Brand counts and the order total are bounded frames broadcast back;
+    * lift is exact-BIGINT ratio algebra. Top-15 is TakeOrderedAndProject.
+    */
+  val aggMarketBasketLift = Q(
+    "agg_market_basket_lift",
+    (spark, dir) => {
+      import spark.implicits._
+      val ob = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"p_brand")
+        .distinct()
+      val tot = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
+      val cb = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
+      val pairs = ob.as("a")
+        .join(ob.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
+        .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pairs
+        .join(broadcast(cb.select($"p_brand".as("brand_a"), $"c".as("c_a"))), "brand_a")
+        .join(broadcast(cb.select($"p_brand".as("brand_b"), $"c".as("c_b"))), "brand_b")
+        .crossJoin(broadcast(tot))
+        .select(
+          $"brand_a", $"brand_b", $"c_ab",
+          round($"c_ab".cast(DoubleType) / $"n_orders", 6).as("support"),
+          round($"c_ab".cast(DoubleType) / $"c_a", 6).as("confidence"),
+          round($"c_ab".cast(DoubleType) * $"n_orders" /
+            ($"c_a".cast(DoubleType) * $"c_b"), 6).as("lift"))
+        .orderBy($"lift".desc, $"brand_a", $"brand_b")
+        .limit(15)
+    },
+    Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+      ), tot AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+      ), cb AS (
+        SELECT p_brand, COUNT(*) AS c FROM ob GROUP BY 1
+      ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS c_ab
+        FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+      )
+      SELECT brand_a, brand_b, c_ab,
+        ROUND(CAST(c_ab AS DOUBLE) / n_orders, 6) AS support,
+        ROUND(CAST(c_ab AS DOUBLE) / ca.c, 6) AS confidence,
+        ROUND(CAST(c_ab AS DOUBLE) * n_orders / (CAST(ca.c AS DOUBLE) * cbb.c), 6) AS lift
+      FROM pairs
+      JOIN cb ca ON ca.p_brand = brand_a
+      JOIN cb cbb ON cbb.p_brand = brand_b, tot
+      ORDER BY lift DESC, brand_a, brand_b LIMIT 15
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1424,5 +1639,6 @@ object Aggregations extends QueryModule {
     aggWeightedAvg, aggTimeWeightedAvg, aggHllSketchUnion,
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
-    aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV)
+    aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
+    aggMutualInformation, aggWelchTtest, aggMarketBasketLift)
 }

@@ -949,6 +949,125 @@ object Windows extends QueryModule {
       FROM spans GROUP BY l_suppkey ORDER BY s_suppkey
     """.stripMargin.trim))
 
+  /** Maximum drawdown per customer over the chronological order-value
+    * series (SURVEY §2 I-sext) — the running-peak-to-trough risk measure
+    * from portfolio analytics, applied as a customer-LTV volatility
+    * probe. Running peak is a per-key unbounded-preceding max window;
+    * drawdown is exact decimal arithmetic on the 2-dp order values, with
+    * only the final ratio in rounded double.
+    *
+    * Scale notes: one shuffle on o_custkey, per-key sort, linear in the
+    * fact table — the canonical partitioned-window plan.
+    */
+  val winMaxDrawdown = Q(
+    "win_max_drawdown",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          dec($"o_totalprice").as("price"))
+        .withColumn("peak", max($"price").over(w))
+        .groupBy($"o_custkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          max($"peak").as("peak_price"),
+          round(max(($"peak" - $"price").cast(DoubleType) /
+            $"peak".cast(DoubleType)), 6).as("max_drawdown"))
+        .where($"n_orders" >= 5)
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM orders
+      )
+      SELECT o_custkey,
+        COUNT(*) AS n_orders,
+        CAST(MAX(peak) AS DOUBLE) AS peak_price,
+        ROUND(MAX(CAST(peak - price AS DOUBLE) / CAST(peak AS DOUBLE)), 6) AS max_drawdown
+      FROM t
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 5
+      ORDER BY o_custkey
+    """.stripMargin.trim))
+
+  /** Rolling correlation between quantity and extended price over a
+    * 10-row chronological frame per supplier (SURVEY §2 I-sext) — the
+    * windowed co-movement monitor (pairs-trading / sensor-drift shape).
+    *
+    * Never uses a native windowed corr (its double accumulation is
+    * partition-order dependent): six decimal co-moment SUMs over one
+    * shared ROWS frame, then the corr formula in double algebra on exact
+    * frame moments — identical on both engines. NULLIF guards
+    * zero-variance frames; only full 10-row frames are emitted.
+    *
+    * Scale notes: one shuffle on l_suppkey; all six window aggregates
+    * share a single WindowExec frame pass. The suppkey<20 slice bounds
+    * declared output, not the plan shape.
+    */
+  val winRollingCorr = Q(
+    "win_rolling_corr",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(-9, Window.currentRow)
+      val x = $"l_quantity".cast(DoubleType)
+      val y = $"l_extendedprice".cast(DoubleType)
+      val base = Tables.lineitem(spark, dir)
+        .where($"l_suppkey" < 20)
+        .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+          x.cast(DecimalType(28, 10)).as("xd"),
+          y.cast(DecimalType(28, 10)).as("yd"),
+          (x * y).cast(DecimalType(38, 10)).as("xyd"),
+          (x * x).cast(DecimalType(38, 10)).as("xxd"),
+          (y * y).cast(DecimalType(38, 10)).as("yyd"))
+      val nW = count(lit(1)).over(w)
+      val sx = sum($"xd").over(w).cast(DoubleType)
+      val sy = sum($"yd").over(w).cast(DoubleType)
+      val sxy = sum($"xyd").over(w).cast(DoubleType)
+      val sxx = sum($"xxd").over(w).cast(DoubleType)
+      val syy = sum($"yyd").over(w).cast(DoubleType)
+      base
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          nW.as("n"),
+          round((sxy * nW - sx * sy) /
+            nullif(sqrt((sxx * nW - sx * sx) * (syy * nW - sy * sy)), lit(0.0d)), 6)
+            .as("rolling_corr"))
+        .where($"n" === 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"rolling_corr")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      WITH t AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          COUNT(*) OVER w AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) OVER w AS DOUBLE) AS syy
+        FROM lineitem
+        WHERE l_suppkey < 20
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      )
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        ROUND((sxy * n - sx * sy)
+          / NULLIF(SQRT((sxx * n - sx * sx) * (syy * n - sy * sy)), 0), 6) AS rolling_corr
+      FROM t
+      WHERE n = 10
+      ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
@@ -956,5 +1075,6 @@ object Windows extends QueryModule {
     winSessionizeBatch, winMovingMedian, winPercentOfTotal,
     winStreakLongest, winRunningDistinct, winCumeDist,
     winCumeDistScalable, winNthValue, winNtileBuckets,
-    winEwmaDyadic, winParetoFront, winIntervalUnionLength)
+    winEwmaDyadic, winParetoFront, winIntervalUnionLength,
+    winMaxDrawdown, winRollingCorr)
 }

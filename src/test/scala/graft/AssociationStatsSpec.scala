@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-6 statistical association / risk
+  * operators: mathematical properties that hold for ANY input, checked
+  * on the real fixtures — complementary to the cross-engine oracle
+  * parity each of these queries also carries.
+  */
+class AssociationStatsSpec extends SparkSpecBase {
+
+  test("mutual information: 0 ≤ MI ≤ min(H), NMI in [0,1], entropies within log2 bounds") {
+    val row = SparkEntry.queries("agg_mutual_information")(spark, sfDir).collect().head
+    val hType = row.getAs[Double]("h_type")
+    val hDow = row.getAs[Double]("h_dow")
+    val mi = row.getAs[Double]("mi_bits")
+    val nmi = row.getAs[Double]("nmi")
+    // entropy of a 5-category / 7-category distribution is bounded by log2(k)
+    assert(hType >= 0.0 && hType <= math.log(5.0) / math.log(2.0) + 1e-9, s"h_type $hType")
+    assert(hDow >= 0.0 && hDow <= math.log(7.0) / math.log(2.0) + 1e-9, s"h_dow $hDow")
+    // MI is non-negative and bounded by either marginal entropy
+    // (tolerance covers the 12-dp per-term rounding over ≤35 terms)
+    assert(mi >= -1e-6, s"negative MI $mi")
+    assert(mi <= math.min(hType, hDow) + 1e-6, s"MI $mi exceeds min entropy")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9, s"NMI $nmi outside [0,1]")
+  }
+
+  test("mutual information: near zero for an independently shuffled dow") {
+    import spark.implicits._
+    // dow derived from event_id instead of ts is independent of type by
+    // construction of the fixture generator — MI must be ~0 relative to
+    // the marginal entropies (sampling noise only)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", ($"event_id" % 7).as("dow"))
+    val n = ev.count().toDouble
+    val cells = ev.groupBy("event_type", "dow").count().collect()
+    val byType = cells.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val byDow = cells.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val mi = cells.map { r =>
+      val p = r.getLong(2) / n
+      p * math.log(p * n * n / (byType(r.getString(0)) * byDow(r.getLong(1)))) / math.log(2.0)
+    }.sum
+    assert(mi < 0.05, s"independent columns show MI $mi")
+  }
+
+  test("welch t-test: t matches hand recomputation from raw balances") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_welch_ttest")(spark, sfDir).collect().head
+    val t = row.getAs[Double]("t_stat")
+    val df = row.getAs[Double]("df_welch")
+    val bal = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+      .select($"c_mktsegment", $"c_acctbal")
+      .as[(String, Double)].collect()
+    def stats(seg: String) = {
+      val xs = bal.filter(_._1 == seg).map(_._2)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      (xs.length, m, v)
+    }
+    val (na, ma, va) = stats("AUTOMOBILE")
+    val (nb, mb, vb) = stats("BUILDING")
+    val se2 = va / na + vb / nb
+    val tHand = (ma - mb) / math.sqrt(se2)
+    val dfHand = se2 * se2 /
+      (va * va / (na.toDouble * na * (na - 1)) + vb * vb / (nb.toDouble * nb * (nb - 1)))
+    assert(math.abs(t - tHand) < 1e-4, s"t $t vs hand $tHand")
+    assert(math.abs(df - dfHand) < 1e-2, s"df $df vs hand $dfHand")
+    // Welch df lies between min(n)-1 and n_a+n_b-2
+    assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6, s"df $df out of range")
+  }
+
+  test("market basket: confidence ≥ support, lift consistent with ratio, keys ordered") {
+    val rows = SparkEntry.queries("agg_market_basket_lift")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.foreach { r =>
+      val (s, c, l) = (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift"))
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"), "pair not canonical")
+      assert(s > 0 && s <= 1.0, s"support $s")
+      // confidence = support/P(a) ≥ support since P(a) ≤ 1
+      assert(c >= s - 1e-9, s"confidence $c below support $s")
+      assert(l > 0, s"non-positive lift $l")
+    }
+    // declared order is lift-descending
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse, "not sorted by lift desc")
+  }
+
+  test("max drawdown: within [0,1), zero iff the series never falls below its peak") {
+    import spark.implicits._
+    val out = SparkEntry.queries("win_max_drawdown")(spark, sfDir)
+      .select($"o_custkey", $"max_drawdown").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, d) => d >= 0.0 && d < 1.0 }, "drawdown outside [0,1)")
+    // hand-check one customer: recompute from the raw chronological series
+    val ck = out.head._1
+    val series = Tables.orders(spark, sfDir)
+      .where($"o_custkey" === ck)
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .select($"o_totalprice").as[Double].collect()
+    var peak = Double.MinValue
+    var dd = 0.0
+    series.foreach { p =>
+      peak = math.max(peak, p)
+      dd = math.max(dd, (peak - p) / peak)
+    }
+    assert(math.abs(out.head._2 - dd) < 1e-4, s"declared ${out.head._2} vs hand $dd")
+  }
+
+  test("rolling corr: every value in [-1,1] and only full frames emitted") {
+    import spark.implicits._
+    val out = SparkEntry.queries("win_rolling_corr")(spark, sfDir)
+      .select($"rolling_corr").as[Option[Double]].collect()
+    assert(out.nonEmpty)
+    assert(out.flatten.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9),
+      "correlation outside [-1,1]")
+    // full-frame rule: per supplier, emitted rows = max(0, rows-9)
+    val emitted = SparkEntry.queries("win_rolling_corr")(spark, sfDir).count()
+    val expected = Tables.lineitem(spark, sfDir)
+      .where($"l_suppkey" < 20)
+      .groupBy($"l_suppkey").count()
+      .select(greatest($"count" - 9, lit(0L)).as("e"))
+      .agg(sum($"e")).as[Long].collect().head
+    assert(emitted == expected, s"emitted $emitted vs expected $expected")
+  }
+}
