@@ -1943,7 +1943,8 @@ object TextOps extends QueryModule {
     sampleStratifiedByLang, pipelineCorpusCuration, sampleReservoirFixed,
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
-    textMadLengthOutlier, textContainmentPairs)
+    textMadLengthOutlier, textContainmentPairs,
+    textVocabCoverage, sampleClassBalanced, sampleTimeHoldout)
 
   /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
     * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is
@@ -2364,5 +2365,182 @@ object TextOps extends QueryModule {
         COUNT(*) - COUNT(comp) + COUNT(DISTINCT comp) AS n_keepers,
         COUNT(comp) - COUNT(DISTINCT comp) AS n_dropped
       FROM endocs LEFT JOIN comp USING (doc_id)
+    """.stripMargin.trim))
+
+  /** Vocabulary coverage curve (SURVEY §2 I-sext): share of the corpus's
+    * token mass covered by the top-k vocabulary at k ∈ {10, 100, 1000} —
+    * the tokenizer-budget / OOV-rate planning number (a steep curve means
+    * a small vocab suffices; a flat one predicts heavy UNK traffic).
+    *
+    * Scale notes: term frequencies map-side combine (vocab ≪ corpus —
+    * the only fact-scale stage); rank and cumulative mass are windows
+    * over the BOUNDED vocab table (the freq-table trick
+    * `win_rank_global_scalable` establishes), and the k-thresholds join
+    * is vocab×3. Coverage is an exact-BIGINT cumulative ratio.
+    */
+  val textVocabCoverage = Q(
+    "text_vocab_coverage",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = tokens(Tables.documents(spark, dir))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val ord = Window.orderBy($"cnt".desc, $"tok")
+      val ranked = freq
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum",
+          sum($"cnt").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = freq.agg(sum($"cnt").as("total"), count(lit(1)).as("vocab_size"))
+      val ks = spark.range(1)
+        .select(explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+      broadcast(ks)
+        .join(ranked, $"rank" <= $"k")
+        .groupBy($"k")
+        .agg(max($"rank").as("terms_used"), max($"cum").as("cum"))
+        .crossJoin(broadcast(tot))
+        .select(
+          $"k", $"terms_used",
+          round($"cum".cast(DoubleType) / $"total", 6).as("coverage"),
+          $"vocab_size")
+        .orderBy($"k")
+    },
+    Some("""
+      WITH freq AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY 1
+      ), ranked AS (
+        SELECT tok, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank,
+          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM freq
+      ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS vocab_size FROM freq
+      ), ks AS (
+        SELECT UNNEST([10, 100, 1000]) AS k
+      )
+      SELECT CAST(k AS BIGINT) AS k,
+        CAST(MAX(rank) AS BIGINT) AS terms_used,
+        ROUND(CAST(MAX(cum) AS DOUBLE) / total, 6) AS coverage,
+        vocab_size
+      FROM ks JOIN ranked ON rank <= k, tot
+      GROUP BY k, total, vocab_size
+      ORDER BY k
+    """.stripMargin.trim))
+
+  /** Class-balanced downsampling to the minority class (SURVEY §2
+    * I-sext): equalize per-language document counts at min(class size) —
+    * the bias-control sampler (`sample_stratified_by_lang` keeps fixed
+    * fractions; this one equalizes absolute counts, the classifier-
+    * training discipline). Selection is a deterministic md5(doc_id) rank
+    * within language — reproducible on any engine and partitioning,
+    * never `df.sample`.
+    *
+    * Scale notes: the per-language rank window shuffles once on lang;
+    * the cap is a broadcast 1-row frame derived from the bounded
+    * lang-count table. At 100 TB the exact rank window over a dominant
+    * language becomes the cost center — the documented swap is the
+    * md5-bucket-threshold form (`sample_hash_split`'s recipe) at
+    * cap/n_total precision, identical plan otherwise.
+    */
+  val sampleClassBalanced = Q(
+    "sample_class_balanced",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val cap = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .agg(min($"c").as("cap"))
+      val wr = Window.partitionBy($"lang")
+        .orderBy(md5(concat($"lang", lit(":"), $"doc_id".cast("string"))), $"doc_id")
+      docs
+        .select($"lang", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(wr))
+        .crossJoin(broadcast(cap))
+        .withColumn("keep", ($"rn" <= $"cap").cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum($"keep").as("n_kept"),
+          (sum($"n_chars" * $"keep").cast(DoubleType) /
+            sum($"keep")).cast(DecimalType(18, 6)).as("mean_chars_kept"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+      ), cap AS (
+        SELECT MIN(c) AS cap
+        FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+      )
+      SELECT lang,
+        COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(CAST(CAST(SUM(CASE WHEN rn <= cap THEN n_chars ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS DECIMAL(18,6)) AS DOUBLE)
+          AS mean_chars_kept
+      FROM ranked, cap
+      GROUP BY lang
+      ORDER BY lang
+    """.stripMargin.trim))
+
+  /** Chronological train/val/test holdout (70/15/15) per user over the
+    * event stream (SURVEY §2 I-sext) — the TIME-based split discipline
+    * next to `sample_hash_split`'s random one: validation data lies
+    * strictly after training data for every entity, the temporal-leakage
+    * control forecasting and recommendation training require. The split
+    * rule is exact integer arithmetic (rn·20 vs cnt·14 / cnt·17), so
+    * boundaries are reproducible on any engine.
+    *
+    * Scale notes: one shuffle on user_id; rank + count share the same
+    * window partition. The declared output is the per-split audit
+    * (counts, user coverage, time range), not the split rows themselves.
+    */
+  val sampleTimeHoldout = Q(
+    "sample_time_holdout",
+    (spark, dir) => {
+      import spark.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wAll = Window.partitionBy($"user_id")
+      Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .withColumn("split",
+          when($"rn" * 20 <= $"cnt" * 14, "train")
+            .when($"rn" * 20 <= $"cnt" * 17, "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          min($"ts").as("from_ts"),
+          max($"ts").as("to_ts"))
+        .orderBy($"split")
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, ts, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+      ), s AS (
+        SELECT user_id, ts,
+          CASE WHEN rn * 20 <= cnt * 14 THEN 'train'
+               WHEN rn * 20 <= cnt * 17 THEN 'val'
+               ELSE 'test' END AS split
+        FROM t
+      )
+      SELECT split,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(ts) AS from_ts,
+        MAX(ts) AS to_ts
+      FROM s
+      GROUP BY split
+      ORDER BY split
     """.stripMargin.trim))
 }

@@ -189,4 +189,61 @@ class TextOpsSpec extends SparkSpecBase {
         s"$lang: got ($nt,$ns) expected ${expected(lang)}")
     }
   }
+
+  test("vocab coverage: monotone in k, within (0,1], and total mass matches token count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+      .select($"k", $"terms_used", $"coverage", $"vocab_size")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    rows.foreach { case (k, used, cov, vocab) =>
+      assert(used == math.min(k, vocab), s"terms_used $used at k=$k vocab=$vocab")
+      assert(cov > 0.0 && cov <= 1.0, s"coverage $cov at k=$k")
+    }
+    // coverage is non-decreasing in k, and hits 1.0 once k >= vocab
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, "coverage not monotone in k")
+    rows.filter { case (k, _, _, vocab) => k >= vocab }
+      .foreach { case (k, _, cov, _) => assert(cov == 1.0, s"k=$k covers all but $cov") }
+  }
+
+  test("class balanced: every language kept at exactly the minority count") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_class_balanced")(spark, sfDir)
+      .select($"lang", $"n_total", $"n_kept").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val minTotal = rows.map(_._2).min
+    rows.foreach { case (lang, total, kept) =>
+      assert(kept == minTotal, s"$lang kept $kept != minority count $minTotal")
+      assert(kept <= total)
+    }
+  }
+
+  test("time holdout: splits partition events 70/15/15 per user with train before test") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_time_holdout")(spark, sfDir)
+      .select($"split", $"n_events", $"n_users")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum == totalEvents, "splits do not partition the stream")
+    // 70/15/15 within per-user integer rounding of the exact rule
+    val train = rows("train")._1.toDouble / totalEvents
+    assert(train > 0.6 && train < 0.8, s"train share $train far from 0.7")
+    // temporal ordering: per user, max(train ts) < min(test ts) — check via raw recompute
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    import org.apache.spark.sql.functions._
+    val tagged = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .withColumn("split",
+        when($"rn" * 20 <= $"cnt" * 14, "train")
+          .when($"rn" * 20 <= $"cnt" * 17, "val").otherwise("test"))
+    val violation = tagged.filter($"split" === "train").as("a")
+      .join(tagged.filter($"split" === "test").as("b"), Seq("user_id"))
+      .filter($"a.ts" > $"b.ts")
+      .count()
+    assert(violation == 0, s"$violation train events after a test event for the same user")
+  }
 }
