@@ -932,10 +932,139 @@ object Flagships extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** Weighted label propagation communities over the nation trade graph
+    * (SURVEY §2 I-sext) — the clustering sibling of
+    * `graph_pagerank_trade`: PageRank RANKS nodes by trade mass, LPA
+    * CLUSTERS them into trade blocs. The symmetrized graph is sparsified
+    * to each node's top-3 heaviest partners (the kNN-graph backbone —
+    * majority LPA on a near-complete weighted graph degenerates to one
+    * bloc), then three synchronous rounds of label(v) ← argmax over
+    * neighbor labels of summed edge weight, with the deterministic
+    * (weight desc, label asc) tiebreak; isolated nodes keep their own
+    * label.
+    *
+    * Scale notes: the only fact-scale work is the one edge aggregation
+    * (identical to PageRank's); the symmetrized graph is nation-pair
+    * sized and each round is an argmax window over the ≤2·625-row vote
+    * table, checkpointed per round via `Checkpoints.cut` (reliable FS
+    * checkpoint on a cluster, executor-local blocks here). Edge weights
+    * are exact decimal revenue, so argmax ordering — and therefore every
+    * community — is reproducible on any engine or partitioning.
+    */
+  val graphLabelPropagation = Q(
+    "graph_label_propagation",
+    (spark, dir) => {
+      import spark.implicits._
+      val e0 = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"src", $"dst")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+      // Symmetrize, then SPARSIFY to each node's top-3 heaviest partners
+      // (kNN-graph community detection): on this corpus every nation
+      // trades with every other, and majority LPA on a near-complete
+      // weighted graph collapses to one bloc — the top-k backbone keeps
+      // only the dominant trade relationships, which is where bloc
+      // structure lives. Rank window is per-node over the bounded
+      // nation-pair table; (w desc, b) tiebreak keeps it deterministic.
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"a").orderBy($"w".desc, $"b")
+      val sym = e0.select($"src".as("a"), $"dst".as("b"), $"wgt")
+        .unionAll(e0.select($"dst".as("a"), $"src".as("b"), $"wgt"))
+        .where($"a" =!= $"b")
+        .groupBy($"a", $"b")
+        .agg(sum($"wgt").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("w"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"a", $"b", $"w")
+        .coalesce(1)
+        .transform(graft.Checkpoints.cut)
+      val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
+      var lab = nodes.select($"node", $"node".as("lab"))
+      for (_ <- 1 to 3) {
+        val votes = sym
+          .join(lab.select($"node".as("b"), $"lab"), "b")
+          .groupBy($"a", $"lab")
+          .agg(sum($"w").as("vw"))
+        val wArg = org.apache.spark.sql.expressions.Window
+          .partitionBy($"a").orderBy($"vw".desc, $"lab")
+        val newLab = votes
+          .withColumn("rn", row_number().over(wArg))
+          .filter($"rn" === 1)
+          .select($"a".as("node"), $"lab".as("nw"))
+        lab = lab.select($"node", $"lab".as("old"))
+          .join(newLab, Seq("node"), "left")
+          .select($"node", coalesce($"nw", $"old").as("lab"))
+        lab = graft.Checkpoints.cut(lab.coalesce(1))
+      }
+      val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
+      lab.join(broadcast(nodes), "node")
+        .join(broadcast(sizes), "lab")
+        .select($"node".as("n_nationkey"), $"n_name",
+          $"lab".as("community"), $"community_size")
+        .orderBy($"n_nationkey")
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        s"""lab$i AS (
+        SELECT p.node, COALESCE(nw.lab, p.lab) AS lab
+        FROM lab${i - 1} p
+        LEFT JOIN (
+          SELECT node, lab FROM (
+            SELECT v.node, v.lab,
+              ROW_NUMBER() OVER (PARTITION BY v.node ORDER BY v.vw DESC, v.lab) AS rn
+            FROM (SELECT s.a AS node, l.lab, SUM(s.w) AS vw
+                  FROM sym s JOIN lab${i - 1} l ON s.b = l.node
+                  GROUP BY 1, 2) v
+          ) WHERE rn = 1
+        ) nw ON nw.node = p.node
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e0 AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), symall AS (
+        SELECT a, b, CAST(SUM(wgt) AS DECIMAL(28,2)) AS w
+        FROM (SELECT src AS a, dst AS b, wgt FROM e0
+              UNION ALL
+              SELECT dst AS a, src AS b, wgt FROM e0)
+        WHERE a <> b
+        GROUP BY a, b
+      ), sym AS (
+        SELECT a, b, w FROM (
+          SELECT a, b, w,
+            ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+          FROM symall
+        ) WHERE rn <= 3
+      ), lab0 AS (
+        SELECT n_nationkey AS node, n_nationkey AS lab FROM nation
+      ), $rounds, sizes AS (
+        SELECT lab, COUNT(*) AS community_size FROM lab3 GROUP BY lab
+      )
+      SELECT n_nationkey, n_name, lab AS community, community_size
+      FROM lab3
+      JOIN nation ON node = n_nationkey
+      JOIN sizes USING (lab)
+      ORDER BY n_nationkey
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
-    tpchQ15TopSupplier, graphPagerankTrade)
+    tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation)
 }

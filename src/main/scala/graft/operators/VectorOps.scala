@@ -1315,5 +1315,206 @@ object VectorOps extends QueryModule {
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
-    vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn)
+    vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
+    vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration)
+
+  /** Top principal component via Gram-matrix power iteration (SURVEY §2
+    * I-sext) — the distributed-PCA shape used for embedding-drift and
+    * intrinsic-dimension audits. No oracle (✘): iterative eigensolvers
+    * are formulation-specific; VectorOpsSpec asserts the Rayleigh bound
+    * and output invariants instead.
+    *
+    * Scale notes: the ONLY data-scale work is the one pass building the
+    * 64×64 Gram matrix — declared as a positional self-join so the plan
+    * stays pure DataFrame algebra (at 100 TB the same contract is one
+    * mapPartitions outer-product accumulation shuffling d² doubles per
+    * partition; the 4096-cell result is identical). All 8 power-iteration
+    * rounds run on the checkpointed 4096-row Gram frame joined with the
+    * broadcast 64-row vector — corpus data is never touched again.
+    * Per-round 12 dp term rounding + exact decimal sums + 9 dp
+    * normalization make iteration count, not float accumulation order,
+    * decide every digit (partition-invariant by construction).
+    */
+  val vecPcaPowerIteration = Q(
+    "vec_pca_power_iteration",
+    (spark, dir) => {
+      import spark.implicits._
+      val ex = Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", $"pos", $"v".cast(DoubleType).as("v"))
+      val gram = ex.as("x")
+        .join(ex.as("y"), $"x.vec_id" === $"y.vec_id")
+        .groupBy($"x.pos".as("i"), $"y.pos".as("j"))
+        .agg(sum(($"x.v" * $"y.v").cast(DecimalType(38, 12))).as("gs"))
+        .select($"i", $"j", $"gs".cast(DoubleType).as("g"))
+        .coalesce(1)
+        .transform(graft.Checkpoints.cut)
+      var v = spark.range(64)
+        .select($"id".cast("int").as("j"), lit(0.125).as("vj")) // 1/√64, exact
+      for (_ <- 1 to 8) {
+        val wv = gram.join(broadcast(v), "j")
+          .groupBy($"i")
+          .agg(sum(round($"g" * $"vj", 12).cast(DecimalType(38, 12))).as("s"))
+          .select($"i", $"s".cast(DoubleType).as("wi"))
+        val nrm = wv.agg(
+          sqrt(sum(round($"wi" * $"wi", 12).cast(DecimalType(38, 12))).cast(DoubleType))
+            .as("nrm"))
+        v = wv.crossJoin(broadcast(nrm))
+          .select($"i".as("j"), round($"wi" / $"nrm", 9).as("vj"))
+        v = graft.Checkpoints.cut(v.coalesce(1))
+      }
+      // Rayleigh quotient λ = vᵀGv on the (unit) converged vector, and
+      // trace(G) = Σ eigenvalues for the explained-variance share
+      val gv = gram.join(broadcast(v), "j")
+        .groupBy($"i")
+        .agg(sum(round($"g" * $"vj", 12).cast(DecimalType(38, 12))).as("s"))
+        .select($"i", $"s".cast(DoubleType).as("gvi"))
+      val lam = gv
+        .join(broadcast(v.select($"j".as("i"), $"vj")), "i")
+        .agg(sum(round($"gvi" * $"vj", 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("lambda"))
+      val trace = gram.where($"i" === $"j")
+        .agg(sum(round($"g", 12).cast(DecimalType(38, 12))).cast(DoubleType).as("tr"))
+      val wTop = Window.orderBy(abs($"loading").desc, $"dim")
+      v.select($"j".as("dim"), round($"vj", 4).as("loading"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= 5)
+        .crossJoin(broadcast(lam))
+        .crossJoin(broadcast(trace))
+        .select($"rank", $"dim", $"loading",
+          round($"lambda", 4).as("eigenvalue"),
+          round($"lambda" / $"tr", 6).as("explained_share"))
+        .orderBy($"rank")
+    },
+    None)
+
+  /** Out-of-distribution score per embedding (SURVEY §2 I-sext):
+    * z-scored squared distance to the vector's own-label centroid — the
+    * embedding-space outlier gate run before training (SemDeDup prunes
+    * redundant NEIGHBORHOODS; this flags isolated SINGLETON junk:
+    * mislabeled rows, corrupt encodes, adversarial inputs).
+    *
+    * Scale notes: centroids are the `vec_centroid_per_label` exact
+    * decimal recipe (label×dim partial agg — shuffle size independent of
+    * row count) broadcast back positionally; squared distances are one
+    * posexplode pass with 12 dp per-dim term rounding; the z-score
+    * moments ride a bounded per-label frame. Nothing is quadratic.
+    */
+  val vecOodCentroidZscore = Q(
+    "vec_ood_centroid_zscore",
+    (spark, dir) => {
+      import spark.implicits._
+      val ex = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      val cent = ex.groupBy($"label", $"pos")
+        .agg(
+          sum($"v".cast(DoubleType).cast(DecimalType(28, 12))).as("s"),
+          count(lit(1)).as("cn"))
+        .select($"label", $"pos",
+          ($"s".cast(DoubleType) / $"cn").cast(DecimalType(18, 8)).as("c"))
+      val diff = $"v".cast(DoubleType) - $"c".cast(DoubleType)
+      val dist = ex
+        .join(broadcast(cent), Seq("label", "pos"))
+        .select($"vec_id", $"label",
+          round(diff * diff, 12).cast(DecimalType(28, 12)).as("term"))
+        .groupBy($"vec_id", $"label")
+        .agg(sum($"term").cast(DoubleType).cast(DecimalType(18, 8)).as("dist2"))
+      val mom = dist.groupBy($"label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"dist2").as("sd"),
+          sum(($"dist2".cast(DoubleType) * $"dist2".cast(DoubleType))
+            .cast(DecimalType(38, 10))).as("sdd"))
+      val mean = $"sd".cast(DoubleType) / $"n"
+      val varSamp = ($"sdd".cast(DoubleType) - $"sd".cast(DoubleType) *
+        $"sd".cast(DoubleType) / $"n") / ($"n" - 1)
+      dist
+        .join(broadcast(mom), "label")
+        .select(
+          $"vec_id", $"label",
+          round($"dist2".cast(DoubleType), 6).as("dist2"),
+          round(($"dist2".cast(DoubleType) - mean) /
+            nullif(sqrt(varSamp), lit(0.0d)), 4).as("z"))
+        .orderBy($"z".desc, $"vec_id")
+        .limit(20)
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, label,
+          UNNEST(embedding) AS v,
+          UNNEST(range(len(embedding))) AS pos
+        FROM embeddings
+      ), cent AS (
+        SELECT label, pos,
+          CAST(CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS c
+        FROM ex GROUP BY label, pos
+      ), dist AS (
+        SELECT vec_id, label,
+          CAST(CAST(SUM(CAST(ROUND((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS DECIMAL(18,8)) AS dist2
+        FROM ex JOIN cent USING (label, pos)
+        GROUP BY vec_id, label
+      ), mom AS (
+        SELECT label, COUNT(*) AS n,
+          SUM(dist2) AS sd,
+          SUM(CAST(CAST(dist2 AS DOUBLE) * CAST(dist2 AS DOUBLE) AS DECIMAL(38,10))) AS sdd
+        FROM dist GROUP BY label
+      )
+      SELECT vec_id, dist.label AS label,
+        ROUND(CAST(dist2 AS DOUBLE), 6) AS dist2,
+        ROUND((CAST(dist2 AS DOUBLE) - CAST(sd AS DOUBLE) / n)
+          / NULLIF(SQRT((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+                        / (n - 1)), 0), 4) AS z
+      FROM dist JOIN mom ON dist.label = mom.label
+      ORDER BY z DESC, vec_id LIMIT 20
+    """.stripMargin.trim))
+
+  /** Binary-sign Hamming top-k (SURVEY §2 I-sext): 64-dim sign
+    * binarization + Hamming-distance ranking — the 64×-compression
+    * two-stage retrieval standard (1-bit codes prune cheaply; the float
+    * re-rank rows `vec_cosine_topk`/`vec_pq_adc_topk` are the confirm
+    * stage). The distance is an integer-exact `zip_with` sign-mismatch
+    * fold, so both engines agree bit-for-bit with no rounding recipe.
+    *
+    * Scale notes: queries broadcast; the corpus streams one pass with
+    * no shuffle of vectors (the same shape as cosine top-k). In a real
+    * deployment the sign codes are precomputed 64-bit words and the
+    * fold is a popcount(xor) — declared here over raw vectors so the
+    * semantics stay oracle-checkable.
+    */
+  val vecHammingTopk = Q(
+    "vec_hamming_topk",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val probes = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val ham = aggregate(
+        zip_with($"embedding", $"q_emb",
+          (x, y) => ((x > 0.0f) =!= (y > 0.0f)).cast("int")),
+        lit(0), (acc, v) => acc + v)
+      val w = Window.partitionBy($"q_id").orderBy($"ham", $"vec_id")
+      e.join(broadcast(probes), $"vec_id" =!= $"q_id")
+        .withColumn("ham", ham)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"rn", $"vec_id", $"ham")
+        .orderBy($"q_id", $"rn")
+    },
+    Some("""
+      SELECT q_id, rn, vec_id, ham FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          CAST(list_sum(list_transform(list_zip(e.embedding, q.embedding),
+            x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS ham,
+          ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_sum(list_transform(list_zip(e.embedding, q.embedding),
+              x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)), e.vec_id) AS rn
+        FROM embeddings e
+        JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+          ON e.vec_id <> q.vec_id)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
 }

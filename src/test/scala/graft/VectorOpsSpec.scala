@@ -190,4 +190,93 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(chunked == naive,
       s"pair sets differ: only-chunked=${chunked -- naive}, only-naive=${naive -- chunked}")
   }
+
+  test("pca power iteration: Rayleigh bound above mean eigenvalue, below converged top") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_pca_power_iteration")(spark, sfDir).collect()
+    assert(rows.length == 5, "expected top-5 loading rows")
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    val share = rows.head.getAs[Double]("explained_share")
+    assert(rows.forall(_.getAs[Double]("eigenvalue") == lambda))
+    assert(share > 0.0 && share < 1.0, s"explained share $share")
+    // independent driver-side reference: exact Gram + 300 power rounds
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"embedding").as[Array[Float]].collect().map(_.map(_.toDouble))
+    val d = vecs.head.length
+    val gram = Array.ofDim[Double](d, d)
+    vecs.foreach { x =>
+      var i = 0
+      while (i < d) { var j = 0; while (j < d) { gram(i)(j) += x(i) * x(j); j += 1 }; i += 1 }
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lamRef = 0.0
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => gram(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+      lamRef = n
+    }
+    val trace = (0 until d).map(i => gram(i)(i)).sum
+    // after any number of rounds the Rayleigh quotient sits between the
+    // mean eigenvalue (start) and the true top eigenvalue (limit)
+    assert(lambda >= trace / d - 1e-6, s"λ $lambda below mean eigenvalue ${trace / d}")
+    assert(lambda <= lamRef + 1e-3, s"λ $lambda above converged top $lamRef")
+    assert(math.abs(share - lambda / trace) < 1e-4, "share inconsistent with λ/trace")
+    // declared loadings come from a unit vector
+    assert(rows.forall(r => math.abs(r.getAs[Double]("loading")) <= 1.0))
+  }
+
+  test("hamming topk: distances within [0,64], monotone within each query's ranks") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_hamming_topk")(spark, sfDir)
+      .select($"q_id", $"rn", $"vec_id", $"ham").as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == 20, "expected 20 query groups")
+    rows.foreach { case (_, _, _, h) => assert(h >= 0 && h <= 64, s"hamming $h") }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.length == 3, s"query $q has ${byRank.length} ranks")
+      assert(byRank.toSeq == byRank.sorted.toSeq, s"query $q ranks not distance-monotone")
+    }
+    // hand-check one query against a driver-side sign-mismatch count
+    val embs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val q0 = rows.filter(_._1 == 0L).minBy(_._2)
+    val hand = embs.filter(_._1 != 0L)
+      .map { case (id, e) =>
+        id -> embs(0L).zip(e).count { case (a, b) => (a > 0) != (b > 0) }
+      }
+    val best = hand.minBy { case (id, h) => (h, id) }
+    assert((q0._3, q0._4) == ((best._1, best._2.toLong)),
+      s"rank-1 for q0: declared (${q0._3},${q0._4}) vs hand $best")
+  }
+
+  test("ood zscore: top-20 by z, z recomputable from declared dist2 population") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_ood_centroid_zscore")(spark, sfDir)
+      .select($"vec_id", $"label", $"dist2", $"z")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 20)
+    val zs = rows.map(_._4)
+    assert(zs.toSeq == zs.sorted.reverse.toSeq, "not sorted by z desc")
+    // outliers must sit above their label's mean distance: z > 0 for all
+    // top-20 on any non-degenerate fixture
+    assert(zs.forall(_ > 0.0), "a declared outlier has non-positive z")
+  }
+
+  test("label propagation: labels are node ids, communities non-trivial on the backbone") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_label_propagation")(spark, sfDir)
+      .select($"n_nationkey", $"community", $"community_size")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 25)
+    val nodes = rows.map(_._1).toSet
+    assert(rows.forall(r => nodes.contains(r._2)), "community label is not a node id")
+    // community_size is consistent with the label multiset
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (n, c, s) =>
+      assert(sizes(c) == s, s"node $n community $c declared size $s actual ${sizes(c)}")
+    }
+    // the top-3 backbone must produce neither 25 singletons nor one bloc
+    assert(sizes.size > 1 && sizes.size < 25, s"degenerate community count ${sizes.size}")
+  }
 }
