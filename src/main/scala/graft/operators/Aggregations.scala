@@ -1582,17 +1582,26 @@ object Aggregations extends QueryModule {
     "agg_market_basket_lift",
     (spark, dir) => {
       import spark.implicits._
+      // ONE shuffle total: collect each order's distinct brands into a
+      // sorted set (shuffle keyed on l_orderkey), then emit pairs and
+      // singles by exploding the ≤|brands|-sized array row-locally —
+      // both downstream counts map-side combine into ≤ brands² cells.
+      // (A pair self-join on l_orderkey computes the same counts but
+      // re-shuffles the order-brand relation twice.)
       val ob = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
           $"l_partkey" === $"p_partkey")
-        .select($"l_orderkey", $"p_brand")
-        .distinct()
-      val tot = ob.agg(countDistinct($"l_orderkey").as("n_orders"))
-      val cb = ob.groupBy($"p_brand").agg(count(lit(1)).as("c"))
-      val pairs = ob.as("a")
-        .join(ob.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.p_brand" < $"b.p_brand")
-        .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"p_brand")).as("brands"))
+      val tot = ob.agg(count(lit(1)).as("n_orders"))
+      val cb = ob.select(explode($"brands").as("p_brand"))
+        .groupBy($"p_brand").agg(count(lit(1)).as("c"))
+      val pairs = ob
+        .select(explode(expr(
+          """flatten(transform(brands, (a, i) ->
+            |  transform(slice(brands, i + 2, size(brands)), b ->
+            |    struct(a as brand_a, b as brand_b))))""".stripMargin)).as("pr"))
+        .groupBy($"pr.brand_a".as("brand_a"), $"pr.brand_b".as("brand_b"))
         .agg(count(lit(1)).as("c_ab"))
       pairs
         .join(broadcast(cb.select($"p_brand".as("brand_a"), $"c".as("c_a"))), "brand_a")

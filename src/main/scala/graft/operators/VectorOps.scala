@@ -1339,13 +1339,26 @@ object VectorOps extends QueryModule {
     "vec_pca_power_iteration",
     (spark, dir) => {
       import spark.implicits._
-      val ex = Tables.embeddings(spark, dir)
-        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-        .select($"vec_id", $"pos", $"v".cast(DoubleType).as("v"))
-      val gram = ex.as("x")
-        .join(ex.as("y"), $"x.vec_id" === $"y.vec_id")
-        .groupBy($"x.pos".as("i"), $"y.pos".as("j"))
-        .agg(sum(($"x.v" * $"y.v").cast(DecimalType(38, 12))).as("gs"))
+      // Join-free Gram: two CHAINED posexplode generates emit each row's
+      // d² outer-product cells inside whole-stage codegen (a lambda-HOF
+      // formulation evaluates interpreted and measured ~10× slower; a
+      // positional self-join computes the same cells but shuffles the
+      // full n·d² expansion). The hash aggregate combines map-side into
+      // 4096 cells per partition, so the shuffle carries d² rows per
+      // partition regardless of corpus size — the declarative form of
+      // per-partition outer-product accumulation. The EXPLICIT-count
+      // repartition before the explode is load-bearing: AQE sizes the
+      // exchange on pre-explode bytes and would coalesce this tiny input
+      // to one partition, serializing the d² expansion (measured 9×
+      // slower); a user-specified partition count is exempt from AQE
+      // coalescing, and at cluster scale the input arrives pre-split.
+      val gram = Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
+        .select($"embedding", posexplode($"embedding").as(Seq("i", "x")))
+        .select($"i", $"x", posexplode($"embedding").as(Seq("j", "y")))
+        .groupBy($"i", $"j")
+        .agg(sum(($"x".cast(DoubleType) * $"y".cast(DoubleType))
+          .cast(DecimalType(38, 12))).as("gs"))
         .select($"i", $"j", $"gs".cast(DoubleType).as("g"))
         .coalesce(1)
         .transform(graft.Checkpoints.cut)
