@@ -1435,7 +1435,15 @@ object Aggregations extends QueryModule {
       val ev = Tables.events(spark, dir)
         .select($"event_type",
           (datediff($"ts".cast("date"), lit("1970-01-01").cast("date")) % 7).as("dow"))
+      // the ONE fact-scale aggregation, checkpointed: marginals, entropies
+      // and the MI sum all branch from this bounded r×c table, and without
+      // the cut each branch would re-derive it from its own fact scan
+      // (PlanSpec asserts a single events scan). repartition(1), not
+      // coalesce(1): an explicit exchange keeps the upstream aggregation
+      // parallel instead of collapsing the pipeline into one task.
       val cells = ev.groupBy($"event_type", $"dow").agg(count(lit(1)).as("nij"))
+        .repartition(1)
+        .transform(graft.Checkpoints.cut)
       val margX = cells.groupBy($"event_type").agg(sum($"nij").as("ri"))
       val margY = cells.groupBy($"dow").agg(sum($"nij").as("cj"))
       val tot = cells.agg(sum($"nij").as("n"))

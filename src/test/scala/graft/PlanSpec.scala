@@ -537,4 +537,48 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
       s"interval union must not self-join:\n$p")
   }
+
+  test("vec_hamming_topk: probes broadcast, corpus never shuffles") {
+    val p = planString(operators.VectorOps.vecHammingTopk.fn(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge against probes:\n$p")
+  }
+
+  test("agg_market_basket_lift: pair generation is explode-local, no pair self-join") {
+    val p = planString(operators.Aggregations.aggMarketBasketLift.fn(spark, sfDir))
+    assert(p.contains("Generate"), s"pairs must come from a row-local explode:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the order-brand relation must not self-join via SMJ:\n$p")
+    // brand counts and order total ride broadcast frames
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bounded stats frames must broadcast back:\n$p")
+  }
+
+  test("win_max_drawdown: one per-customer window, partial-aggregated summary") {
+    val p = planString(operators.Windows.winMaxDrawdown.fn(spark, sfDir))
+    assert(p.contains("Window"), s"running peak must be a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 || p.contains("SortAggregate"),
+      s"summary must aggregate partial+final:\n$p")
+    assert(!p.contains("Join"), s"drawdown needs no join at all:\n$p")
+  }
+
+  test("agg_mutual_information: fact-scale work is one partial-aggregated cell count") {
+    val df = operators.Aggregations.aggMutualInformation.fn(spark, sfDir)
+    val p = planString(df)
+    // events appear exactly once: marginals/entropies derive from the
+    // cell table, never from a second fact scan
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans <= 1, s"expected a single events scan, got $factScans:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tiny marginal frames must broadcast, not SMJ:\n$p")
+  }
+
+  test("vec_pca_power_iteration: gram explode parallelized, iterations scan checkpoints") {
+    val df = operators.VectorOps.vecPcaPowerIteration.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"iterations must read the checkpointed vector, not re-derive the Gram:\n$p")
+    assert(df.count() == 5)
+  }
 }
