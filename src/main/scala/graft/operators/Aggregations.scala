@@ -1647,6 +1647,147 @@ object Aggregations extends QueryModule {
       ORDER BY lift DESC, brand_a, brand_b LIMIT 15
     """.stripMargin.trim))
 
+  /** Funnel time-to-convert: signup → first purchase latency percentiles
+    * (SURVEY §2 I-sext) — the latency half next to `agg_funnel_steps`'
+    * count half; product analytics reads both (HOW MANY convert, HOW
+    * FAST). First-signup per user is one conditional-min aggregation
+    * (map-side combinable); first at-or-after purchase needs the signup
+    * time first, so it is a second user-keyed pass over purchases only —
+    * both shuffles are user-keyed and linear. Exact percentiles run on
+    * the bounded converter table; latency is integer microseconds, so
+    * the only non-integers are the two interpolated quantile midpoints
+    * (exact binary fractions — the `agg_percentiles_exact` guarantee).
+    */
+  val aggFunnelLatency = Q(
+    "agg_funnel_latency",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val firsts = ev
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "signup", $"ts")).as("signup_ts"))
+        .where($"signup_ts".isNotNull)
+      val conv = ev
+        .where($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+        .join(firsts, "user_id")
+        .where($"ts" >= $"signup_ts")
+        .groupBy($"user_id")
+        .agg(min($"ts").as("first_purchase"), min($"signup_ts").as("signup_ts"))
+        .select(expr("timestampdiff(MICROSECOND, signup_ts, first_purchase)").as("lat_us"))
+      // DISCRETE order-statistic percentiles (lower order stat at index
+      // (k·(n−1)) div 4 + 1) — interpolating quantiles on ~2e11-µs
+      // magnitudes differ between engines in the last ulp (the two
+      // textbook interpolation formulas round differently), while order
+      // statistics are pure integer selection with zero float anywhere
+      val wOrd = Window.orderBy($"lat_us")
+      val wAll = Window.partitionBy()
+      conv
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .agg(
+          max($"n").as("n_converters"),
+          (max(when($"rn" === expr("(n - 1) div 4 + 1"), $"lat_us"))
+            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p25_s"),
+          (max(when($"rn" === expr("(n - 1) div 2 + 1"), $"lat_us"))
+            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p50_s"),
+          (max(when($"rn" === expr("((n - 1) * 3) div 4 + 1"), $"lat_us"))
+            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p75_s"))
+        .crossJoin(broadcast(firsts.agg(count(lit(1)).as("n_signups"))))
+        .select($"n_signups", $"n_converters", $"p25_s", $"p50_s", $"p75_s")
+    },
+    Some("""
+      WITH firsts AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        FROM events GROUP BY user_id
+        HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+      ), conv AS (
+        SELECT CAST(epoch_us(MIN(e.ts)) - epoch_us(MIN(f.signup_ts)) AS BIGINT) AS lat_us
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= f.signup_ts
+        GROUP BY e.user_id
+      ), ranked AS (
+        SELECT lat_us,
+          ROW_NUMBER() OVER (ORDER BY lat_us) AS rn,
+          COUNT(*) OVER () AS n
+        FROM conv
+      ), q AS (
+        SELECT MAX(n) AS n_converters,
+          CAST(CAST(CAST(MAX(CASE WHEN rn = (n - 1) // 4 + 1 THEN lat_us END) AS DOUBLE)
+               / 1e6 AS DECIMAL(18,6)) AS DOUBLE) AS p25_s,
+          CAST(CAST(CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN lat_us END) AS DOUBLE)
+               / 1e6 AS DECIMAL(18,6)) AS DOUBLE) AS p50_s,
+          CAST(CAST(CAST(MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN lat_us END) AS DOUBLE)
+               / 1e6 AS DECIMAL(18,6)) AS DOUBLE) AS p75_s
+        FROM ranked
+      )
+      SELECT (SELECT COUNT(*) FROM firsts) AS n_signups,
+        n_converters, p25_s, p50_s, p75_s
+      FROM q
+    """.stripMargin.trim))
+
+  /** Last-touch attribution (SURVEY §2 I-sext): each purchase credited
+    * to the same user's most recent preceding non-purchase event within
+    * 3 days — the marketing-credit primitive. The latest touch rides a
+    * per-user `last(..., ignoreNulls)` window over an (unbounded, -1)
+    * frame — two scalar carries (ts + type) null-gated by the SAME
+    * predicate always come from the same row, which avoids a struct
+    * payload both engines would order differently. Expired touches
+    * (outside the 3-day window) credit 'none'.
+    *
+    * Scale notes: one user-keyed window shuffle over the fact stream;
+    * the report aggregates the bounded channel table with an exact
+    * BIGINT share ratio.
+    */
+  val aggAttributionLastTouch = Q(
+    "agg_attribution_last_touch",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touched = Tables.events(spark, dir)
+        .withColumn("touch_ts",
+          last(when($"event_type" =!= "purchase", $"ts"), ignoreNulls = true).over(w))
+        .withColumn("touch_type",
+          last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(w))
+      val attributed = touched
+        .where($"event_type" === "purchase")
+        .select(
+          when($"touch_ts".isNull ||
+            $"touch_ts" < $"ts" - expr("INTERVAL 3 DAY"), "none")
+            .otherwise($"touch_type").as("channel"))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("conversions"))
+      attributed
+        .crossJoin(broadcast(attributed.agg(sum($"conversions").as("total"))))
+        .select($"channel", $"conversions",
+          round($"conversions".cast(DoubleType) / $"total", 6).as("share"))
+        .orderBy($"channel")
+    },
+    Some("""
+      WITH touched AS (
+        SELECT event_type, ts,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+            OVER w AS touch_ts,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+            OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), attributed AS (
+        SELECT CASE WHEN touch_ts IS NULL OR touch_ts < ts - INTERVAL 3 DAY
+                    THEN 'none' ELSE touch_type END AS channel,
+          COUNT(*) AS conversions
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(conversions) AS BIGINT) AS total FROM attributed)
+      SELECT channel, conversions,
+        ROUND(CAST(conversions AS DOUBLE) / total, 6) AS share
+      FROM attributed, tot
+      ORDER BY channel
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1657,5 +1798,6 @@ object Aggregations extends QueryModule {
     aggRegressionMoments, aggTransitionMatrix, aggBitmapDistinct,
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
-    aggMutualInformation, aggWelchTtest, aggMarketBasketLift)
+    aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
+    aggFunnelLatency, aggAttributionLastTouch)
 }

@@ -1316,7 +1316,54 @@ object VectorOps extends QueryModule {
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
-    vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration)
+    vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
+    sampleNegativePairs)
+
+  /** Contrastive negative sampling (SURVEY §2 I-sext): 3 deterministic
+    * cross-label negatives per query vector — the random-negative
+    * baseline contrastive embedding training starts from (the ANN rows
+    * mine the HARD negatives; a real pipeline mixes both). Selection
+    * ranks by md5(query:candidate), so the sample is reproducible on any
+    * engine and partitioning — never `df.sample`.
+    *
+    * Scale notes: the query side broadcasts; the corpus streams one
+    * pass through the label-mismatch filter into a per-query rank
+    * window. At 100 TB the rank window per query is the cost center —
+    * the documented swap is an md5-bucket threshold filter at k/n
+    * precision (the `sample_hash_split` recipe), identical plan
+    * otherwise.
+    */
+  val sampleNegativePairs = Q(
+    "sample_negative_pairs",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"))
+      val w = Window.partitionBy($"q_id")
+        .orderBy(md5(concat($"q_id".cast("string"), lit(":"), $"vec_id".cast("string"))),
+          $"vec_id")
+      e.join(broadcast(q), $"label" =!= $"q_label")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"q_label", $"rn".as("neg_rank"),
+          $"vec_id".as("neg_id"), $"label".as("neg_label"))
+        .orderBy($"q_id", $"neg_rank")
+    },
+    Some("""
+      SELECT q_id, q_label, neg_rank, neg_id, neg_label FROM (
+        SELECT q.vec_id AS q_id, q.label AS q_label,
+          e.vec_id AS neg_id, e.label AS neg_label,
+          ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY md5(CAST(q.vec_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)),
+                     e.vec_id) AS neg_rank
+        FROM embeddings e
+        JOIN (SELECT vec_id, label FROM embeddings WHERE vec_id < 10) q
+          ON e.label <> q.label)
+      WHERE neg_rank <= 3
+      ORDER BY q_id, neg_rank
+    """.stripMargin.trim))
 
   /** Top principal component via Gram-matrix power iteration (SURVEY §2
     * I-sext) — the distributed-PCA shape used for embedding-drift and

@@ -108,6 +108,56 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(math.abs(out.head._2 - dd) < 1e-4, s"declared ${out.head._2} vs hand $dd")
   }
 
+  test("funnel latency: order stats monotone, converters bounded by signups") {
+    val row = SparkEntry.queries("agg_funnel_latency")(spark, sfDir).collect().head
+    val nS = row.getAs[Long]("n_signups")
+    val nC = row.getAs[Long]("n_converters")
+    val (p25, p50, p75) = (row.getAs[Double]("p25_s"),
+      row.getAs[Double]("p50_s"), row.getAs[Double]("p75_s"))
+    assert(nC > 0 && nC <= nS, s"converters $nC vs signups $nS")
+    assert(p25 >= 0.0 && p25 <= p50 && p50 <= p75, s"quartiles not monotone: $p25 $p50 $p75")
+    // a purchase at-or-after signup can have zero latency but never negative
+    assert(p25 >= 0.0)
+  }
+
+  test("attribution: shares sum to 1, channels limited to non-purchase types plus none") {
+    val rows = SparkEntry.queries("agg_attribution_last_touch")(spark, sfDir).collect()
+    val allowed = Set("click", "error", "signup", "view", "none")
+    rows.foreach { r =>
+      assert(allowed.contains(r.getAs[String]("channel")),
+        s"unexpected channel ${r.getAs[String]("channel")}")
+    }
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // total conversions equals the purchase count in the stream
+    import spark.implicits._
+    val purchases = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase").count()
+    assert(rows.map(_.getAs[Long]("conversions")).sum == purchases)
+  }
+
+  test("negative sampling: 3 negatives per query, all cross-label, md5-reproducible") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_negative_pairs")(spark, sfDir)
+      .select($"q_id", $"q_label", $"neg_rank", $"neg_id", $"neg_label")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == 10)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q ranks")
+      assert(rs.forall(r => r._5 != r._2), s"query $q drew a same-label negative")
+    }
+    // reproduce one query's picks with a driver-side md5 ranking
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label").as[(Long, Int)].collect()
+    val qLabel = labels.toMap.apply(0L)
+    def h(q: Long, c: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$q:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = labels.filter(_._2 != qLabel)
+      .sortBy { case (id, _) => (h(0L, id), id) }.take(3).map(_._1).toSeq
+    val got = rows.filter(_._1 == 0L).sortBy(_._3).map(_._4).toSeq
+    assert(got == expected, s"q0 negatives $got vs hand $expected")
+  }
+
   test("rolling corr: every value in [-1,1] and only full frames emitted") {
     import spark.implicits._
     val out = SparkEntry.queries("win_rolling_corr")(spark, sfDir)
