@@ -1143,10 +1143,100 @@ object EtlOps extends QueryModule {
       FROM terms GROUP BY event_type ORDER BY event_type
     """.stripMargin.trim))
 
+  /** Seasonality-adjusted anomaly detection (SURVEY §2 I-sext): per
+    * (event type, date, hour) counts z-scored against that
+    * (type, day-of-week, hour) cell's own cross-week baseline — the
+    * ops-monitoring primitive `etl_anomaly_zscore`'s global z misses
+    * (a 3am Monday spike is anomalous even if it would be normal at 9am
+    * Friday). The grid is ZERO-FILLED before the baseline: a silent
+    * hour is data, and skipping it would bias every cell's mean high.
+    *
+    * Scale notes: the only fact-scale work is one (type, date, hour)
+    * count, checkpointed; the calendar grid, zero-fill join, baseline
+    * moments and top-k all run on the bounded cell table (days × 24 ×
+    * types). Baseline moments use exact decimal sums; z is double
+    * algebra on identical operands with a NULLIF zero-variance guard.
+    */
+  val etlSeasonalAnomaly = Q(
+    "etl_seasonal_anomaly",
+    (spark, dir) => {
+      import spark.implicits._
+      val cells = Tables.events(spark, dir)
+        .select($"event_type", $"ts".cast("date").as("d"), hour($"ts").as("hr"))
+        .groupBy($"event_type", $"d", $"hr")
+        .agg(count(lit(1)).as("c"))
+        .repartition(1)
+        .transform(graft.Checkpoints.cut)
+      val dr = cells.agg(min($"d").as("d0"), max($"d").as("d1"))
+      val dates = dr.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val types = cells.select($"event_type").distinct()
+      val hours = spark.range(24).select($"id".cast("int").as("hr"))
+      val filled = types.crossJoin(dates).crossJoin(hours)
+        .join(cells, Seq("event_type", "d", "hr"), "left")
+        .select($"event_type", $"d", $"hr", coalesce($"c", lit(0L)).as("c"))
+        .withColumn("dow",
+          (datediff($"d", lit("1970-01-01").cast("date")) % 7))
+      val mom = filled.groupBy($"event_type", $"dow", $"hr")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"c".cast(DecimalType(28, 2))).as("sc"),
+          sum(($"c" * $"c").cast(DecimalType(38, 4))).as("scc"))
+      val mean = $"sc".cast(DoubleType) / $"n"
+      val varS = ($"scc".cast(DoubleType) - $"sc".cast(DoubleType) *
+        $"sc".cast(DoubleType) / $"n") / ($"n" - 1)
+      filled
+        .join(broadcast(mom), Seq("event_type", "dow", "hr"))
+        .select($"event_type", $"d", $"hr", $"c",
+          round(($"c" - mean) / nullif(sqrt(varS), lit(0.0d)), 4).as("z"))
+        .where($"z".isNotNull)
+        .orderBy(abs($"z").desc, $"event_type", $"d", $"hr")
+        .limit(15)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hr
+        FROM events
+      ), cells AS (
+        SELECT event_type, d, hr, COUNT(*) AS c FROM ev GROUP BY 1, 2, 3
+      ), dr AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM cells),
+      dates AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM dr
+      ), types AS (SELECT DISTINCT event_type FROM cells),
+      hours AS (SELECT UNNEST(range(24)) AS hr),
+      grid AS (
+        SELECT t.event_type, dt.d, h.hr
+        FROM types t CROSS JOIN dates dt CROSS JOIN hours h
+      ), filled AS (
+        SELECT g.event_type, g.d, g.hr, COALESCE(c.c, 0) AS c,
+          date_diff('day', DATE '1970-01-01', g.d) % 7 AS dow
+        FROM grid g
+        LEFT JOIN cells c
+          ON c.event_type = g.event_type AND c.d = g.d AND c.hr = g.hr
+      ), mom AS (
+        SELECT event_type, dow, hr, COUNT(*) AS n,
+          SUM(CAST(c AS DECIMAL(28,2))) AS sc,
+          SUM(CAST(c * c AS DECIMAL(38,4))) AS scc
+        FROM filled GROUP BY 1, 2, 3
+      )
+      SELECT f.event_type, f.d, f.hr, f.c,
+        ROUND((f.c - CAST(sc AS DOUBLE) / n)
+          / NULLIF(SQRT((CAST(scc AS DOUBLE)
+                         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)), 0),
+          4) AS z
+      FROM filled f
+      JOIN mom m ON f.event_type = m.event_type AND f.dow = m.dow AND f.hr = m.hr
+      WHERE ROUND((f.c - CAST(sc AS DOUBLE) / n)
+          / NULLIF(SQRT((CAST(scc AS DOUBLE)
+                         - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)), 0),
+          4) IS NOT NULL
+      ORDER BY ABS(z) DESC, f.event_type, f.d, f.hr
+      LIMIT 15
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
     etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,
     etlKeySkewStats, etlFreshnessWatermark, etlBenfordDeviation,
-    etlSequenceIslands, etlPsiDrift)
+    etlSequenceIslands, etlPsiDrift, etlSeasonalAnomaly)
 }

@@ -1944,7 +1944,8 @@ object TextOps extends QueryModule {
     textDedupUrlCanonical, textCharEntropy, textPerplexityProxy,
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
     textMadLengthOutlier, textContainmentPairs,
-    textVocabCoverage, sampleClassBalanced, sampleTimeHoldout)
+    textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
+    textLshScurveAudit)
 
   /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
     * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is
@@ -2542,5 +2543,111 @@ object TextOps extends QueryModule {
       FROM s
       GROUP BY split
       ORDER BY split
+    """.stripMargin.trim))
+
+  /** LSH band-tuning audit (SURVEY §2 I-sext): the banded-MinHash
+    * capture probability 1−(1−s^r)^b evaluated against the corpus's OWN
+    * exact-Jaccard pair distribution, for the deployed 16×3 config and
+    * two alternatives — the design table read before choosing (b, r):
+    * which similarity band each config actually catches on THIS corpus.
+    *
+    * Powers are explicit SQUARING CHAINS, never pow(): libm pow is not
+    * ulp-stable across engines, while IEEE multiplication of identical
+    * operands is bit-exact everywhere. Terms round to 12 dp before the
+    * exact decimal mean (the standard recipe).
+    *
+    * Scale notes: rides the cached exact pair table (no new quadratic
+    * work); the S-curve algebra and band aggregation are pair-table
+    * sized. The stack() unpivot is row-local.
+    */
+  val textLshScurveAudit = Q(
+    "text_lsh_scurve_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val s = $"s"
+      val base = corpusJaccardPairs(spark, dir)
+        .select($"jaccard".cast(DoubleType).as("s"))
+        .select(s,
+          least(floor(s * 10), lit(9.0)).cast("long").as("band10"),
+          (lit(1.0) - s * s * s).as("ta"),            // 1 - s^3  (16 bands × 3 rows)
+          (lit(1.0) - (s * s * s) * (s * s * s)).as("tb"), // 1 - s^6  (8 × 6)
+          (lit(1.0) - s * s).as("tc"))                // 1 - s^2  (24 × 2)
+        .select($"band10",
+          (($"ta" * $"ta") * ($"ta" * $"ta")).as("ta4"),
+          (($"tb" * $"tb") * ($"tb" * $"tb")).as("tb4"),
+          (($"tc" * $"tc") * ($"tc" * $"tc")).as("tc4"))
+        .select($"band10",
+          (lit(1.0) - ($"ta4" * $"ta4") * ($"ta4" * $"ta4")).as("c16_3"),
+          (lit(1.0) - $"tb4" * $"tb4").as("c8_6"),
+          (lit(1.0) - (($"tc4" * $"tc4") * ($"tc4" * $"tc4")) * ($"tc4" * $"tc4")).as("c24_2"))
+      base
+        .select($"band10",
+          expr("stack(3, 16, 3, c16_3, 8, 6, c8_6, 24, 2, c24_2) as (bands, rws, cap)"))
+        .groupBy($"bands", $"rws", $"band10")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(round($"cap", 12).cast(DecimalType(28, 12))).cast(DoubleType) /
+            count(lit(1)), 6).as("mean_capture"))
+        .select($"bands", $"rws", ($"band10" / 10.0).as("band_lo"),
+          $"n_pairs", $"mean_capture")
+        .orderBy($"bands", $"rws", $"band_lo")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2)
+      , pairs AS (
+        SELECT CAST(CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) AS DOUBLE) AS s
+        FROM inter
+        JOIN sizes za ON d1 = za.doc_id
+        JOIN sizes zb ON d2 = zb.doc_id
+        WHERE CAST(CAST(i AS DOUBLE) / (za.n + zb.n - i) AS DECIMAL(18,6)) >= 0.5
+      ), step1 AS (
+        SELECT CAST(LEAST(FLOOR(s * 10), 9) AS BIGINT) AS band10,
+          (1.0 - s * s * s) AS ta,
+          (1.0 - (s * s * s) * (s * s * s)) AS tb,
+          (1.0 - s * s) AS tc
+        FROM pairs
+      ), step2 AS (
+        SELECT band10,
+          ((ta * ta) * (ta * ta)) AS ta4,
+          ((tb * tb) * (tb * tb)) AS tb4,
+          ((tc * tc) * (tc * tc)) AS tc4
+        FROM step1
+      ), caps AS (
+        SELECT band10,
+          (1.0 - (ta4 * ta4) * (ta4 * ta4)) AS c16_3,
+          (1.0 - tb4 * tb4) AS c8_6,
+          (1.0 - ((tc4 * tc4) * (tc4 * tc4)) * (tc4 * tc4)) AS c24_2
+        FROM step2
+      ), stacked AS (
+        SELECT band10, 16 AS bands, 3 AS rws, c16_3 AS cap FROM caps
+        UNION ALL SELECT band10, 8, 6, c8_6 FROM caps
+        UNION ALL SELECT band10, 24, 2, c24_2 FROM caps
+      )
+      SELECT CAST(bands AS BIGINT) AS bands, CAST(rws AS BIGINT) AS rws,
+        band10 / 10.0 AS band_lo,
+        COUNT(*) AS n_pairs,
+        ROUND(CAST(SUM(CAST(ROUND(cap, 12) AS DECIMAL(28,12))) AS DOUBLE)
+              / COUNT(*), 6) AS mean_capture
+      FROM stacked
+      GROUP BY bands, rws, band10
+      ORDER BY bands, rws, band_lo
     """.stripMargin.trim))
 }

@@ -199,4 +199,35 @@ class DriftGraphSpec extends SparkSpecBase {
       assert(prRel == prLocal, "pagerank diverged between checkpoint modes")
     } finally operators.TextOps.evictSharedStages()
   }
+
+  test("seasonal anomaly: top-15 by |z|, z consistent with a hand-built baseline cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_seasonal_anomaly")(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z")))
+    assert(zs.toSeq == zs.sorted.reverse.toSeq, "not ordered by |z| desc")
+    // hand-recompute the top row's z from the raw stream with zero-fill
+    val top = rows.head
+    val (ty, d, hr) = (top.getAs[String]("event_type"),
+      top.getAs[java.sql.Date]("d"), top.getAs[Long]("hr"))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"ts".cast("date").as("d"), hour($"ts").as("hr"))
+      .where($"event_type" === ty && $"hr" === hr.toInt)
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val allDates = Tables.events(spark, sfDir)
+      .select($"ts".cast("date").as("d")).agg(min($"d"), max($"d"))
+      .collect().head
+    val (d0, d1) = (allDates.getDate(0).toLocalDate, allDates.getDate(1).toLocalDate)
+    val dowOf = d.toLocalDate.toEpochDay % 7
+    val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .filter(_.toEpochDay % 7 == dowOf)
+      .map(ld => ev.getOrElse(java.sql.Date.valueOf(ld), 0L).toDouble).toSeq
+    val m = series.sum / series.length
+    val v = series.map(x => (x - m) * (x - m)).sum / (series.length - 1)
+    val zHand = (top.getAs[Long]("c") - m) / math.sqrt(v)
+    assert(math.abs(top.getAs[Double]("z") - zHand) < 1e-3,
+      s"z ${top.getAs[Double]("z")} vs hand $zHand")
+  }
 }

@@ -206,6 +206,38 @@ class TextOpsSpec extends SparkSpecBase {
       .foreach { case (k, _, cov, _) => assert(cov == 1.0, s"k=$k covers all but $cov") }
   }
 
+  test("lsh s-curve audit: captures in [0,1], monotone in similarity band per config") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_lsh_scurve_audit")(spark, sfDir)
+      .select($"bands", $"rws", $"band_lo", $"n_pairs", $"mean_capture")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2)).distinct.toSet == Set((16L, 3L), (8L, 6L), (24L, 2L)))
+    rows.foreach { r =>
+      assert(r._5 >= 0.0 && r._5 <= 1.0, s"capture ${r._5} outside [0,1]")
+      assert(r._3 >= 0.5, s"pair table only holds j≥0.5, got band ${r._3}")
+    }
+    // capture is monotone non-decreasing in the similarity band per config
+    rows.groupBy(r => (r._1, r._2)).foreach { case (cfg, rs) =>
+      val caps = rs.sortBy(_._3).map(_._5)
+      assert(caps.toSeq == caps.sorted.toSeq, s"config $cfg not monotone: ${caps.toSeq}")
+    }
+    // hand-check one cell: recompute 1-(1-s^3)^16 from the pair similarities
+    val sims = SparkEntry.queries("text_jaccard_simpairs")(spark, sfDir)
+      .select($"jaccard").as[Double].collect()
+    val loBand = rows.filter(r => r._1 == 16 && r._2 == 3).minBy(_._3)
+    val inBand = sims.filter(s =>
+      math.min(math.floor(s * 10), 9.0) / 10.0 == loBand._3)
+    val handMean = inBand.map { s =>
+      val t = 1.0 - s * s * s
+      val t4 = (t * t) * (t * t)
+      1.0 - (t4 * t4) * (t4 * t4)
+    }.sum / inBand.length
+    assert(loBand._4 == inBand.length, "band pair count mismatch")
+    assert(math.abs(loBand._5 - handMean) < 1e-6,
+      s"capture ${loBand._5} vs hand $handMean")
+  }
+
   test("class balanced: every language kept at exactly the minority count") {
     import spark.implicits._
     val rows = SparkEntry.queries("sample_class_balanced")(spark, sfDir)
