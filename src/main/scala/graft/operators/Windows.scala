@@ -1068,6 +1068,76 @@ object Windows extends QueryModule {
       ORDER BY l_suppkey, l_orderkey, l_linenumber
     """.stripMargin.trim))
 
+  /** CUSUM changepoint detection per event type (SURVEY §2 I-sext) —
+    * completes the drift-monitoring suite: the z-score row flags
+    * anomalous POINTS, PSI/KS compare WINDOWS, CUSUM locates WHEN the
+    * level shifted. Cumulative sum of per-day deviations from the
+    * type's own mean; the changepoint is the day where |cusum| peaks
+    * (earliest-day tiebreak). Deviations round to 6 dp before a
+    * decimal-exact cumulative sum, so the argmax is reproducible on any
+    * engine or partitioning.
+    *
+    * Scale notes: the only fact-scale work is the (type, day) count —
+    * map-side combinable; the mean join, cumsum window and argmax all
+    * ride the bounded daily table.
+    */
+  val winCusumChangepoint = Q(
+    "win_cusum_changepoint",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .select($"event_type", $"ts".cast("date").as("d"))
+        .groupBy($"event_type", $"d")
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy($"event_type")
+      val wCum = Window.partitionBy($"event_type").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCusum = daily
+        .withColumn("mean_daily",
+          (sum($"c").over(wAll).cast(DoubleType) / count(lit(1)).over(wAll)))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("cusum",
+          sum(round($"c" - $"mean_daily", 6).cast(DecimalType(28, 6))).over(wCum))
+      val wPick = Window.partitionBy($"event_type")
+        .orderBy(abs($"cusum").desc, $"d")
+      withCusum
+        .withColumn("rn", row_number().over(wPick))
+        .where($"rn" === 1)
+        .select($"event_type", $"n_days",
+          $"d".as("changepoint_day"),
+          round(abs($"cusum").cast(DoubleType), 6).as("max_abs_cusum"),
+          round($"mean_daily", 6).as("mean_daily"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+      ), cu0 AS (
+        SELECT event_type, d, c,
+          CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY event_type) AS mean_daily,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+      ), cu AS (
+        SELECT event_type, d, c, mean_daily, n_days,
+          SUM(CAST(ROUND(c - mean_daily, 6) AS DECIMAL(28,6)))
+            OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM cu0
+      ), picked AS (
+        SELECT event_type, n_days, d, cusum, mean_daily,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, d) AS rn
+        FROM cu
+      )
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        d AS changepoint_day,
+        ROUND(CAST(ABS(cusum) AS DOUBLE), 6) AS max_abs_cusum,
+        ROUND(mean_daily, 6) AS mean_daily
+      FROM picked WHERE rn = 1
+      ORDER BY event_type
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
@@ -1076,5 +1146,5 @@ object Windows extends QueryModule {
     winStreakLongest, winRunningDistinct, winCumeDist,
     winCumeDistScalable, winNthValue, winNtileBuckets,
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
-    winMaxDrawdown, winRollingCorr)
+    winMaxDrawdown, winRollingCorr, winCusumChangepoint)
 }

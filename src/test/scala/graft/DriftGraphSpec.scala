@@ -200,6 +200,34 @@ class DriftGraphSpec extends SparkSpecBase {
     } finally operators.TextOps.evictSharedStages()
   }
 
+  test("cusum changepoint: per-type rows, hand-recomputed argmax for one type") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("win_cusum_changepoint")(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select($"event_type").distinct().as[String].collect().sorted
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == types.toSeq)
+    val top = rows.head
+    val ty = top.getAs[String]("event_type")
+    val daily = Tables.events(spark, sfDir)
+      .where($"event_type" === ty)
+      .select($"ts".cast("date").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("c"))
+      .orderBy($"d")
+      .as[(java.sql.Date, Long)].collect()
+    val mean = daily.map(_._2).sum.toDouble / daily.length
+    var acc = BigDecimal(0)
+    var best = (BigDecimal(-1), daily.head._1)
+    daily.foreach { case (d, c) =>
+      acc += BigDecimal(c - mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if (acc.abs > best._1) best = (acc.abs, d)
+    }
+    assert(top.getAs[java.sql.Date]("changepoint_day") == best._2,
+      s"changepoint ${top.getAs[java.sql.Date]("changepoint_day")} vs hand ${best._2}")
+    assert(math.abs(top.getAs[Double]("max_abs_cusum") - best._1.toDouble) < 1e-6)
+    assert(top.getAs[Long]("n_days") == daily.length)
+  }
+
   test("seasonal anomaly: top-15 by |z|, z consistent with a hand-built baseline cell") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
