@@ -1788,6 +1788,68 @@ object Aggregations extends QueryModule {
       ORDER BY channel
     """.stripMargin.trim))
 
+  /** Cohort LTV curve (SURVEY §2 I-sext): cumulative revenue per
+    * signup-cohort by account age in months — the growth-analytics
+    * triangle next to `agg_retention_cohorts`' retention counts
+    * (retention says WHO comes back; LTV says what they're WORTH).
+    *
+    * Scale notes: two fact-scale aggregations (first order per customer,
+    * then (cohort, age) revenue), both customer/month-keyed and
+    * map-side combinable; the cumulative sum runs on the bounded
+    * cohort×age triangle with exact decimal revenue.
+    */
+  val aggCohortLtvCurve = Q(
+    "agg_cohort_ltv_curve",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+        .select($"o_custkey",
+          date_trunc("month", $"o_orderdate").as("m"),
+          dec($"o_totalprice").as("rev"))
+      val firsts = o.groupBy($"o_custkey").agg(min($"m").as("cohort"))
+      val sizes = firsts.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+      val mat = o.join(firsts, "o_custkey")
+        .groupBy($"cohort",
+          months_between($"m", $"cohort").cast("long").as("age"))
+        .agg(sum($"rev").as("rev"))
+      val wCum = Window.partitionBy($"cohort").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mat
+        .withColumn("cum_rev", sum($"rev").over(wCum).cast(DecimalType(28, 2)))
+        .join(broadcast(sizes), "cohort")
+        .select($"cohort", $"age",
+          $"cum_rev".cast(DoubleType).as("cum_rev"),
+          ($"cum_rev".cast(DoubleType) / $"cohort_size")
+            .cast(DecimalType(18, 6)).as("ltv_per_customer"))
+        .orderBy($"cohort", $"age")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders
+      ), firsts AS (
+        SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1
+      ), sizes AS (
+        SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+      ), mat AS (
+        SELECT cohort, date_diff('month', cohort, m) AS age, SUM(rev) AS rev
+        FROM o JOIN firsts USING (o_custkey)
+        GROUP BY 1, 2
+      ), cum AS (
+        SELECT cohort, age,
+          CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum_rev
+        FROM mat
+      )
+      SELECT cohort, CAST(age AS BIGINT) AS age,
+        CAST(cum_rev AS DOUBLE) AS cum_rev,
+        CAST(CAST(CAST(cum_rev AS DOUBLE) / cohort_size AS DECIMAL(18,6)) AS DOUBLE)
+          AS ltv_per_customer
+      FROM cum JOIN sizes USING (cohort)
+      ORDER BY cohort, age
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1799,5 +1861,5 @@ object Aggregations extends QueryModule {
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
-    aggFunnelLatency, aggAttributionLastTouch)
+    aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve)
 }

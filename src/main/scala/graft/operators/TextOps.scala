@@ -1945,7 +1945,7 @@ object TextOps extends QueryModule {
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
     textMadLengthOutlier, textContainmentPairs,
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
-    textLshScurveAudit)
+    textLshScurveAudit, textNgramNoveltyRate)
 
   /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
     * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is
@@ -2649,5 +2649,71 @@ object TextOps extends QueryModule {
       FROM stacked
       GROUP BY bands, rws, band10
       ORDER BY bands, rws, band_lo
+    """.stripMargin.trim))
+
+  /** Corpus novelty curve (SURVEY §2 I-sext): per md5-ordered ingest
+    * batch, the share of its distinct shingles never seen in any earlier
+    * batch — the redundancy-growth audit a data buyer reads: a
+    * flattening curve means new batches are mostly repeats (diminishing
+    * returns). Batch assignment is deterministic md5 bucketing, so the
+    * "ingest order" is reproducible on any engine.
+    *
+    * Scale notes: rides the cached shingle relation (no new shingle
+    * pass); first-batch per shingle is one min-aggregation keyed on the
+    * shingle (map-side combinable), and the per-batch ratio is exact
+    * BIGINT arithmetic on the 8-row batch table.
+    */
+  val textNgramNoveltyRate = Q(
+    "text_ngram_novelty_rate",
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = shinglesCache.getOrCompute(shingles(Tables.documents(spark, dir))) { f =>
+        f.cache(); f
+      }
+      val pres = sh
+        .select($"shingle",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("batch"))
+        .distinct()
+      val firstb = pres.groupBy($"shingle").agg(min($"batch").as("fb"))
+      pres.join(firstb, "shingle")
+        .groupBy($"batch")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when($"fb" === $"batch", 1L).otherwise(0L)).as("n_novel"))
+        .select($"batch", $"n_shingles", $"n_novel",
+          round($"n_novel".cast(DoubleType) / $"n_shingles", 6).as("novelty_rate"))
+        .orderBy($"batch")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), pres AS (
+        SELECT DISTINCT shingle,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM sh
+      ), firstb AS (
+        SELECT shingle, MIN(batch) AS fb FROM pres GROUP BY 1
+      )
+      SELECT CAST(batch AS BIGINT) AS batch,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        ROUND(CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS novelty_rate
+      FROM pres JOIN firstb USING (shingle)
+      GROUP BY batch
+      ORDER BY batch
     """.stripMargin.trim))
 }

@@ -1317,7 +1317,85 @@ object VectorOps extends QueryModule {
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
-    sampleNegativePairs)
+    sampleNegativePairs, vecLabelConfusion)
+
+  /** Embedding class-separability confusion (SURVEY §2 I-sext): per
+    * label, how many members sit closer (squared L2) to a FOREIGN
+    * label's centroid than to their own — the embedding-QA matrix read
+    * before training a classifier head: heavy off-diagonal mass means
+    * the labels are not separable in this space.
+    *
+    * Scale notes: exact decimal centroids (label×dim partial agg)
+    * broadcast positionally; each vector scores against all L centroids
+    * in one posexplode pass (n·d·L rows, no shuffle of vectors beyond
+    * the per-vector distance agg); argmin + confusion counts ride
+    * bounded frames. Nothing is quadratic in the corpus.
+    */
+  val vecLabelConfusion = Q(
+    "vec_label_confusion",
+    (spark, dir) => {
+      import spark.implicits._
+      val ex = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      val cent = ex.groupBy($"label", $"pos")
+        .agg(
+          sum($"v".cast(DoubleType).cast(DecimalType(28, 12))).as("s"),
+          count(lit(1)).as("cn"))
+        .select($"label".as("clabel"), $"pos",
+          ($"s".cast(DoubleType) / $"cn").cast(DecimalType(18, 8)).as("c"))
+      val diff = $"v".cast(DoubleType) - $"c".cast(DoubleType)
+      val dist = ex
+        .join(broadcast(cent), Seq("pos"))
+        .select($"vec_id", $"label", $"clabel",
+          round(diff * diff, 12).cast(DecimalType(28, 12)).as("term"))
+        .groupBy($"vec_id", $"label", $"clabel")
+        .agg(sum($"term").cast(DoubleType).cast(DecimalType(18, 8)).as("dist2"))
+      val wMin = Window.partitionBy($"vec_id").orderBy($"dist2", $"clabel")
+      val nearest = dist
+        .withColumn("rn", row_number().over(wMin))
+        .where($"rn" === 1)
+        .select($"label", $"clabel".as("nearest_label"))
+      val totals = nearest.groupBy($"label").agg(count(lit(1)).as("label_total"))
+      nearest
+        .groupBy($"label", $"nearest_label")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), "label")
+        .select($"label", $"nearest_label", $"n",
+          round($"n".cast(DoubleType) / $"label_total", 6).as("share"))
+        .orderBy($"label", $"nearest_label")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT vec_id, label,
+          UNNEST(embedding) AS v,
+          UNNEST(range(len(embedding))) AS pos
+        FROM embeddings
+      ), cent AS (
+        SELECT label AS clabel, pos,
+          CAST(CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS c
+        FROM ex GROUP BY label, pos
+      ), dist AS (
+        SELECT vec_id, label, clabel,
+          CAST(CAST(SUM(CAST(ROUND((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS DECIMAL(18,8)) AS dist2
+        FROM ex JOIN cent USING (pos)
+        GROUP BY vec_id, label, clabel
+      ), nearest AS (
+        SELECT label, clabel AS nearest_label FROM (
+          SELECT label, clabel,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+          FROM dist
+        ) WHERE rn = 1
+      ), totals AS (
+        SELECT label, COUNT(*) AS label_total FROM nearest GROUP BY 1
+      )
+      SELECT n.label, n.nearest_label, COUNT(*) AS n,
+        ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(label_total), 6) AS share
+      FROM nearest n JOIN totals t ON n.label = t.label
+      GROUP BY n.label, n.nearest_label
+      ORDER BY n.label, n.nearest_label
+    """.stripMargin.trim))
 
   /** Contrastive negative sampling (SURVEY §2 I-sext): 3 deterministic
     * cross-label negatives per query vector — the random-negative

@@ -158,6 +158,28 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(got == expected, s"q0 negatives $got vs hand $expected")
   }
 
+  test("cohort ltv: cumulative revenue non-decreasing in age per cohort, age 0 present") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_cohort_ltv_curve")(spark, sfDir)
+      .select($"cohort".cast("string"), $"age", $"cum_rev", $"ltv_per_customer")
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val byAge = rs.sortBy(_._2)
+      // every cohort starts at age 0 — its members ordered in that month
+      assert(byAge.head._2 == 0L, s"cohort $cohort missing age 0")
+      val cums = byAge.map(_._3)
+      assert(cums.toSeq == cums.sorted.toSeq, s"cohort $cohort LTV not monotone")
+      assert(rs.forall(r => r._4 > 0.0), s"cohort $cohort non-positive per-customer LTV")
+    }
+    // total terminal LTV mass equals total order revenue (2-dp decimal)
+    val terminal = rows.groupBy(_._1).map(_._2.maxBy(_._2)._3).sum
+    val total = Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.sum(
+        graft.Tables.dec($"o_totalprice")).cast("double")).as[Double].collect().head
+    assert(math.abs(terminal - total) < 1e-6, s"terminal LTV $terminal vs revenue $total")
+  }
+
   test("rolling corr: every value in [-1,1] and only full frames emitted") {
     import spark.implicits._
     val out = SparkEntry.queries("win_rolling_corr")(spark, sfDir)

@@ -238,6 +238,26 @@ class TextOpsSpec extends SparkSpecBase {
       s"capture ${loBand._5} vs hand $handMean")
   }
 
+  test("novelty rate: batch 0 fully novel, novel counts partition the shingle vocabulary") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_ngram_novelty_rate")(spark, sfDir)
+      .select($"batch", $"n_shingles", $"n_novel", $"novelty_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the earliest batch has nothing before it: everything is novel
+    assert(rows.head._4 == 1.0, s"first batch novelty ${rows.head._4}")
+    rows.foreach { case (b, total, novel, rate) =>
+      assert(novel <= total, s"batch $b novel $novel > total $total")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // each distinct shingle is novel in exactly one batch
+    val distinctShingles = operators.TextOps
+      .shingles(Tables.documents(spark, sfDir))
+      .select($"shingle").distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles,
+      s"novel sum ${rows.map(_._3).sum} vs vocabulary $distinctShingles")
+  }
+
   test("class balanced: every language kept at exactly the minority count") {
     import spark.implicits._
     val rows = SparkEntry.queries("sample_class_balanced")(spark, sfDir)

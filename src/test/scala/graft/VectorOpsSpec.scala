@@ -263,6 +263,25 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(zs.forall(_ > 0.0), "a declared outlier has non-positive z")
   }
 
+  test("label confusion: shares sum to 1 per label, totals cover the corpus") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_label_confusion")(spark, sfDir)
+      .select($"label", $"nearest_label", $"n", $"share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (label, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"label $label shares sum to $s")
+    }
+    // every vector lands in exactly one (label, nearest) cell
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, s"confusion mass ${rows.map(_._3).sum} vs $total")
+    // diagonal dominance sanity: on average, own-centroid is the nearest
+    // at least as often as any single foreign label
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum.toDouble / total
+    assert(diag > 1.0 / 10, s"diagonal share $diag no better than uniform")
+  }
+
   test("label propagation: labels are node ids, communities non-trivial on the backbone") {
     import spark.implicits._
     val rows = SparkEntry.queries("graph_label_propagation")(spark, sfDir)
