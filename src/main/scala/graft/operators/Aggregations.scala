@@ -1850,6 +1850,108 @@ object Aggregations extends QueryModule {
       ORDER BY cohort, age
     """.stripMargin.trim))
 
+  /** Markov stationary distribution of the event-type chain (SURVEY §2
+    * I-sext): where the process SETTLES in the long run, next to each
+    * state's empirical share (where it currently IS) — the gap between
+    * the two is the non-stationarity signal, and the stationary vector
+    * is the steady-state load forecast the raw transition matrix
+    * (`agg_transition_matrix`) only implies.
+    *
+    * Scale notes: the only fact-scale work is the lead-window pair
+    * count (one user-keyed shuffle — same as the transition-matrix
+    * row); the k×k probability matrix is checkpointed and the 8 power
+    * rounds π←πP run on broadcast k-row frames. Per-round 9 dp decimal
+    * rounding makes the iterate identical on any engine/partitioning.
+    */
+  val aggMarkovStationary = Q(
+    "agg_markov_stationary",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val pairs = ev
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .where($"nxt".isNotNull)
+        .groupBy($"event_type".as("cur"), $"nxt")
+        .agg(count(lit(1)).as("c"))
+      val wRow = Window.partitionBy($"cur")
+      val pm = pairs
+        .select($"cur", $"nxt",
+          round($"c".cast(DoubleType) / sum($"c").over(wRow), 9).as("p"))
+        .repartition(1)
+        .transform(graft.Checkpoints.cut)
+      val states = pm.select($"cur".as("t")).distinct()
+      val k = states.agg(count(lit(1)).as("kk"))
+      var pi = states.crossJoin(broadcast(k))
+        .select($"t", (lit(1.0) / $"kk").as("pr"))
+      for (_ <- 1 to 8) {
+        val nextPi = pm
+          .join(pi.select($"t".as("cur"), $"pr"), "cur")
+          .groupBy($"nxt".as("t"))
+          .agg(round(
+            sum(round($"p" * $"pr", 12).cast(DecimalType(28, 12))).cast(DoubleType),
+            9).as("pr"))
+        pi = states
+          .join(nextPi, Seq("t"), "left")
+          .select($"t", coalesce($"pr", lit(0.0d)).as("pr"))
+        pi = graft.Checkpoints.cut(pi.coalesce(1))
+      }
+      val emp = ev.groupBy($"event_type".as("t")).agg(count(lit(1)).as("n"))
+      val tot = emp.agg(sum($"n").as("total"))
+      pi
+        .join(broadcast(emp), "t")
+        .crossJoin(broadcast(tot))
+        .select($"t".as("event_type"),
+          round($"pr", 6).as("stationary_prob"),
+          round($"n".cast(DoubleType) / $"total", 6).as("empirical_share"))
+        .orderBy($"event_type")
+    },
+    Some {
+      val rounds = (1 to 8).map { i =>
+        s"""pi$i AS (
+        SELECT s.t, COALESCE(nx.pr, 0.0) AS pr
+        FROM states s
+        LEFT JOIN (
+          SELECT pm.nxt AS t,
+            ROUND(CAST(SUM(CAST(ROUND(pm.p * p0.pr, 12) AS DECIMAL(28,12))) AS DOUBLE),
+                  9) AS pr
+          FROM pm JOIN pi${i - 1} p0 ON pm.cur = p0.t
+          GROUP BY pm.nxt
+        ) nx ON nx.t = s.t
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+      ), pairs AS (
+        SELECT cur, nxt, COUNT(*) AS c FROM (
+          SELECT event_type AS cur,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM ev
+        ) WHERE nxt IS NOT NULL
+        GROUP BY cur, nxt
+      ), pm AS (
+        SELECT cur, nxt,
+          ROUND(CAST(c AS DOUBLE)
+                / CAST(SUM(c) OVER (PARTITION BY cur) AS DOUBLE), 9) AS p
+        FROM pairs
+      ), states AS (
+        SELECT DISTINCT cur AS t FROM pm
+      ), kk AS (SELECT COUNT(*) AS kk FROM states),
+      pi0 AS (
+        SELECT t, CAST(1 AS DOUBLE) / kk.kk AS pr FROM states CROSS JOIN kk
+      ), $rounds, emp AS (
+        SELECT event_type AS t, COUNT(*) AS n FROM ev GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM emp)
+      SELECT pi8.t AS event_type,
+        ROUND(pi8.pr, 6) AS stationary_prob,
+        ROUND(CAST(n AS DOUBLE) / total, 6) AS empirical_share
+      FROM pi8 JOIN emp ON pi8.t = emp.t, tot
+      ORDER BY event_type
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -1861,5 +1963,6 @@ object Aggregations extends QueryModule {
     aggOhlcDownsample, aggRfmSegments, aggJourneyPattern,
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
-    aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve)
+    aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
+    aggMarkovStationary)
 }

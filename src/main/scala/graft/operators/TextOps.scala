@@ -1945,7 +1945,7 @@ object TextOps extends QueryModule {
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
     textMadLengthOutlier, textContainmentPairs,
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
-    textLshScurveAudit, textNgramNoveltyRate)
+    textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords)
 
   /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
     * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is
@@ -2715,5 +2715,87 @@ object TextOps extends QueryModule {
       FROM pres JOIN firstb USING (shingle)
       GROUP BY batch
       ORDER BY batch
+    """.stripMargin.trim))
+
+  /** RAKE keyword extraction (SURVEY §2 I-sext): corpus top-10
+    * keyphrases by the classic degree/frequency score (Rose et al.) —
+    * the unsupervised keyword baseline. The token stream splits into
+    * candidate phrases at the corpus's stopword markers (rn-diff
+    * islands, the gaps-and-islands recipe); each word scores
+    * degree/freq where degree sums the lengths of every phrase the word
+    * appears in; a phrase scores the sum of its word scores.
+    *
+    * Scale notes: islands and phrase lengths are per-doc windows (one
+    * doc-keyed shuffle); the word-score table is vocab-sized and
+    * broadcast back; phrase assembly is a pos-sorted collect bounded by
+    * phrase length; top-10 is TakeOrderedAndProject. 9 dp term rounding
+    * + decimal sums keep scores engine- and partition-independent.
+    */
+  val textRakeKeywords = Q(
+    "text_rake_keywords",
+    (spark, dir) => {
+      import spark.implicits._
+      val stop = Seq("the", "a", "and", "of", "value", "data")
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val nonstop = tokens(Tables.documents(spark, dir))
+        .where(!$"tok".isin(stop: _*))
+        .withColumn("rn", row_number().over(wDoc))
+        .withColumn("grp", $"pos" - $"rn")
+      val wGrp = Window.partitionBy($"doc_id", $"grp")
+      val withLen = nonstop.withColumn("plen", count(lit(1)).over(wGrp))
+      val wordScore = withLen.groupBy($"tok")
+        .agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))
+        .select($"tok", ($"degree".cast(DoubleType) / $"freq").as("wscore"))
+      val phraseScores = withLen
+        .join(broadcast(wordScore), "tok")
+        .groupBy($"doc_id", $"grp")
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct($"pos", $"tok"))), x => x("tok")),
+            " ").as("phrase"),
+          sum(round($"wscore", 9).cast(DecimalType(28, 9))).as("score"))
+      phraseScores
+        .groupBy($"phrase")
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          round(max($"score").cast(DoubleType), 6).as("score"))
+        .orderBy($"score".desc, $"phrase")
+        .limit(10)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), ns AS (
+        SELECT doc_id, pos, tok,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM tok
+        WHERE tok NOT IN ('the','a','and','of','value','data')
+      ), gl AS (
+        SELECT doc_id, pos, tok, pos - rn AS grp,
+          COUNT(*) OVER (PARTITION BY doc_id, pos - rn) AS plen
+        FROM ns
+      ), ws AS (
+        SELECT tok, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS degree
+        FROM gl GROUP BY 1
+      ), scored AS (
+        SELECT gl.doc_id, gl.grp,
+          string_agg(gl.tok, ' ' ORDER BY gl.pos) AS phrase,
+          SUM(CAST(ROUND(CAST(degree AS DOUBLE) / freq, 9) AS DECIMAL(28,9))) AS score
+        FROM gl JOIN ws USING (tok)
+        GROUP BY 1, 2
+      )
+      SELECT phrase, COUNT(*) AS n_occurrences,
+        ROUND(CAST(MAX(score) AS DOUBLE), 6) AS score
+      FROM scored
+      GROUP BY phrase
+      ORDER BY score DESC, phrase
+      LIMIT 10
     """.stripMargin.trim))
 }

@@ -158,6 +158,42 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(got == expected, s"q0 negatives $got vs hand $expected")
   }
 
+  test("markov stationary: probabilities sum to 1, match a driver-side 8-round iterate") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_markov_stationary")(spark, sfDir)
+      .select($"event_type", $"stationary_prob", $"empirical_share")
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0.0))
+    val sSum = rows.map(_._2).sum
+    assert(math.abs(sSum - 1.0) < 1e-4, s"stationary sums to $sSum")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "empirical shares don't sum to 1")
+    // independent iterate from the raw stream (same formulation, double math)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .where($"nxt".isNotNull)
+      .groupBy($"event_type", $"nxt").count()
+      .as[(String, String, Long)].collect()
+    val states = pairs.map(_._1).distinct.sorted
+    val rowSums = pairs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = pairs.map { case (c, n, cnt) =>
+      (c, n) -> math.rint(cnt.toDouble / rowSums(c) * 1e9) / 1e9
+    }.toMap
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 8) {
+      pi = states.map { t =>
+        val s = states.map(c => p.getOrElse((c, t), 0.0) * pi(c)).sum
+        t -> math.rint(s * 1e9) / 1e9
+      }.toMap
+    }
+    rows.foreach { case (t, sp, _) =>
+      assert(math.abs(sp - pi(t)) < 1e-5, s"state $t: declared $sp vs hand ${pi(t)}")
+    }
+  }
+
   test("cohort ltv: cumulative revenue non-decreasing in age per cohort, age 0 present") {
     import spark.implicits._
     val rows = SparkEntry.queries("agg_cohort_ltv_curve")(spark, sfDir)

@@ -238,6 +238,25 @@ class TextOpsSpec extends SparkSpecBase {
       s"capture ${loBand._5} vs hand $handMean")
   }
 
+  test("rake keywords: phrases stopword-free, scores positive and rank-consistent") {
+    import spark.implicits._
+    val stop = Set("the", "a", "and", "of", "value", "data")
+    val rows = SparkEntry.queries("text_rake_keywords")(spark, sfDir)
+      .select($"phrase", $"n_occurrences", $"score")
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (phrase, n, score) =>
+      assert(phrase.split(" ").forall(w => !stop.contains(w)),
+        s"phrase '$phrase' contains a stopword")
+      assert(n >= 1)
+      // every word scores degree/freq >= 1, so a phrase scores >= its word count
+      assert(score >= phrase.split(" ").length - 1e-6,
+        s"'$phrase' score $score below word count")
+    }
+    val scores = rows.map(_._3)
+    assert(scores.toSeq == scores.sorted.reverse.toSeq, "not sorted by score desc")
+  }
+
   test("novelty rate: batch 0 fully novel, novel counts partition the shingle vocabulary") {
     import spark.implicits._
     val rows = SparkEntry.queries("text_ngram_novelty_rate")(spark, sfDir)
