@@ -937,5 +937,67 @@ object Joins extends QueryModule {
     joinLateralTopk, joinDppPartitionPruned, joinNullSafe,
     joinNotInNullAware, joinCrossEnumerate, joinAsofForward, joinRightOuter,
     joinAsofNearest, joinBandBucketized, joinExistenceMark,
-    joinIntervalOverlapBucketized)
+    joinIntervalOverlapBucketized, joinBloomFilteredFact)
+
+  /** Bloom-filtered fact join (SURVEY §2 I-sext) — the row-level
+    * sibling of `join_dpp_partition_pruned`: DPP prunes PARTITIONS a
+    * selective dim makes irrelevant; a runtime bloom prunes ROWS. The
+    * selective dim's keys aggregate into a bloom planted as a 1-row
+    * scalar subquery (exactly how Spark's own InjectRuntimeFilter
+    * plants it), the fact scan probes it BEFORE the exact broadcast
+    * join confirms — a false positive costs probe work, never
+    * correctness, which is why the plain filtered join is a valid
+    * oracle.
+    *
+    * Scale notes: at 100 TB the bloom cuts the fact volume reaching
+    * the join (and any shuffle above it) by the dim's selectivity;
+    * bloom size is the documented knob (bits ∝ expected keys).
+    */
+  val joinBloomFilteredFact = Q(
+    "join_bloom_filtered_fact",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val sup = Tables.supplier(spark, dir)
+        .where($"s_acctbal" > 5000)
+        .select($"s_suppkey", $"s_nationkey")
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sv = s"bloom_dim_$runId"
+      val lv = s"bloom_fact_$runId"
+      sup.createOrReplaceTempView(sv)
+      li.createOrReplaceTempView(lv)
+      try {
+        val cand = spark.sql(
+          s"""SELECT l_suppkey, l_extendedprice, l_discount FROM $lv
+             |WHERE graft_might_contain(
+             |  (SELECT graft_bloom_agg(xxhash64(s_suppkey), 1000L, 16384L)
+             |   FROM $sv),
+             |  xxhash64(l_suppkey))""".stripMargin)
+        cand
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_nationkey")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("revenue"))
+          .select($"s_nationkey", $"n_lines",
+            $"revenue".cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+          .orderBy($"s_nationkey")
+      } finally {
+        spark.catalog.dropTempView(sv)
+        spark.catalog.dropTempView(lv)
+      }
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_lines,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_acctbal > 5000) s
+        ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey
+    """.stripMargin.trim))
 }

@@ -1146,5 +1146,47 @@ object Windows extends QueryModule {
     winStreakLongest, winRunningDistinct, winCumeDist,
     winCumeDistScalable, winNthValue, winNtileBuckets,
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
-    winMaxDrawdown, winRollingCorr, winCusumChangepoint)
+    winMaxDrawdown, winRollingCorr, winCusumChangepoint,
+    winPeakDetection)
+
+  /** Local-peak detection on the daily event series per type (SURVEY §2
+    * I-sext) — the signal-processing primitive under alerting UIs:
+    * strict local maxima flagged via lag/lead neighbors, with a
+    * prominence proxy (height above the taller neighbor). Pure integer
+    * arithmetic; the only fact-scale work is the (type, day) count.
+    */
+  val winPeakDetection = Q(
+    "win_peak_detection",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .select($"event_type", $"ts".cast("date").as("d"))
+        .groupBy($"event_type", $"d")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"d")
+      daily
+        .withColumn("prev", lag($"c", 1).over(w))
+        .withColumn("nxt", lead($"c", 1).over(w))
+        .where($"prev".isNotNull && $"nxt".isNotNull &&
+          $"c" > $"prev" && $"c" > $"nxt")
+        .select($"event_type", $"d".as("peak_day"), $"c",
+          ($"c" - greatest($"prev", $"nxt")).as("prominence"))
+        .orderBy($"event_type", $"peak_day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+      ), nb AS (
+        SELECT event_type, d, c,
+          LAG(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS prev,
+          LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+        FROM daily
+      )
+      SELECT event_type, d AS peak_day, c,
+        CAST(c - GREATEST(prev, nxt) AS BIGINT) AS prominence
+      FROM nb
+      WHERE prev IS NOT NULL AND nxt IS NOT NULL AND c > prev AND c > nxt
+      ORDER BY event_type, peak_day
+    """.stripMargin.trim))
 }

@@ -574,6 +574,17 @@ class PlanSpec extends SparkSpecBase {
       s"tiny marginal frames must broadcast, not SMJ:\n$p")
   }
 
+  test("join_bloom_filtered_fact: bloom probe sits below the exact confirm join") {
+    val df = operators.Joins.joinBloomFilteredFact.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("might_contain"),
+      s"bloom probe must appear in the fact-side filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact confirm join must broadcast the dim:\n$p")
+    // the probe is a filter, not a join: exactly one join in the plan
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the probe:\n$p")
+  }
+
   test("vec_pca_power_iteration: gram explode parallelized, iterations scan checkpoints") {
     val df = operators.VectorOps.vecPcaPowerIteration.fn(spark, sfDir)
     val p = planString(df)
