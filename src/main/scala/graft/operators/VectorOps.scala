@@ -1317,7 +1317,111 @@ object VectorOps extends QueryModule {
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
-    sampleNegativePairs, vecLabelConfusion)
+    sampleNegativePairs, vecLabelConfusion, sampleHardNegatives)
+
+  /** ANN-mined hard negatives (SURVEY §2 I-sext) — the production
+    * counterpart to `sample_negative_pairs`' random baseline:
+    * contrastive training improves fastest on negatives the model
+    * CONFUSES, and those are the nearest wrong-label vectors — exactly
+    * an ANN query with a label-mismatch filter. Queries multi-probe
+    * their 3 nearest label-centroid cells; candidates are the corpus
+    * vectors IVF-assigned to those cells with a different label; an
+    * exact-cosine re-rank keeps the 3 hardest per query.
+    *
+    * Fully oracled: the centroid/assignment algebra is the same
+    * deterministic formulation as `dedup_embedding_ann` (6 dp rounded
+    * cosines, id tiebreaks) — no engine-specific hashing anywhere.
+    *
+    * Scale notes: centroids broadcast; the corpus is touched by one
+    * assignment pass and one cell-keyed candidate join — the scan never
+    * goes quadratic, and nprobe/nlist is the recall/cost knob.
+    */
+  val sampleHardNegatives = Q(
+    "sample_hard_negatives",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val cents = e
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", $"s".cast(DoubleType) / $"n")
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label".cast("long").as("cell"),
+          expr("transform(pc, x -> x.c)").as("cvec"))
+        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
+      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val sims = e.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
+        .withColumn("cr", row_number().over(wAsg))
+      // index side: every corpus vector lives in its single nearest cell
+      val indexed = sims.filter($"cr" === 1)
+        .select($"cell", $"vec_id", $"label", $"emb", $"nrm")
+      // query side: the probe list is the 3 nearest cells per query
+      val probes = sims.filter($"vec_id" < 20 && $"cr" <= 3)
+        .select($"cell", $"vec_id".as("q_id"), $"label".as("q_label"),
+          $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+      val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      indexed.join(probes, "cell")
+        .where($"label" =!= $"q_label")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        // a candidate reachable through two probed cells would collide —
+        // impossible here (index assignment is unique), but distinct on
+        // the scalar triple keeps the contract explicit
+        .select($"q_id", $"q_label", $"vec_id".as("neg_id"),
+          $"label".as("neg_label"), $"cos")
+        .distinct()
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cos".desc, $"neg_id")))
+        .filter($"rank" <= 3)
+        .select($"q_id", $"q_label", $"rank", $"neg_id", $"neg_label", $"cos")
+        .orderBy($"q_id", $"rank")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), dims AS (
+        SELECT label, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
+                     UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+        GROUP BY label, pos
+      ), cents AS (
+        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
+        FROM dims GROUP BY label
+      ), centn AS (
+        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
+      ), sims AS (
+        SELECT e.vec_id, e.label, e.emb, e.nrm, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) DESC,
+                     c.cell) AS cr
+        FROM e CROSS JOIN centn c
+      ), indexed AS (
+        SELECT cell, vec_id, label, emb, nrm FROM sims WHERE cr = 1
+      ), probes AS (
+        SELECT cell, vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+        FROM sims WHERE vec_id < 20 AND cr <= 3
+      ), cand AS (
+        SELECT DISTINCT p.q_id, p.q_label, i.vec_id AS neg_id, i.label AS neg_label,
+          ROUND(list_inner_product(i.emb, p.q_emb) / (i.nrm * p.q_nrm), 6) AS cos
+        FROM indexed i JOIN probes p USING (cell)
+        WHERE i.label <> p.q_label
+      )
+      SELECT q_id, q_label, rank, neg_id, neg_label, cos FROM (
+        SELECT q_id, q_label, neg_id, neg_label, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id) AS rank
+        FROM cand)
+      WHERE rank <= 3
+      ORDER BY q_id, rank
+    """.stripMargin.trim))
 
   /** Embedding class-separability confusion (SURVEY §2 I-sext): per
     * label, how many members sit closer (squared L2) to a FOREIGN

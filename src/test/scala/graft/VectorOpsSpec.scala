@@ -282,6 +282,45 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(diag > 1.0 / 10, s"diagonal share $diag no better than uniform")
   }
 
+  test("hard negatives: cross-label, 3 per query, harder than the random baseline") {
+    import spark.implicits._
+    val hard = SparkEntry.queries("sample_hard_negatives")(spark, sfDir)
+      .select($"q_id", $"q_label", $"rank", $"neg_id", $"neg_label", $"cos")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(hard.map(_._1).distinct.length == 20)
+    hard.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), s"query $q ranks")
+      assert(rs.forall(r => r._5 != r._2), s"query $q drew a same-label negative")
+      // within a query, ranked by similarity descending (hardest first)
+      val byRank = rs.sortBy(_._3).map(_._6)
+      assert(byRank.toSeq == byRank.sorted.reverse.toSeq, s"query $q not cos-ranked")
+    }
+    // hardness: mean similarity of mined negatives must beat the mean
+    // similarity of ALL cross-label pairs for the same queries (else the
+    // ANN mining did nothing)
+    val embs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val byId = embs.map(e => e._1 -> e).toMap
+    val qs = embs.filter(_._1 < 20)
+    val randMean = qs.flatMap { q =>
+      embs.filter(c => c._2 != q._2).map(c => cos(q._3, c._3))
+    }.sum / qs.map(q => embs.count(_._2 != q._2)).sum
+    val hardMean = hard.map(_._6).sum / hard.length
+    assert(hardMean > randMean,
+      s"mined negatives (mean cos $hardMean) no harder than random ($randMean)")
+    // each mined negative's exact cosine matches a driver-side recompute
+    hard.take(5).foreach { case (q, _, _, n, _, c) =>
+      val hand = math.rint(cos(byId(q)._3.map(identity), byId(n)._3) * 1e6) / 1e6
+      assert(math.abs(c - hand) < 2e-6, s"pair ($q,$n): declared $c vs hand $hand")
+    }
+  }
+
   test("label propagation: labels are node ids, communities non-trivial on the backbone") {
     import spark.implicits._
     val rows = SparkEntry.queries("graph_label_propagation")(spark, sfDir)
