@@ -1945,7 +1945,98 @@ object TextOps extends QueryModule {
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
     textMadLengthOutlier, textContainmentPairs,
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
-    textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords)
+    textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
+    textJsDivergenceLangpair)
+
+  /** Jensen–Shannon divergence between every language pair's unigram
+    * distributions (SURVEY §2 I-sext) — the symmetric, bounded corpus
+    * distance (KL's usable form: finite even on disjoint support),
+    * completing the info-theory family: entropy (within a corpus), MI
+    * (between columns), perplexity (doc vs corpus), PSI (time drift),
+    * JS (corpus vs corpus). Laplace-smoothed over the GLOBAL vocabulary
+    * so every pair shares one support; bits via log2 with the standard
+    * 12 dp term rounding + exact decimal sums.
+    *
+    * Scale notes: the per-(lang, term) frequency count is the only
+    * fact-scale stage (map-side combinable, vocab ≪ corpus); the
+    * pair×vocab grid, smoothing and JS algebra all ride bounded frames.
+    */
+  val textJsDivergenceLangpair = Q(
+    "text_js_divergence_langpair",
+    (spark, dir) => {
+      import spark.implicits._
+      val freq = tokens(Tables.documents(spark, dir))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+        .repartition(1)
+        .transform(graft.Checkpoints.cut)
+      val vocab = freq.select($"tok").distinct()
+      val vsize = vocab.agg(count(lit(1)).as("v"))
+      val totals = freq.groupBy($"lang").agg(sum($"c").as("n"))
+      val langs = totals.select($"lang")
+      val pairs = langs.select($"lang".as("lang_a"))
+        .crossJoin(langs.select($"lang".as("lang_b")))
+        .where($"lang_a" < $"lang_b")
+      def smoothed(cc: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        (cc.cast(DoubleType) + 0.5) / (n.cast(DoubleType) + lit(0.5) * $"v")
+      val grid = pairs.crossJoin(vocab)
+        .join(freq.select($"lang".as("lang_a"), $"tok", $"c".as("ca")),
+          Seq("lang_a", "tok"), "left")
+        .join(freq.select($"lang".as("lang_b"), $"tok", $"c".as("cb")),
+          Seq("lang_b", "tok"), "left")
+        .join(broadcast(totals.select($"lang".as("lang_a"), $"n".as("na"))), "lang_a")
+        .join(broadcast(totals.select($"lang".as("lang_b"), $"n".as("nb"))), "lang_b")
+        .crossJoin(broadcast(vsize))
+      val p = smoothed(coalesce($"ca", lit(0L)), $"na")
+      val q = smoothed(coalesce($"cb", lit(0L)), $"nb")
+      val m = (p + q) / 2.0
+      grid
+        .select($"lang_a", $"lang_b",
+          round(p * log2(p / m) * 0.5 + q * log2(q / m) * 0.5, 12)
+            .cast(DecimalType(28, 12)).as("term"))
+        .groupBy($"lang_a", $"lang_b")
+        .agg(round(sum($"term").cast(DoubleType), 6).as("js_bits"))
+        .orderBy($"lang_a", $"lang_b")
+    },
+    Some("""
+      WITH freq AS (
+        SELECT lang, tok, COUNT(*) AS c
+        FROM (SELECT lang, UNNEST(string_split(lower(text), ' ')) AS tok FROM documents)
+        WHERE tok <> ''
+        GROUP BY 1, 2
+      ), vocab AS (SELECT DISTINCT tok FROM freq),
+      vsize AS (SELECT COUNT(*) AS v FROM vocab),
+      totals AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY 1),
+      pairs AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b
+        FROM totals a CROSS JOIN totals b WHERE a.lang < b.lang
+      ), grid AS (
+        SELECT p.lang_a, p.lang_b, vocab.tok,
+          COALESCE(fa.c, 0) AS ca, COALESCE(fb.c, 0) AS cb,
+          ta.n AS na, tb.n AS nb, vsize.v AS v
+        FROM pairs p
+        CROSS JOIN vocab
+        LEFT JOIN freq fa ON fa.lang = p.lang_a AND fa.tok = vocab.tok
+        LEFT JOIN freq fb ON fb.lang = p.lang_b AND fb.tok = vocab.tok
+        JOIN totals ta ON ta.lang = p.lang_a
+        JOIN totals tb ON tb.lang = p.lang_b
+        CROSS JOIN vsize
+      )
+      SELECT lang_a, lang_b,
+        ROUND(CAST(SUM(CAST(ROUND(
+          (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * v)
+            * LOG2(((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * v))
+                   / (((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * v)
+                       + (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * v)) / 2.0))
+            * 0.5
+          + (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * v)
+            * LOG2(((CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * v))
+                   / (((CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 0.5 * v)
+                       + (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 0.5 * v)) / 2.0))
+            * 0.5, 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS js_bits
+      FROM grid
+      GROUP BY lang_a, lang_b
+      ORDER BY lang_a, lang_b
+    """.stripMargin.trim))
 
   /** ASYMMETRIC shingle CONTAINMENT pairs — the sub-document duplicate
     * detector symmetric Jaccard misses: C(A→B) = |shA∩shB| / |shA| is

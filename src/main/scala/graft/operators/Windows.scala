@@ -1147,7 +1147,95 @@ object Windows extends QueryModule {
     winCumeDistScalable, winNthValue, winNtileBuckets,
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
-    winPeakDetection)
+    winPeakDetection, winDrawdownDuration)
+
+  /** Drawdown duration per customer (SURVEY §2 I-sext) — the
+    * TIME-underwater companion to `win_max_drawdown`'s depth: risk
+    * reads both how FAR below peak a series fell and for HOW LONG it
+    * stayed there. Underwater runs (order value strictly below the
+    * running peak) come from the rn-diff islands recipe; the declared
+    * longest run per customer is chosen by (length desc, earliest
+    * start) and carries its calendar-day span. Customers who never dip
+    * report 0 — absence of drawdown is data, not a missing row.
+    *
+    * Scale notes: one shuffle on o_custkey; peak window, island
+    * windows and the per-customer argmax all ride that partitioning.
+    */
+  val winDrawdownDuration = Q(
+    "win_drawdown_duration",
+    (spark, dir) => {
+      import spark.implicits._
+      val wSeq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val base = Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey",
+          dec($"o_totalprice").as("price"))
+        .withColumn("peak",
+          max($"price").over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn_all", row_number().over(wSeq))
+      val sizes = base.groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .where($"n_orders" >= 5)
+      val uw = base.where($"price" < $"peak")
+        .withColumn("rn_u", row_number().over(wSeq))
+        .withColumn("grp", $"rn_all" - $"rn_u")
+      val islands = uw.groupBy($"o_custkey", $"grp")
+        .agg(
+          count(lit(1)).as("run_orders"),
+          min($"o_orderdate").as("run_start"),
+          max($"o_orderdate").as("run_end"))
+      val wPick = Window.partitionBy($"o_custkey")
+        .orderBy($"run_orders".desc, $"run_start")
+      val longest = islands
+        .withColumn("rn", row_number().over(wPick))
+        .where($"rn" === 1)
+        .select($"o_custkey", $"run_orders",
+          datediff($"run_end", $"run_start").as("run_days"))
+      sizes
+        .join(longest, Seq("o_custkey"), "left")
+        .select($"o_custkey", $"n_orders",
+          coalesce($"run_orders", lit(0L)).as("max_underwater_orders"),
+          coalesce($"run_days", lit(0)).cast("long").as("max_underwater_days"))
+        .orderBy($"o_custkey")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS rn_all
+        FROM orders
+      ), sizes AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM base
+        GROUP BY 1 HAVING COUNT(*) >= 5
+      ), uw AS (
+        SELECT o_custkey, o_orderdate, rn_all,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS rn_u
+        FROM base WHERE price < peak
+      ), islands AS (
+        SELECT o_custkey, rn_all - rn_u AS grp,
+          COUNT(*) AS run_orders,
+          MIN(o_orderdate) AS run_start,
+          MAX(o_orderdate) AS run_end
+        FROM uw GROUP BY 1, 2
+      ), longest AS (
+        SELECT o_custkey, run_orders,
+          date_diff('day', run_start, run_end) AS run_days
+        FROM (
+          SELECT o_custkey, run_orders, run_start, run_end,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY run_orders DESC, run_start) AS rn
+          FROM islands
+        ) WHERE rn = 1
+      )
+      SELECT s.o_custkey, s.n_orders,
+        COALESCE(run_orders, 0) AS max_underwater_orders,
+        CAST(COALESCE(run_days, 0) AS BIGINT) AS max_underwater_days
+      FROM sizes s LEFT JOIN longest l ON s.o_custkey = l.o_custkey
+      ORDER BY s.o_custkey
+    """.stripMargin.trim))
 
   /** Local-peak detection on the daily event series per type (SURVEY §2
     * I-sext) — the signal-processing primitive under alerting UIs:

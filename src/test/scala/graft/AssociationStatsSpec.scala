@@ -87,6 +87,24 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(lifts == lifts.sorted.reverse, "not sorted by lift desc")
   }
 
+  test("drawdown duration: zero runs iff zero max drawdown, runs bounded by order count") {
+    import spark.implicits._
+    val dur = SparkEntry.queries("win_drawdown_duration")(spark, sfDir)
+      .select($"o_custkey", $"n_orders", $"max_underwater_orders", $"max_underwater_days")
+      .as[(Long, Long, Long, Long)].collect()
+    val depth = SparkEntry.queries("win_max_drawdown")(spark, sfDir)
+      .select($"o_custkey", $"max_drawdown").as[(Long, Double)].collect().toMap
+    assert(dur.nonEmpty)
+    assert(dur.map(_._1).toSet == depth.keySet, "row sets differ between the two rows")
+    dur.foreach { case (ck, n, runOrders, runDays) =>
+      assert(runOrders < n, s"customer $ck run $runOrders not shorter than series $n")
+      assert(runDays >= 0)
+      // a customer is ever underwater exactly when max drawdown > 0
+      assert((runOrders > 0) == (depth(ck) > 0.0),
+        s"customer $ck: run=$runOrders but depth=${depth(ck)}")
+    }
+  }
+
   test("max drawdown: within [0,1), zero iff the series never falls below its peak") {
     import spark.implicits._
     val out = SparkEntry.queries("win_max_drawdown")(spark, sfDir)

@@ -238,6 +238,32 @@ class TextOpsSpec extends SparkSpecBase {
       s"capture ${loBand._5} vs hand $handMean")
   }
 
+  test("js divergence: all 10 pairs, values within [0,1] bits, self-divergence is zero") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_js_divergence_langpair")(spark, sfDir)
+      .select($"lang_a", $"lang_b", $"js_bits").as[(String, String, Double)].collect()
+    assert(rows.length == 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
+    rows.foreach { case (a, b, js) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      // JS divergence with log2 is bounded by 1 bit; tolerance covers
+      // the 12-dp per-term rounding over the vocab
+      assert(js >= -1e-6 && js <= 1.0 + 1e-6, s"JS($a,$b)=$js outside [0,1]")
+    }
+    // hand-check: a distribution against itself scores 0 — recompute one
+    // pair with identical counts on both sides and the declared algebra
+    val freq = operators.TextOps.tokens(Tables.documents(spark, sfDir))
+      .where($"lang" === "en")
+      .groupBy($"tok").count().as[(String, Long)].collect()
+    val v = freq.length // self-pair over its own vocab: p == q ⇒ every term 0
+    val n = freq.map(_._2).sum.toDouble
+    val js = freq.map { case (_, c) =>
+      val p = (c + 0.5) / (n + 0.5 * v)
+      val m = p
+      0.5 * p * math.log(p / m) / math.log(2) * 2
+    }.sum
+    assert(math.abs(js) < 1e-12, s"self-JS $js not zero")
+  }
+
   test("rake keywords: phrases stopword-free, scores positive and rank-consistent") {
     import spark.implicits._
     val stop = Set("the", "a", "and", "of", "value", "data")
