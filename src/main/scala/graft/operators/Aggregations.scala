@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -1653,10 +1654,12 @@ object Aggregations extends QueryModule {
     * FAST). First-signup per user is one conditional-min aggregation
     * (map-side combinable); first at-or-after purchase needs the signup
     * time first, so it is a second user-keyed pass over purchases only —
-    * both shuffles are user-keyed and linear. Exact percentiles run on
-    * the bounded converter table; latency is integer microseconds, so
-    * the only non-integers are the two interpolated quantile midpoints
-    * (exact binary fractions — the `agg_percentiles_exact` guarantee).
+    * both shuffles are user-keyed and linear. Quartiles are pure LOWER
+    * order statistics (no interpolation — integer selection, zero float
+    * anywhere) computed with the `win_rank_global_scalable` recipe: the
+    * ordered window runs over the distinct-latency FREQUENCY table
+    * (bounded by distinct values, not converters), and the k-th value
+    * is the row whose cumulative count straddles k.
     */
   val aggFunnelLatency = Q(
     "agg_funnel_latency",
@@ -1677,22 +1680,30 @@ object Aggregations extends QueryModule {
         .select(expr("timestampdiff(MICROSECOND, signup_ts, first_purchase)").as("lat_us"))
       // DISCRETE order-statistic percentiles (lower order stat at index
       // (k·(n−1)) div 4 + 1) — interpolating quantiles on ~2e11-µs
-      // magnitudes differ between engines in the last ulp (the two
-      // textbook interpolation formulas round differently), while order
-      // statistics are pure integer selection with zero float anywhere
+      // magnitudes differ between engines in the last ulp, while order
+      // statistics are pure integer selection with zero float anywhere.
+      // Selection runs on the distinct-latency frequency table: the
+      // k-th order statistic is the value whose cumulative count
+      // straddles k (lo = cum − cnt < k ≤ cum), so the only ordered
+      // window is over distinct values, never the converter rows
+      val freq = conv.groupBy($"lat_us").agg(count(lit(1)).as("cnt"))
       val wOrd = Window.orderBy($"lat_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy()
-      conv
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
+      def pick(k: Column): Column =
+        max(when(($"cum" - $"cnt") < k && k <= $"cum", $"lat_us"))
+          .cast(DoubleType)
+      freq
+        .withColumn("cum", sum($"cnt").over(wOrd))
+        .withColumn("n", sum($"cnt").over(wAll))
         .agg(
           max($"n").as("n_converters"),
-          (max(when($"rn" === expr("(n - 1) div 4 + 1"), $"lat_us"))
-            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p25_s"),
-          (max(when($"rn" === expr("(n - 1) div 2 + 1"), $"lat_us"))
-            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p50_s"),
-          (max(when($"rn" === expr("((n - 1) * 3) div 4 + 1"), $"lat_us"))
-            .cast(DoubleType) / 1e6).cast(DecimalType(18, 6)).as("p75_s"))
+          (pick(expr("(n - 1) div 4 + 1")) / 1e6)
+            .cast(DecimalType(18, 6)).as("p25_s"),
+          (pick(expr("(n - 1) div 2 + 1")) / 1e6)
+            .cast(DecimalType(18, 6)).as("p50_s"),
+          (pick(expr("((n - 1) * 3) div 4 + 1")) / 1e6)
+            .cast(DecimalType(18, 6)).as("p75_s"))
         .crossJoin(broadcast(firsts.agg(count(lit(1)).as("n_signups"))))
         .select($"n_signups", $"n_converters", $"p25_s", $"p50_s", $"p75_s")
     },
@@ -1759,8 +1770,11 @@ object Aggregations extends QueryModule {
             .otherwise($"touch_type").as("channel"))
         .groupBy($"channel")
         .agg(count(lit(1)).as("conversions"))
+      // grand total via an unpartitioned window over the bounded channel
+      // table (≤ #event_types rows) — NOT a second fact-scan aggregate:
+      // the events relation appears exactly once in this plan
       attributed
-        .crossJoin(broadcast(attributed.agg(sum($"conversions").as("total"))))
+        .withColumn("total", sum($"conversions").over(Window.partitionBy()))
         .select($"channel", $"conversions",
           round($"conversions".cast(DoubleType) / $"total", 6).as("share"))
         .orderBy($"channel")
@@ -1793,25 +1807,33 @@ object Aggregations extends QueryModule {
     * triangle next to `agg_retention_cohorts`' retention counts
     * (retention says WHO comes back; LTV says what they're WORTH).
     *
-    * Scale notes: two fact-scale aggregations (first order per customer,
-    * then (cohort, age) revenue), both customer/month-keyed and
-    * map-side combinable; the cumulative sum runs on the bounded
-    * cohort×age triangle with exact decimal revenue.
+    * Scale notes: ONE fact scan — the signup cohort comes from a
+    * per-customer min-window on the same pass (no firsts self-join),
+    * and the cohort sizes ride the same (cohort, age) aggregation as a
+    * distinct-customer count at age 0 (every customer has an age-0 row
+    * by definition of its cohort month). The bounded cohort×age
+    * triangle is checkpointed so sizes/cumsum don't re-derive the
+    * fact-scale work; cumulative revenue is exact decimal.
     */
   val aggCohortLtvCurve = Q(
     "agg_cohort_ltv_curve",
     (spark, dir) => {
       import spark.implicits._
+      val wCust = Window.partitionBy($"o_custkey")
       val o = Tables.orders(spark, dir)
         .select($"o_custkey",
           date_trunc("month", $"o_orderdate").as("m"),
           dec($"o_totalprice").as("rev"))
-      val firsts = o.groupBy($"o_custkey").agg(min($"m").as("cohort"))
-      val sizes = firsts.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
-      val mat = o.join(firsts, "o_custkey")
+        .withColumn("cohort", min($"m").over(wCust))
+      val mat = o
         .groupBy($"cohort",
           months_between($"m", $"cohort").cast("long").as("age"))
-        .agg(sum($"rev").as("rev"))
+        .agg(sum($"rev").as("rev"),
+          countDistinct($"o_custkey").as("ncust"))
+        .repartition(1)
+        .transform(graft.Checkpoints.cut)
+      val sizes = mat.where($"age" === 0)
+        .select($"cohort", $"ncust".as("cohort_size"))
       val wCum = Window.partitionBy($"cohort").orderBy($"age")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       mat
@@ -1859,9 +1881,14 @@ object Aggregations extends QueryModule {
     *
     * Scale notes: the only fact-scale work is the lead-window pair
     * count (one user-keyed shuffle — same as the transition-matrix
-    * row); the k×k probability matrix is checkpointed and the 8 power
-    * rounds π←πP run on broadcast k-row frames. Per-round 9 dp decimal
-    * rounding makes the iterate identical on any engine/partitioning.
+    * row); the k×k probability matrix is checkpointed ONCE and the 8
+    * power rounds π←πP are unrolled into a single plan of chained
+    * joins over that checkpointed k-row frame (no per-round action —
+    * iteration cost is corpus-independent and pays one job). The state
+    * set is the union of sources and successors, so absorbing states
+    * (appearing only as a successor) keep the mass that flows into
+    * them instead of being dropped. Per-round 9 dp decimal rounding
+    * makes the iterate identical on any engine/partitioning.
     */
   val aggMarkovStationary = Q(
     "agg_markov_stationary",
@@ -1870,18 +1897,23 @@ object Aggregations extends QueryModule {
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val ev = Tables.events(spark, dir)
         .select($"user_id", $"ts", $"event_id", $"event_type")
-      val pairs = ev
+      // one fact pass: pair counts with a NULLABLE successor, so both the
+      // transition matrix AND the empirical per-state counts derive from
+      // this single checkpointed k×(k+1) frame (no second events scan)
+      val cells = ev
         .withColumn("nxt", lead($"event_type", 1).over(w))
-        .where($"nxt".isNotNull)
         .groupBy($"event_type".as("cur"), $"nxt")
         .agg(count(lit(1)).as("c"))
-      val wRow = Window.partitionBy($"cur")
-      val pm = pairs
-        .select($"cur", $"nxt",
-          round($"c".cast(DoubleType) / sum($"c").over(wRow), 9).as("p"))
         .repartition(1)
         .transform(graft.Checkpoints.cut)
-      val states = pm.select($"cur".as("t")).distinct()
+      val wRow = Window.partitionBy($"cur")
+      val pm = cells
+        .where($"nxt".isNotNull)
+        .select($"cur", $"nxt",
+          round($"c".cast(DoubleType) / sum($"c").over(wRow), 9).as("p"))
+      val states = pm.select($"cur".as("t"))
+        .union(pm.select($"nxt".as("t")))
+        .distinct()
       val k = states.agg(count(lit(1)).as("kk"))
       var pi = states.crossJoin(broadcast(k))
         .select($"t", (lit(1.0) / $"kk").as("pr"))
@@ -1895,9 +1927,8 @@ object Aggregations extends QueryModule {
         pi = states
           .join(nextPi, Seq("t"), "left")
           .select($"t", coalesce($"pr", lit(0.0d)).as("pr"))
-        pi = graft.Checkpoints.cut(pi.coalesce(1))
       }
-      val emp = ev.groupBy($"event_type".as("t")).agg(count(lit(1)).as("n"))
+      val emp = cells.groupBy($"cur".as("t")).agg(sum($"c").as("n"))
       val tot = emp.agg(sum($"n").as("total"))
       pi
         .join(broadcast(emp), "t")
@@ -1937,7 +1968,7 @@ object Aggregations extends QueryModule {
                 / CAST(SUM(c) OVER (PARTITION BY cur) AS DOUBLE), 9) AS p
         FROM pairs
       ), states AS (
-        SELECT DISTINCT cur AS t FROM pm
+        SELECT cur AS t FROM pm UNION SELECT nxt AS t FROM pm
       ), kk AS (SELECT COUNT(*) AS kk FROM states),
       pi0 AS (
         SELECT t, CAST(1 AS DOUBLE) / kk.kk AS pr FROM states CROSS JOIN kk

@@ -585,6 +585,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the probe:\n$p")
   }
 
+  test("agg_attribution_last_touch: events scanned exactly once (total via window)") {
+    val p = planString(operators.Aggregations.aggAttributionLastTouch.fn(spark, sfDir))
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 1, s"expected ONE events scan, got $factScans:\n$p")
+    assert(p.contains("Window"), s"grand total must be a window over the channel table:\n$p")
+  }
+
+  test("agg_cohort_ltv_curve: one orders scan feeds the checkpointed triangle") {
+    val df = operators.Aggregations.aggCohortLtvCurve.fn(spark, sfDir)
+    val p = planString(df)
+    // the (cohort, age) triangle is checkpointed; the final plan reads the
+    // ExistingRDD twice (cumsum + sizes) and never re-touches parquet
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 0, s"final plan must not re-scan orders, got $factScans:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"sizes/cumsum must read the checkpointed triangle:\n$p")
+  }
+
+  test("agg_markov_stationary: 8 power rounds unrolled over one checkpointed cell table") {
+    val df = operators.Aggregations.aggMarkovStationary.fn(spark, sfDir)
+    val p = planString(df)
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 0,
+      s"iterations + empirical shares must read the checkpointed cells, got $factScans:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected the checkpointed k×(k+1) cell frame:\n$p")
+  }
+
   test("vec_pca_power_iteration: gram explode parallelized, iterations scan checkpoints") {
     val df = operators.VectorOps.vecPcaPowerIteration.fn(spark, sfDir)
     val p = planString(df)
