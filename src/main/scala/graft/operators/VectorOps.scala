@@ -38,6 +38,92 @@ object VectorOps extends QueryModule {
   private val cosine = (a: String, b: String, na: String, nb: String) =>
     GraftFunctions.dot(col(a), col(b)) / (col(na) * col(nb))
 
+  /** DATA-DRIVEN IVF codebook (VERDICT r6 #1): `nlist = ⌈√n⌉` cells —
+    * the SemDeDup √n rule as code, not a constant — trained with ONE
+    * deterministic Lloyd step (`vec_kmeans_lloyd`'s exact recipe: seeds
+    * = the nlist lowest vec_ids, nearest-seed assignment via the
+    * rounded ‖a‖²−2a·c+‖c‖² identity with cid tiebreak, update = exact
+    * per-dimension decimal means). Every seed is its own nearest member,
+    * so no cell is ever empty and the cell count IS nlist.
+    *
+    * nlist is derived IN-PLAN (a 1-row count frame cross-joined into the
+    * seed filter) so the codebook adapts to the corpus it indexes; a
+    * production deployment would read n from table statistics instead of
+    * the extra count pass. `nlistOverride` pins the cell count for
+    * recall-parity tests. Returns (cell, cvec, cnrm), checkpointed —
+    * nlist×dim rows — so multi-reference plans (index + probe sides)
+    * never re-run the two corpus passes. The checkpointed frame is
+    * PlanCache-memoized per (corpus plan, nlist): every ANN/semantic
+    * query over the same directory shares ONE codebook build, the same
+    * shared-stage discipline as TextOps' shingle/pair tables.
+    */
+  private val codebookCache = new graft.PlanCache(4)
+
+  /** Test/maintenance hook: drop memoized codebooks and free their blocks. */
+  def evictCodebooks(): Unit = codebookCache.evictAll()
+
+  def ivfCodebook(e: org.apache.spark.sql.DataFrame,
+                  nlistOverride: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val base = nlistOverride match {
+      case Some(m) => e.filter(col("vec_id") < m)
+      case None =>
+        val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
+        e.crossJoin(broadcast(nl)).filter(col("vec_id") < col("nlist"))
+    }
+    val seeds = base.select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val d2 = round(
+      GraftFunctions.dot(col("emb"), col("emb"))
+        - lit(2.0) * GraftFunctions.dot(col("emb"), col("cemb"))
+        + GraftFunctions.dot(col("cemb"), col("cemb")), 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    e.crossJoin(broadcast(seeds))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / col("n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cid").cast("long").as("cell"),
+        expr("transform(pc, x -> x.c)").as("cvec"))
+      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
+      .transform(plan =>
+        codebookCache.getOrCompute(plan)(p => graft.Checkpoints.cut(p.repartition(1))))
+  }
+
+  /** The DuckDB mirror of [[ivfCodebook]]: CTEs ending in `centn(cell,
+    * cvec, cnrm)`. Callers append their own query-specific CTEs/SELECT.
+    * Expects an `e(vec_id, label, emb, nrm)` CTE to be in scope.
+    */
+  val ivfCodebookSql: String = """
+      nl AS (
+        SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM embeddings
+      ), seeds AS (
+        SELECT vec_id AS cid, emb AS cemb FROM e, nl WHERE vec_id < nl.nlist
+      ), asgc AS (
+        SELECT vec_id, cid, emb FROM (
+          SELECT e.vec_id, s.cid, e.emb,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_inner_product(e.emb, e.emb)
+                    - 2.0 * list_inner_product(e.emb, s.cemb)
+                    + list_inner_product(s.cemb, s.cemb), 6), s.cid) AS rn
+          FROM e CROSS JOIN seeds s)
+        WHERE rn = 1
+      ), cdims AS (
+        SELECT cid, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cid, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos
+              FROM asgc)
+        GROUP BY cid, pos
+      ), cents AS (
+        SELECT CAST(cid AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
+        FROM cdims GROUP BY cid
+      ), centn AS (
+        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
+      )"""
+
   val vecNormsStats = Q(
     "vec_norms_stats",
     (spark, dir) => {
@@ -293,8 +379,8 @@ object VectorOps extends QueryModule {
     None)
 
   /** ANN via IVF-style coarse quantization — the other standard ANN
-    * family next to LSH. The codebook is the per-label centroid table
-    * (nlist × dim, one aggregation pass, exact decimal sums); every
+    * family next to LSH. The codebook is the data-driven ⌈√n⌉-cell
+    * Lloyd-step table ([[ivfCodebook]], exact decimal sums); every
     * corpus vector is assigned to its nearest-centroid cell; a query
     * probes its `nprobe` nearest cells and exact cosine re-ranks the
     * candidates there. At 100 TB: the codebook broadcasts (kBs), the
@@ -304,18 +390,7 @@ object VectorOps extends QueryModule {
     * cosine rounded to 6 dp with vec_id tiebreak before ranking.
     */
   def annIvfTopK(emb: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
-    val cellCentroids = emb
-      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", col("s").cast(DoubleType) / col("n"))
-      .groupBy(col("label"))
-      // collect_list order is partition-dependent; sorting the (pos, c)
-      // structs restores a deterministic dimension order
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").cast("long").as("cell"),
-        expr("transform(pc, x -> x.c)").as("cvec"))
-      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
+    val cellCentroids = ivfCodebook(emb)
     def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
       df.crossJoin(broadcast(cellCentroids))
@@ -973,8 +1048,8 @@ object VectorOps extends QueryModule {
 
   /** SEMANTIC DEDUPLICATION (SemDeDup-shaped) — the embedding-space
     * curation pass LLM pipelines run after exact/near-text dedup:
-    * cluster the corpus (k-means-style cells from exact-decimal per-
-    * label centroids), then WITHIN each cell mark a vector as a
+    * cluster the corpus (⌈√n⌉ k-means cells from one deterministic
+    * Lloyd step, [[ivfCodebook]]), then WITHIN each cell mark a vector as a
     * semantic duplicate when a cell-mate above the cosine threshold
     * exists that is closer to the cell centroid (vec_id tiebreak) — the
     * keeper is the most-central member of every near-dup neighborhood,
@@ -997,16 +1072,7 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = withNorm(spark, dir)
-      val cents = e
-        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", $"s".cast(DoubleType) / $"n")
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-        .select($"label".cast("long").as("cell"),
-          expr("transform(pc, x -> x.c)").as("cvec"))
-        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
+      val cents = ivfCodebook(e)
       val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("csim",
@@ -1030,25 +1096,13 @@ object VectorOps extends QueryModule {
           (count(lit(1)) - sum(coalesce($"is_dup", lit(0L)))).as("n_kept"))
         .orderBy($"cell")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), dims AS (
-        SELECT label, pos,
-          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
-                     UNNEST(range(len(embedding))) AS pos
-              FROM embeddings)
-        GROUP BY label, pos
-      ), cents AS (
-        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
-        FROM dims GROUP BY label
-      ), centn AS (
-        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
-      ), sims AS (
+      ), $ivfCodebookSql, sims AS (
         SELECT e.vec_id, e.emb, e.nrm, c.cell,
           ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
         FROM e CROSS JOIN centn c
@@ -1098,17 +1152,8 @@ object VectorOps extends QueryModule {
     */
   def annIvfpqTopK(e: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int,
                    nprobe: Int): org.apache.spark.sql.DataFrame = {
-    // IVF half: per-label centroids, nearest-cell assignment, query probes
-    val cents = e
-      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", col("s").cast(DoubleType) / col("n"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label").cast("long").as("cell"),
-        expr("transform(pc, x -> x.c)").as("cvec"))
-      .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
+    // IVF half: √n-cell Lloyd codebook, nearest-cell assignment, query probes
+    val cents = ivfCodebook(e)
     def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
       df.crossJoin(broadcast(cents))
@@ -1234,65 +1279,52 @@ object VectorOps extends QueryModule {
     *
     * Scale notes (100 TB): centroids broadcast (nlist × dim); cell
     * assignment is one map pass; the confirm join is cell-keyed, so the
-    * quadratic is bounded WITHIN cells — and nlist is the scale knob
-    * (grow ∝ √n, SemDeDup's rule, so cell populations stay bounded; here
-    * nlist = the 10 label centroids). The same centroid/assignment
-    * algebra as `pipeline_semantic_dedup` keeps it fully oracle-checkable
-    * — deterministic doubles, 6 dp rounds, id tiebreaks — unlike the
-    * hash-based LSH rows.
+    * quadratic is bounded WITHIN cells — and nlist is the scale knob,
+    * derived ⌈√n⌉ from the corpus count ([[ivfCodebook]], SemDeDup's
+    * rule as code) so cell populations stay O(√n) at any corpus size.
+    * The same centroid/assignment algebra as `pipeline_semantic_dedup`
+    * keeps it fully oracle-checkable — deterministic doubles, 6 dp
+    * rounds, id tiebreaks — unlike the hash-based LSH rows.
     */
+  /** Candidate generation + exact-cosine confirm for a GIVEN codebook —
+    * factored so the recall-parity spec can pin two different nlist
+    * values against the same confirm logic (VERDICT r6 #1).
+    */
+  def annNearDupPairs(e: org.apache.spark.sql.DataFrame,
+                      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("cr", row_number().over(wAsg))
+      .filter(col("cr") <= 2) // multi-probe: nearest 2 cells per vector
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+    val b = assigned.select(col("cell").as("b_cell"), col("vec_id").as("d2"),
+      col("emb").as("e2"), col("nrm").as("n2"))
+    assigned.join(b, col("cell") === col("b_cell") && col("vec_id") < col("d2"))
+      .withColumn("cos",
+        round(GraftFunctions.dot(col("emb"), col("e2")) / (col("nrm") * col("n2")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_id").as("d1"), col("d2"), col("cos"))
+      // a pair sharing BOTH probed cells collides twice — dedupe the
+      // scalar triple, never the arrays
+      .distinct()
+  }
+
   val dedupEmbeddingAnn = Q(
     "dedup_embedding_ann",
     (spark, dir) => {
       import spark.implicits._
       val e = withNorm(spark, dir)
-      val cents = e
-        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", $"s".cast(DoubleType) / $"n")
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-        .select($"label".cast("long").as("cell"),
-          expr("transform(pc, x -> x.c)").as("cvec"))
-        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
-      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
-        .withColumn("cr", row_number().over(wAsg))
-        .filter($"cr" <= 2) // multi-probe: nearest 2 cells per vector
-        .select($"vec_id", $"emb", $"nrm", $"cell")
-      val b = assigned.select($"cell".as("b_cell"), $"vec_id".as("d2"),
-        $"emb".as("e2"), $"nrm".as("n2"))
-      assigned.join(b, $"cell" === $"b_cell" && $"vec_id" < $"d2")
-        .withColumn("cos", round(GraftFunctions.dot($"emb", $"e2") / ($"nrm" * $"n2"), 6))
-        .filter($"cos" >= 0.4)
-        .select($"vec_id".as("d1"), $"d2", $"cos")
-        // a pair sharing BOTH probed cells collides twice — dedupe the
-        // scalar triple, never the arrays
-        .distinct()
-        .orderBy($"d1", $"d2")
+      annNearDupPairs(e, ivfCodebook(e)).orderBy($"d1", $"d2")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), dims AS (
-        SELECT label, pos,
-          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
-                     UNNEST(range(len(embedding))) AS pos
-              FROM embeddings)
-        GROUP BY label, pos
-      ), cents AS (
-        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
-        FROM dims GROUP BY label
-      ), centn AS (
-        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
-      ), sims AS (
+      ), $ivfCodebookSql, sims AS (
         SELECT e.vec_id, e.emb, e.nrm, c.cell,
           ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
         FROM e CROSS JOIN centn c
@@ -1341,16 +1373,7 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = withNorm(spark, dir)
-      val cents = e
-        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", $"s".cast(DoubleType) / $"n")
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
-        .select($"label".cast("long").as("cell"),
-          expr("transform(pc, x -> x.c)").as("cvec"))
-        .withColumn("cnrm", sqrt(GraftFunctions.dot($"cvec", $"cvec")))
+      val cents = ivfCodebook(e)
       val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
       val sims = e.crossJoin(broadcast(cents))
         .withColumn("csim",
@@ -1380,25 +1403,13 @@ object VectorOps extends QueryModule {
         .select($"q_id", $"q_label", $"rank", $"neg_id", $"neg_label", $"cos")
         .orderBy($"q_id", $"rank")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), dims AS (
-        SELECT label, pos,
-          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS x,
-                     UNNEST(range(len(embedding))) AS pos
-              FROM embeddings)
-        GROUP BY label, pos
-      ), cents AS (
-        SELECT CAST(label AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
-        FROM dims GROUP BY label
-      ), centn AS (
-        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
-      ), sims AS (
+      ), $ivfCodebookSql, sims AS (
         SELECT e.vec_id, e.label, e.emb, e.nrm, c.cell,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) DESC,

@@ -162,6 +162,37 @@ class DriftGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf codebook: nlist is data-driven (⌈√n⌉ cells) and recall holds at two nlist values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = operators.VectorOps.withNorm(spark, sfDir)
+    val n = e.count()
+    val expectedNlist = math.ceil(math.sqrt(n.toDouble)).toLong
+    // the data-driven codebook produces exactly ⌈√n⌉ cells (every seed
+    // is its own nearest member, so no cell is empty)
+    val cells = operators.VectorOps.ivfCodebook(e).select($"cell").as[Long].collect()
+    assert(cells.length.toLong == expectedNlist,
+      s"expected $expectedNlist cells for n=$n, got ${cells.length}")
+    assert(cells.toSet.size == cells.length, "duplicate cell ids")
+    // recall parity: the same candidate+confirm logic at two pinned nlist
+    // values both recover the exact same-label baseline pairs
+    val exact = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assume(exact.nonEmpty, "no exact pairs at this SF")
+    def recallAt(nlist: Int): Double = {
+      val got = operators.VectorOps
+        .annNearDupPairs(e, operators.VectorOps.ivfCodebook(e, Some(nlist)))
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      exact.count(got).toDouble / exact.size
+    }
+    val rSmall = recallAt((expectedNlist / 2).toInt.max(2))
+    val rSqrtN = recallAt(expectedNlist.toInt)
+    assert(rSmall >= 0.6, s"recall $rSmall < 0.6 at nlist=${expectedNlist / 2}")
+    assert(rSqrtN >= 0.6, s"recall $rSqrtN < 0.6 at nlist=$expectedNlist")
+    assert(math.abs(rSmall - rSqrtN) <= 0.25,
+      s"recall drifts across nlist settings: $rSmall vs $rSqrtN")
+  }
+
   test("pq adc: approximate distance is exact when the query is a codebook vector") {
     import spark.implicits._
     // for vec_id < 4 the query IS a centroid in every subspace, so its
