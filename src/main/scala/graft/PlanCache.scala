@@ -15,9 +15,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *    stage wants exactly the frame the first caller is building.
   *  - **Freshness.** Lookup compares the candidate's analyzed plan with
   *    `sameResult` (a different input directory is a different plan →
-  *    distinct entry) and skips entries whose owning SparkContext has
-  *    stopped — a session restart can therefore never resurface dead
-  *    checkpoint RDDs.
+  *    distinct entry), folds the INPUT-FILE IDENTITY (path, size, mtime
+  *    of every file behind the plan's file-source relations) into the
+  *    key — so regenerating a fixture at the SAME path invalidates the
+  *    memo instead of serving stale blocks (VERDICT r6 #5) — and skips
+  *    entries whose owning SparkContext has stopped, so a session
+  *    restart can never resurface dead checkpoint RDDs.
   *  - **Bounded + explicitly released.** At most `capacity` live entries;
   *    eviction (capacity overflow, `evictAll`) actively frees the blocks:
   *    cached frames via `unpersist`, localCheckpoint frames by
@@ -29,37 +32,58 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 private[graft] final class PlanCache(capacity: Int) {
 
-  private val entries =
-    new scala.collection.mutable.ArrayBuffer[(LogicalPlan, DataFrame)]()
+  private final case class Entry(plan: LogicalPlan, files: Seq[(String, Long, Long)], df: DataFrame)
 
-  /** Return the memoized frame equivalent to `fresh`'s plan, or run
-    * `compute` (which must materialize — cache/localCheckpoint — its
-    * result) and remember it. Key is `fresh`'s analyzed plan; the stored
-    * value may be a different frame (e.g. labels computed FROM the pair
-    * plan).
+  private val entries = new scala.collection.mutable.ArrayBuffer[Entry]()
+
+  /** (path, size, mtime) of every file behind the plan's file-source
+    * relations — the data identity the plan alone can't see. Computed
+    * from the FRESH frame, whose FileIndex listed the directory when the
+    * caller built it, so a rewritten fixture shows up here even though
+    * the analyzed plan is `sameResult` with the stale entry's.
+    */
+  private def inputFileIdentity(df: DataFrame): Seq[(String, Long, Long)] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+          case _ => Nil
+        }
+    }.flatten.sortBy(_._1)
+
+  /** Return the memoized frame equivalent to `fresh`'s plan over the
+    * same input files, or run `compute` (which must materialize —
+    * cache/localCheckpoint — its result) and remember it. Key is
+    * `fresh`'s analyzed plan + the (path, size, mtime) set of its file
+    * sources; the stored value may be a different frame (e.g. labels
+    * computed FROM the pair plan). A plan-equal entry with a different
+    * file identity is actively evicted (its blocks describe data that no
+    * longer exists).
     */
   def getOrCompute(fresh: DataFrame)(compute: DataFrame => DataFrame): DataFrame =
     synchronized {
       val key = fresh.queryExecution.analyzed
+      val files = inputFileIdentity(fresh)
       // drop dead-context entries first: their blocks died with the
       // context, and returning one would be a dead-RDD error downstream
-      entries.filterInPlace { case (_, df) =>
-        !df.sparkSession.sparkContext.isStopped
-      }
-      entries.find(_._1.sameResult(key)) match {
-        case Some((_, df)) => df
-        case None =>
+      entries.filterInPlace(e => !e.df.sparkSession.sparkContext.isStopped)
+      entries.find(_.plan.sameResult(key)) match {
+        case Some(e) if e.files == files => e.df
+        case stale =>
+          stale.foreach { e => release(e.df); entries -= e }
           val built = compute(fresh)
-          if (entries.sizeIs >= capacity) release(entries.remove(0)._2)
-          entries += ((key, built))
+          if (entries.sizeIs >= capacity) release(entries.remove(0).df)
+          entries += Entry(key, files, built)
           built
       }
     }
 
   /** Free every live entry's storage and clear the cache. */
   def evictAll(): Unit = synchronized {
-    entries.foreach { case (_, df) =>
-      if (!df.sparkSession.sparkContext.isStopped) release(df)
+    entries.foreach { e =>
+      if (!e.df.sparkSession.sparkContext.isStopped) release(e.df)
     }
     entries.clear()
   }
