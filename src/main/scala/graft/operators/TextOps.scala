@@ -30,17 +30,18 @@ object TextOps extends QueryModule {
   private val decontamCache = new graft.PlanCache(1)
 
   /** Source-tagged distinct shingles, cached across invocations AND
-    * across the exact/bloom decontamination twins: only the first caller
-    * per input directory tokenizes the corpus. PlanCache keys on the
-    * analyzed plan (`sameResult`), so a directory change is a distinct
-    * entry and the capacity-1 bound evicts-and-releases the predecessor.
+    * across the exact/bloom decontamination twins. Built FROM the
+    * unified [[cachedShingles]] relation (VERDICT r6 #6) — the
+    * decontamination twins, the Jaccard pair table and the minhash
+    * banding all share ONE tokenization of the corpus; this layer only
+    * adds the broadcast source tag.
     */
   private def taggedShingles(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val sh = cachedShingles(docs)
+      .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
     decontamCache.getOrCompute(sh) { fresh => fresh.cache(); fresh }
   }
 
@@ -51,21 +52,30 @@ object TextOps extends QueryModule {
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
 
-  /** Distinct 3-gram word shingles per doc (window-lead formulation:
-    * one shuffle by doc_id).
+  /** Distinct 3-gram word shingles per doc — ROW-LOCAL formulation
+    * (VERDICT r6 #6): empty tokens filtered with order kept, a 3-window
+    * slid over the token array, duplicates dropped within the row. Zero
+    * shuffles — the earlier posexplode + doc-keyed lead-window + global
+    * distinct spent three exchanges deriving what is a pure per-row
+    * function of `text`. Identical output: `lead` over position-ordered
+    * non-empty tokens IS consecutive-triple formation, and per-doc
+    * `array_distinct` IS the (doc_id, shingle) distinct.
     */
-  def shingles(docs: org.apache.spark.sql.DataFrame) = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokens(docs)
-      .select(
-        col("doc_id"),
-        col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"),
-        lead(col("tok"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-  }
+  def shingles(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      // the corpus parquet arrives as few (often 1) input splits at test
+      // scale; spread the rows BEFORE the expensive per-row tokenize +
+      // 3-gram explode so it uses every core — at cluster scale the
+      // exchange is the same one the downstream shingle shuffle needs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t != '')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("""array_distinct(transform(
+            sequence(0, size(toks) - 3),
+            i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"""))
+          .as("shingle"))
 
   val textNormalizeStats = Q(
     "text_normalize_stats",
@@ -187,8 +197,16 @@ object TextOps extends QueryModule {
     */
   private val shinglesCache = new graft.PlanCache(2)
 
+  /** The ONE memoized shingle relation every consumer shares — the
+    * Jaccard pair table, the minhash banding, the decontamination tag
+    * join (VERDICT r6 #6). Capacity 2 covers the full-corpus and
+    * en-filtered (pipeline_near_dedup) variants.
+    */
+  def cachedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shinglesCache.getOrCompute(shingles(docs)) { f => f.cache(); f }
+
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sh = shinglesCache.getOrCompute(shingles(docs)) { f => f.cache(); f }
+    val sh = cachedShingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -271,7 +289,7 @@ object TextOps extends QueryModule {
   def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val numHashes = 48
     val rowsPerBand = 3
-    val sh = shingles(docs)
+    val sh = cachedShingles(docs)
     val sigCols = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one (band, bucket) struct per band, exploded in a single pass —
@@ -2758,9 +2776,7 @@ object TextOps extends QueryModule {
     "text_ngram_novelty_rate",
     (spark, dir) => {
       import spark.implicits._
-      val sh = shinglesCache.getOrCompute(shingles(Tables.documents(spark, dir))) { f =>
-        f.cache(); f
-      }
+      val sh = cachedShingles(Tables.documents(spark, dir))
       val pres = sh
         .select($"shingle",
           (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
