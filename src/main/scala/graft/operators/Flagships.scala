@@ -1061,10 +1061,120 @@ object Flagships extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** K-CORE of the nation trade graph (SURVEY §2 I-sext) — the third
+    * graph primitive next to PageRank (rank) and LPA (cluster): the
+    * maximal subgraph where every member keeps ≥ k strong trade
+    * partners, the standard "dense backbone" extraction (fraud rings,
+    * community cores, robust-supplier sets). The complete trade graph
+    * is first sparsified to STRONG edges (undirected pair weight ≥ the
+    * mean pair weight — a data-derived threshold, not a constant), then
+    * peeled: drop nodes of degree < k, recompute, repeat. Four unrolled
+    * rounds are past the observed fixpoint at every SF (peeling
+    * converges in ≤2 rounds here; FlagshipGraphSpec asserts the
+    * survivors' min degree ≥ k, which fails if rounds were ever too
+    * few).
+    *
+    * Scale notes: the only fact-scale work is the one edge aggregation
+    * (identical to PageRank's — revenue-weighted supplier→customer
+    * nation pairs, exact decimal); peeling runs on the checkpointed
+    * ≤nation² edge table, each round two broadcast semi-joins + one
+    * count, all nation-pair sized regardless of corpus scale.
+    */
+  val graphKcoreTrade = Q(
+    "graph_kcore_trade",
+    (spark, dir) => {
+      import spark.implicits._
+      val k = 8
+      val e0 = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"src", $"dst")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+      val und = e0.where($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"), $"wgt")
+        .groupBy($"u", $"v")
+        .agg(sum($"wgt").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("w"))
+      val thr = und.agg(
+        (sum($"w").cast(DoubleType) / count(lit(1))).as("t"))
+      var live = und.crossJoin(broadcast(thr))
+        .where($"w".cast(DoubleType) >= $"t")
+        .select($"u", $"v")
+        .coalesce(1)
+        .transform(graft.Checkpoints.cut)
+      for (_ <- 1 to 4) {
+        val keep = live.select($"u".as("node")).unionAll(live.select($"v".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("d"))
+          .where($"d" >= k)
+          .select($"node")
+        live = graft.Checkpoints.cut(
+          live
+            .join(broadcast(keep.select($"node".as("u"))), Seq("u"), "left_semi")
+            .join(broadcast(keep.select($"node".as("v"))), Seq("v"), "left_semi")
+            .select($"u", $"v")
+            .coalesce(1))
+      }
+      val coreDeg = live.select($"u".as("node")).unionAll(live.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("core_degree"))
+      val nodes = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+      coreDeg
+        .join(broadcast(nodes), $"node" === $"n_nationkey")
+        .select($"n_nationkey", $"n_name", $"core_degree")
+        .orderBy($"n_nationkey")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""deg$i AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM live${i - 1}
+              UNION ALL SELECT v AS node FROM live${i - 1})
+        GROUP BY node
+      ), live$i AS MATERIALIZED (
+        SELECT l.u, l.v FROM live${i - 1} l
+        JOIN deg$i du ON l.u = du.node AND du.d >= 8
+        JOIN deg$i dv ON l.v = dv.node AND dv.d >= 8
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e0 AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), und AS (
+        SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+          CAST(SUM(wgt) AS DECIMAL(28,2)) AS w
+        FROM e0 WHERE src <> dst
+        GROUP BY 1, 2
+      ), thr AS (
+        SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS t FROM und
+      ), live0 AS MATERIALIZED (
+        SELECT u, v FROM und, thr WHERE CAST(w AS DOUBLE) >= t
+      ), $rounds
+      SELECT n_nationkey, n_name, core_degree
+      FROM (
+        SELECT node, COUNT(*) AS core_degree
+        FROM (SELECT u AS node FROM live4 UNION ALL SELECT v AS node FROM live4)
+        GROUP BY node
+      )
+      JOIN nation ON node = n_nationkey
+      ORDER BY n_nationkey
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
-    tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation)
+    tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation,
+    graphKcoreTrade)
 }

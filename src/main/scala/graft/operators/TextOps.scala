@@ -1964,7 +1964,7 @@ object TextOps extends QueryModule {
     textMadLengthOutlier, textContainmentPairs,
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
     textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
-    textJsDivergenceLangpair)
+    textJsDivergenceLangpair, textCcnetQualityBuckets)
 
   /** Jensen–Shannon divergence between every language pair's unigram
     * distributions (SURVEY §2 I-sext) — the symmetric, bounded corpus
@@ -2271,28 +2271,35 @@ object TextOps extends QueryModule {
     * table (broadcastable for real vocabularies), corpus total via a
     * 1-row broadcast frame — no window, no collect.
     */
+  /** Per-doc unigram cross-entropy proxy (doc_id, n_tokens, xent_bits) —
+    * shared by the declared per-doc row and the CCNet bucket split.
+    */
+  private def docXentBits(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tok = tokens(Tables.documents(spark, dir)).select(col("doc_id"), col("tok"))
+    val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
+    val total = model.agg(sum(col("cc")).as("t"))
+    val docTok = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    docTok
+      .join(model, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum((col("c").cast(DoubleType) * log(2.0, col("cc").cast(DoubleType)))
+          .cast(DecimalType(28, 8))).as("slg"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (log(2.0, col("t").cast(DoubleType)) -
+          col("slg").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast(DecimalType(18, 6)).as("xent_bits"))
+  }
+
   lazy val textPerplexityProxy = Q(
     "text_perplexity_proxy",
     (spark, dir) => {
       import spark.implicits._
-      val tok = tokens(Tables.documents(spark, dir)).select($"doc_id", $"tok")
-      val model = tok.groupBy($"tok").agg(count(lit(1)).as("cc"))
-      val total = model.agg(sum($"cc").as("t"))
-      val docTok = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-      docTok
-        .join(model, "tok")
-        .groupBy($"doc_id")
-        .agg(
-          sum($"c").as("n_tokens"),
-          sum(($"c".cast(DoubleType) * log(2.0, $"cc".cast(DoubleType)))
-            .cast(DecimalType(28, 8))).as("slg"))
-        .crossJoin(broadcast(total))
-        .select(
-          $"doc_id", $"n_tokens",
-          (log(2.0, $"t".cast(DoubleType)) -
-            $"slg".cast(DoubleType) / $"n_tokens".cast(DoubleType))
-            .cast(DecimalType(18, 6)).as("xent_bits"))
-        .orderBy($"doc_id")
+      docXentBits(spark, dir).orderBy($"doc_id")
     },
     Some("""
       WITH tok AS (
@@ -2319,6 +2326,87 @@ object TextOps extends QueryModule {
           - CAST(slg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
           AS DECIMAL(18,6)) AS DOUBLE) AS xent_bits
       FROM agg CROSS JOIN total ORDER BY doc_id
+    """.stripMargin.trim))
+
+  /** CCNet-STYLE QUALITY BUCKETS (SURVEY §2 I-sext): per language,
+    * split the corpus into head/middle/tail TERCILES of the unigram
+    * cross-entropy proxy — the exact curation gate CCNet popularized
+    * (keep head, maybe middle, drop tail) and most LLM data pipelines
+    * run per language before mixing. Declared output is the per-
+    * (lang, bucket) audit: population, mean/min/max proxy score.
+    *
+    * Deterministic: NTILE over the total order (xent_bits, doc_id) —
+    * identical ANSI semantics on both engines; bucket means are
+    * decimal-guarded sums (§2.0 rule 7).
+    *
+    * Scale notes: the scoring pass is `text_perplexity_proxy`'s
+    * token-keyed aggregation (map-side combinable, shared via
+    * [[docXentBits]]); the NTILE sort partitions BY LANGUAGE — the
+    * declared exact semantics; at 100 TB the per-lang sort is the cost,
+    * and production CCNet derives the cut points from a sample, the
+    * same trade `agg_histogram_equidepth` documents.
+    */
+  lazy val textCcnetQualityBuckets = Q(
+    "text_ccnet_quality_buckets",
+    (spark, dir) => {
+      import spark.implicits._
+      val scored = docXentBits(spark, dir)
+        .join(broadcast(Tables.documents(spark, dir).select($"doc_id", $"lang")), "doc_id")
+      val wL = Window.partitionBy($"lang").orderBy($"xent_bits", $"doc_id")
+      // bucket mean via EXACT integer micro-bits: a double quotient cast
+      // to DECIMAL can land on a half-way boundary the two engines round
+      // apart (observed at sf0.001); (2s+n) div 2n is half-up rounding
+      // in pure BIGINT arithmetic, bit-identical everywhere
+      scored
+        .withColumn("bucket", ntile(3).over(wL))
+        .groupBy($"lang", $"bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum($"xent_bits") * 1000000).cast("long").as("sm"),
+          min($"xent_bits").as("min_xent"),
+          max($"xent_bits").as("max_xent"))
+        .select($"lang", $"bucket", $"n_docs",
+          (expr("(2 * sm + n_docs) div (2 * n_docs)").cast(DoubleType) / 1e6)
+            .cast(DecimalType(18, 6)).as("avg_xent"),
+          $"min_xent", $"max_xent")
+        .orderBy($"lang", $"bucket")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+      ), model AS (
+        SELECT tok, COUNT(*) AS cc FROM tok GROUP BY tok
+      ), total AS (
+        SELECT SUM(cc) AS t FROM model
+      ), doc_tok AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+      ), agg AS (
+        SELECT doc_id,
+          SUM(c) AS n_tokens,
+          SUM(CAST(CAST(c AS DOUBLE) * log2(CAST(cc AS DOUBLE)) AS DECIMAL(28,8))) AS slg
+        FROM doc_tok JOIN model USING (tok)
+        GROUP BY doc_id
+      ), scored AS (
+        SELECT a.doc_id, d.lang,
+          CAST(log2(CAST(t AS DOUBLE))
+            - CAST(slg AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS DECIMAL(18,6)) AS xent_bits
+        FROM agg a CROSS JOIN total JOIN documents d ON a.doc_id = d.doc_id
+      ), bucketed AS (
+        SELECT lang, xent_bits,
+          NTILE(3) OVER (PARTITION BY lang ORDER BY xent_bits, doc_id) AS bucket
+        FROM scored
+      )
+      SELECT lang, bucket, COUNT(*) AS n_docs,
+        CAST(CAST(CAST((2 * CAST(SUM(xent_bits) * 1000000 AS BIGINT) + COUNT(*))
+                       // (2 * COUNT(*)) AS DOUBLE) / 1e6
+             AS DECIMAL(18,6)) AS DOUBLE) AS avg_xent,
+        CAST(MIN(xent_bits) AS DOUBLE) AS min_xent,
+        CAST(MAX(xent_bits) AS DOUBLE) AS max_xent
+      FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
     """.stripMargin.trim))
 
   /** Importance-weighted deterministic sampling — quality-weighted

@@ -1342,6 +1342,78 @@ object VectorOps extends QueryModule {
       ORDER BY d1, d2
     """.stripMargin.trim))
 
+  /** GREEDY k-CENTER CORESET (SURVEY §2 I-sext) — the diversity-first
+    * selection rule training-data curation uses to cover an embedding
+    * space with a small budget (farthest-point traversal, the 2-approx
+    * of the k-center objective): seed with the lowest vec_id, then 7×
+    * add the point FARTHEST from everything already chosen. The per-
+    * round radius (max-min squared distance) is the declared coverage
+    * curve — how much of the space each new pick buys.
+    *
+    * Deterministic and fully oracled: distances via the rounded
+    * ‖a‖²−2a·c+‖c‖² identity (6 dp, §2.0 rule 7), argmax tiebreak on
+    * vec_id, exactly mirrored by the unrolled DuckDB CTE chain.
+    *
+    * Scale notes (100 TB): each round is ONE broadcast pass over the
+    * corpus (chosen set ≤ k rows rides the broadcast; min-dist is a
+    * map-side-combinable agg) + a global top-1 (TakeOrdered, no sort
+    * shuffle) — k passes total, the textbook distributed farthest-point
+    * schedule. The growing chosen frame is checkpointed per round so
+    * round i never re-derives rounds 1..i−1.
+    */
+  val sampleCoresetKcenter = Q(
+    "sample_coreset_kcenter",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir).select($"vec_id", $"label", $"emb")
+      var chosen = graft.Checkpoints.cut(
+        e.orderBy($"vec_id").limit(1)
+          .select(lit(1).as("rnd"), $"vec_id", $"label", $"emb",
+            lit(0.0).as("radius_sq"))
+          .coalesce(1))
+      for (i <- 2 to 8) {
+        val d2 = round(
+          GraftFunctions.dot($"emb", $"emb")
+            - lit(2.0) * GraftFunctions.dot($"emb", $"cemb")
+            + GraftFunctions.dot($"cemb", $"cemb"), 6)
+        val far = e.crossJoin(broadcast(chosen.select($"emb".as("cemb"))))
+          .withColumn("d2", d2)
+          .groupBy($"vec_id", $"label", $"emb")
+          .agg(min($"d2").as("mind"))
+          .orderBy($"mind".desc, $"vec_id")
+          .limit(1)
+          .select(lit(i).as("rnd"), $"vec_id", $"label", $"emb",
+            $"mind".as("radius_sq"))
+        chosen = graft.Checkpoints.cut(chosen.unionByName(far).coalesce(1))
+      }
+      chosen.select($"rnd", $"vec_id", $"label", $"radius_sq").orderBy($"rnd")
+    },
+    Some {
+      val rounds = (2 to 8).map { i =>
+        s"""c$i AS MATERIALIZED (
+        SELECT $i AS rnd, vec_id, label, emb, mind AS radius_sq FROM (
+          SELECT e.vec_id, e.label, e.emb,
+            MIN(ROUND(list_inner_product(e.emb, e.emb)
+                      - 2.0 * list_inner_product(e.emb, c.emb)
+                      + list_inner_product(c.emb, c.emb), 6)) AS mind
+          FROM e CROSS JOIN ch${i - 1} c
+          GROUP BY e.vec_id, e.label, e.emb)
+        ORDER BY mind DESC, vec_id LIMIT 1
+      ), ch$i AS MATERIALIZED (
+        SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM c$i
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), ch1 AS MATERIALIZED (
+        SELECT 1 AS rnd, vec_id, label, emb, 0.0 AS radius_sq
+        FROM e ORDER BY vec_id LIMIT 1
+      ), $rounds
+      SELECT rnd, vec_id, label, radius_sq FROM ch8 ORDER BY rnd
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
@@ -1349,7 +1421,8 @@ object VectorOps extends QueryModule {
     vecKmeansLloyd, vecPqEncode, vecPqAdcTopk, pipelineSemanticDedup,
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
-    sampleNegativePairs, vecLabelConfusion, sampleHardNegatives)
+    sampleNegativePairs, vecLabelConfusion, sampleHardNegatives,
+    sampleCoresetKcenter)
 
   /** ANN-mined hard negatives (SURVEY §2 I-sext) — the production
     * counterpart to `sample_negative_pairs`' random baseline:
@@ -1602,8 +1675,15 @@ object VectorOps extends QueryModule {
         .select($"i", $"j", $"gs".cast(DoubleType).as("g"))
         .coalesce(1)
         .transform(graft.Checkpoints.cut)
-      var v = spark.range(64)
-        .select($"id".cast("int").as("j"), lit(0.125).as("vj")) // 1/√64, exact
+      // dimensionality from the DATA (ADVICE r6 #3): the gram table's
+      // distinct j IS 0..d−1, so a changed embedding width flows through
+      // instead of silently truncating at a hard-coded 64; the uniform
+      // start is 1/√d (exact 0.125 at d=64)
+      val dims = gram.select($"j").distinct()
+      var v = graft.Checkpoints.cut(
+        dims.crossJoin(broadcast(dims.agg(count(lit(1)).as("d"))))
+          .select($"j", (lit(1.0) / sqrt($"d")).as("vj"))
+          .coalesce(1))
       for (_ <- 1 to 8) {
         val wv = gram.join(broadcast(v), "j")
           .groupBy($"i")

@@ -343,4 +343,29 @@ class TextOpsSpec extends SparkSpecBase {
       .count()
     assert(violation == 0, s"$violation train events after a test event for the same user")
   }
+
+  test("ccnet buckets: per-lang terciles partition the corpus with ordered score ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_ccnet_quality_buckets")(spark, sfDir)
+      .select($"lang", $"bucket".cast("long"), $"n_docs",
+        $"min_xent".cast("double"), $"max_xent".cast("double"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    val perLang = rows.groupBy(_._1)
+    val docsPerLang = Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    for ((lang, bs) <- perLang) {
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong), s"$lang buckets not dense")
+      // NTILE: sizes differ by at most 1 and partition the language
+      assert(sorted.map(_._3).sum == docsPerLang(lang), s"$lang buckets lose docs")
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1, s"$lang uneven terciles")
+      // head scores ≤ middle ≤ tail (ties may touch at the boundary)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4 + 1e-9,
+          s"$lang bucket ${a._2} max ${a._5} above bucket ${b._2} min ${b._4}")
+        case _ =>
+      }
+    }
+  }
 }

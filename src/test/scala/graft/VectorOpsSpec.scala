@@ -337,4 +337,35 @@ class VectorOpsSpec extends SparkSpecBase {
     // the top-3 backbone must produce neither 25 singletons nor one bloc
     assert(sizes.size > 1 && sizes.size < 25, s"degenerate community count ${sizes.size}")
   }
+
+  test("kcore: survivors form a true k-core (min in-core degree >= 8) and are non-trivial") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_kcore_trade")(spark, sfDir)
+      .select($"n_nationkey", $"core_degree").as[(Long, Long)].collect()
+    // non-degenerate: some nodes peeled away, some survive (sf0.001: 12 of 25)
+    assert(rows.nonEmpty && rows.length < 25, s"degenerate core size ${rows.length}")
+    // the fixpoint property: if the 4 unrolled peeling rounds were ever
+    // too few, some survivor would still have degree < k
+    assert(rows.forall(_._2 >= 8), s"survivor below k=8: ${rows.filter(_._2 < 8).mkString(",")}")
+    // handshake: degree sum is even and bounded by the complete graph
+    val degSum = rows.map(_._2).sum
+    assert(degSum % 2 == 0 && degSum <= rows.length.toLong * (rows.length - 1))
+  }
+
+  test("kcenter coreset: 8 distinct picks, deterministic seed, non-increasing radius") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_coreset_kcenter")(spark, sfDir)
+      .select($"rnd".cast("long"), $"vec_id", $"radius_sq").as[(Long, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 8L), "rounds not dense 1..8")
+    assert(rows.map(_._2).distinct.length == 8, "duplicate pick")
+    assert(rows.head._2 == Tables.embeddings(spark, sfDir).agg(min($"vec_id"))
+      .as[Long].head(), "seed is not the lowest vec_id")
+    // farthest-point traversal: each new pick's coverage radius cannot
+    // exceed the previous one (the chosen set only grows)
+    val radii = rows.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"radius increased: ${radii.mkString(",")}")
+    assert(radii.forall(_ > 0.0), "zero coverage radius — picks collapsed")
+  }
 }
