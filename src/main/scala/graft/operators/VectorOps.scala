@@ -1680,22 +1680,26 @@ object VectorOps extends QueryModule {
       // instead of silently truncating at a hard-coded 64; the uniform
       // start is 1/√d (exact 0.125 at d=64)
       val dims = gram.select($"j").distinct()
-      var v = graft.Checkpoints.cut(
-        dims.crossJoin(broadcast(dims.agg(count(lit(1)).as("d"))))
-          .select($"j", (lit(1.0) / sqrt($"d")).as("vj"))
-          .coalesce(1))
+      var v = dims.crossJoin(broadcast(dims.agg(count(lit(1)).as("d"))))
+        .select($"j", (lit(1.0) / sqrt($"d")).as("vj"))
+      // 8 power rounds UNROLLED into one linear-lineage plan (r7): the
+      // norm is an unpartitioned window over the d-row iterate instead
+      // of a second aggregate reference, so each round appears exactly
+      // once in the tree and no per-round checkpoint jobs are needed;
+      // only the CONVERGED vector is checkpointed (it feeds the
+      // Rayleigh/trace/top-5 branches three times)
+      val wAll = Window.partitionBy()
       for (_ <- 1 to 8) {
-        val wv = gram.join(broadcast(v), "j")
+        v = gram.join(broadcast(v), "j")
           .groupBy($"i")
           .agg(sum(round($"g" * $"vj", 12).cast(DecimalType(38, 12))).as("s"))
-          .select($"i", $"s".cast(DoubleType).as("wi"))
-        val nrm = wv.agg(
-          sqrt(sum(round($"wi" * $"wi", 12).cast(DecimalType(38, 12))).cast(DoubleType))
-            .as("nrm"))
-        v = wv.crossJoin(broadcast(nrm))
-          .select($"i".as("j"), round($"wi" / $"nrm", 9).as("vj"))
-        v = graft.Checkpoints.cut(v.coalesce(1))
+          .select($"i".as("j"), $"s".cast(DoubleType).as("wi"))
+          .withColumn("nrm",
+            sqrt(sum(round($"wi" * $"wi", 12).cast(DecimalType(38, 12)))
+              .over(wAll).cast(DoubleType)))
+          .select($"j", round($"wi" / $"nrm", 9).as("vj"))
       }
+      v = graft.Checkpoints.cut(v.coalesce(1))
       // Rayleigh quotient λ = vᵀGv on the (unit) converged vector, and
       // trace(G) = Σ eigenvalues for the explained-variance share
       val gv = gram.join(broadcast(v), "j")
