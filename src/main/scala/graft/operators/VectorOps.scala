@@ -813,10 +813,10 @@ object VectorOps extends QueryModule {
         .withColumn("d2", d2)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
-        .select($"vec_id", $"cid", $"d2")
-      // exact decimal per-dimension means of each cluster's members
+        .select($"vec_id", $"cid", $"d2", $"emb")
+      // exact decimal per-dimension means of each cluster's members —
+      // emb rides the assignment row, so no second corpus join (r7)
       val newc = asg
-        .join(e, "vec_id")
         .select($"cid", posexplode($"emb").as(Seq("pos", "x")))
         .groupBy($"cid", $"pos")
         .agg(sum($"x".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
@@ -1514,32 +1514,38 @@ object VectorOps extends QueryModule {
     * the labels are not separable in this space.
     *
     * Scale notes: exact decimal centroids (label×dim partial agg)
-    * broadcast positionally; each vector scores against all L centroids
-    * in one posexplode pass (n·d·L rows, no shuffle of vectors beyond
-    * the per-vector distance agg); argmin + confusion counts ride
-    * bounded frames. Nothing is quadratic in the corpus.
+    * broadcast as L arrays; each vector scores against all L centroids
+    * with n·L codegen'd dot products in ONE map pass (no exploded
+    * positional join, no shuffle of vectors); argmin + confusion counts
+    * ride bounded frames. Nothing is quadratic in the corpus.
     */
   val vecLabelConfusion = Q(
     "vec_label_confusion",
     (spark, dir) => {
       import spark.implicits._
-      val ex = Tables.embeddings(spark, dir)
-        .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
-      val cent = ex.groupBy($"label", $"pos")
-        .agg(
-          sum($"v".cast(DoubleType).cast(DecimalType(28, 12))).as("s"),
-          count(lit(1)).as("cn"))
-        .select($"label".as("clabel"), $"pos",
-          ($"s".cast(DoubleType) / $"cn").cast(DecimalType(18, 8)).as("c"))
-      val diff = $"v".cast(DoubleType) - $"c".cast(DoubleType)
-      val dist = ex
-        .join(broadcast(cent), Seq("pos"))
-        .select($"vec_id", $"label", $"clabel",
-          round(diff * diff, 12).cast(DecimalType(28, 12)).as("term"))
-        .groupBy($"vec_id", $"label", $"clabel")
-        .agg(sum($"term").cast(DoubleType).cast(DecimalType(18, 8)).as("dist2"))
-      val wMin = Window.partitionBy($"vec_id").orderBy($"dist2", $"clabel")
-      val nearest = dist
+      // centroids as broadcast ARRAYS + the codegen'd ‖a‖²−2a·c+‖c‖²
+      // identity (r7): one map pass of n·L dot products replaces the
+      // n·d·L exploded positional join (the same trade the kmeans/IVF
+      // rows use); exact decimal per-dim means, 6 dp rounded distance
+      // with clabel tiebreak keeps the argmin engine-identical
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("emb"))
+      val cents = e
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cn"))
+        .withColumn("c",
+          ($"s".cast(DoubleType) / $"cn").cast(DecimalType(18, 8)).cast(DoubleType))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label".as("clabel"), expr("transform(pc, x -> x.c)").as("cvec"))
+      val d2 = round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"cvec")
+          + GraftFunctions.dot($"cvec", $"cvec"), 6)
+      val wMin = Window.partitionBy($"vec_id").orderBy($"d2", $"clabel")
+      val nearest = e.crossJoin(broadcast(cents))
+        .withColumn("d2", d2)
         .withColumn("rn", row_number().over(wMin))
         .where($"rn" === 1)
         .select($"label", $"clabel".as("nearest_label"))
@@ -1553,27 +1559,26 @@ object VectorOps extends QueryModule {
         .orderBy($"label", $"nearest_label")
     },
     Some("""
-      WITH ex AS (
-        SELECT vec_id, label,
-          UNNEST(embedding) AS v,
-          UNNEST(range(len(embedding))) AS pos
-        FROM embeddings
-      ), cent AS (
-        SELECT label AS clabel, pos,
-          CAST(CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), cdims AS (
+        SELECT label, pos,
+          CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
                / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS c
-        FROM ex GROUP BY label, pos
-      ), dist AS (
-        SELECT vec_id, label, clabel,
-          CAST(CAST(SUM(CAST(ROUND((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c), 12)
-               AS DECIMAL(28,12))) AS DOUBLE) AS DECIMAL(18,8)) AS dist2
-        FROM ex JOIN cent USING (pos)
-        GROUP BY vec_id, label, clabel
+        FROM (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos
+              FROM e)
+        GROUP BY label, pos
+      ), cents AS (
+        SELECT label AS clabel, LIST(c ORDER BY pos) AS cvec
+        FROM cdims GROUP BY label
       ), nearest AS (
         SELECT label, clabel AS nearest_label FROM (
-          SELECT label, clabel,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
-          FROM dist
+          SELECT e.label, c.clabel,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_inner_product(e.emb, e.emb)
+                    - 2.0 * list_inner_product(e.emb, c.cvec)
+                    + list_inner_product(c.cvec, c.cvec), 6), c.clabel) AS rn
+          FROM e CROSS JOIN cents c
         ) WHERE rn = 1
       ), totals AS (
         SELECT label, COUNT(*) AS label_total FROM nearest GROUP BY 1
