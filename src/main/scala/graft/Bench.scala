@@ -46,7 +46,8 @@ object Bench {
     // separately-clocked line item (VERDICT r5 #1) — per-query figures
     // below then measure each query's OWN plan, not whichever family
     // member happened to run first
-    val sharedStageS = operators.TextOps.prepareSharedStages(spark, sfDir)
+    val sharedStageS = operators.TextOps.prepareSharedStages(spark, sfDir) +
+      operators.VectorOps.prepareSharedStages(spark, sfDir)
     // (name, seconds, succeeded) — a failed query records its
     // elapsed-until-throw time AND lands in the errors list, so a crash
     // can never masquerade as a fast clean run (ADVICE round 3)

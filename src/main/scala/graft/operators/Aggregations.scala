@@ -1872,6 +1872,51 @@ object Aggregations extends QueryModule {
       ORDER BY cohort, age
     """.stripMargin.trim))
 
+  /** DAU split NEW vs RETURNING (SURVEY §2 I-sext) — the growth-
+    * accounting identity every product dashboard leads with: daily
+    * active users decomposed into first-ever-seen-today vs seen-before,
+    * with the new-user share (a falling share on flat DAU = the product
+    * is coasting on its base). `agg_retention_cohorts` answers who
+    * comes BACK by cohort; this answers what each day's activity is
+    * MADE OF.
+    *
+    * Scale notes: ONE fact scan — first-seen day rides a per-user
+    * min-window on the same pass (no firsts self-join, the
+    * `agg_cohort_ltv_curve` recipe), then one (day, user) distinct and
+    * a bounded per-day rollup; both exchanges are map-side combinable.
+    */
+  val aggDauNewReturning = Q(
+    "agg_dau_new_returning",
+    (spark, dir) => {
+      import spark.implicits._
+      val wUser = Window.partitionBy($"user_id")
+      Tables.events(spark, dir)
+        .select($"user_id", date_trunc("day", $"ts").as("day"))
+        .withColumn("first_day", min($"day").over(wUser))
+        .distinct()
+        .groupBy($"day")
+        .agg(
+          count(lit(1)).as("dau"),
+          sum(when($"first_day" === $"day", 1L).otherwise(0L)).as("new_users"),
+          sum(when($"first_day" < $"day", 1L).otherwise(0L)).as("returning_users"))
+        .select($"day", $"dau", $"new_users", $"returning_users",
+          round($"new_users".cast(DoubleType) / $"dau", 6).as("new_share"))
+        .orderBy($"day")
+    },
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+          MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS first_day
+        FROM events
+      )
+      SELECT day, COUNT(*) AS dau,
+        CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        CAST(SUM(CASE WHEN first_day < day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+        ROUND(CAST(SUM(CASE WHEN first_day = day THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS new_share
+      FROM d GROUP BY day ORDER BY day
+    """.stripMargin.trim))
+
   /** Markov stationary distribution of the event-type chain (SURVEY §2
     * I-sext): where the process SETTLES in the long run, next to each
     * state's empirical share (where it currently IS) — the gap between
@@ -1995,5 +2040,5 @@ object Aggregations extends QueryModule {
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
-    aggMarkovStationary)
+    aggMarkovStationary, aggDauNewReturning)
 }

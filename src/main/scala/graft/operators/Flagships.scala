@@ -1106,6 +1106,10 @@ object Flagships extends QueryModule {
         .select($"u", $"v")
         .coalesce(1)
         .transform(graft.Checkpoints.cut)
+      // checkpoint per peeling round: each round references the previous
+      // live table THREE times (u-degree, v-degree, the semi-join pair),
+      // so an unrolled single plan grows 3^rounds subtrees — measured 3×
+      // SLOWER than paying 4 tiny checkpoint actions (r7)
       for (_ <- 1 to 4) {
         val keep = live.select($"u".as("node")).unionAll(live.select($"v".as("node")))
           .groupBy($"node").agg(count(lit(1)).as("d"))

@@ -1963,6 +1963,7 @@ object TextOps extends QueryModule {
     sampleImportanceWeighted, pipelineNearDedup, sampleMixtureTemperature,
     textMadLengthOutlier, textContainmentPairs,
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
+    sampleGroupKfold,
     textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
     textJsDivergenceLangpair, textCcnetQualityBuckets)
 
@@ -2697,6 +2698,50 @@ object TextOps extends QueryModule {
     * window partition. The declared output is the per-split audit
     * (counts, user coverage, time range), not the split rows themselves.
     */
+  /** GROUPED K-FOLD assignment (SURVEY §2 I-sext) — the leakage-safe
+    * split axis the family was missing: `sample_hash_split` splits ROWS,
+    * `sample_time_holdout` splits TIME; behavioral models need to split
+    * USERS (every event of a user lands in the same fold, or the model
+    * memorizes its own test users). Fold = md5(user_id) bucket mod 5 —
+    * a pure function of the group key, so membership is reproducible on
+    * any engine/partitioning and two events of one user can NEVER land
+    * in different folds (the GroupKFold contract, spec-asserted by
+    * construction: fold is functionally dependent on user_id). Declared
+    * output is the per-fold audit: users, events, exact value mass.
+    *
+    * Scale notes: one fact scan, one map-side-combinable rollup keyed
+    * on the 5-row fold table; countDistinct(user) is the only two-phase
+    * part. No window, no join.
+    */
+  val sampleGroupKfold = Q(
+    "sample_group_kfold",
+    (spark, dir) => {
+      import spark.implicits._
+      val fold = conv(substring(md5($"user_id".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5
+      Tables.events(spark, dir)
+        .withColumn("fold", fold)
+        .groupBy($"fold")
+        .agg(
+          countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(Tables.dec($"value", 18, 6)).cast(DoubleType)
+            .cast(DecimalType(18, 6)).as("sum_value"))
+        .orderBy($"fold")
+    },
+    Some("""
+      SELECT fold,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n_events,
+        CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT user_id, value,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 5 AS fold
+        FROM events)
+      GROUP BY fold ORDER BY fold
+    """.stripMargin.trim))
+
   val sampleTimeHoldout = Q(
     "sample_time_holdout",
     (spark, dir) => {

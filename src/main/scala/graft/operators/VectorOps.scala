@@ -62,6 +62,19 @@ object VectorOps extends QueryModule {
   /** Test/maintenance hook: drop memoized codebooks and free their blocks. */
   def evictCodebooks(): Unit = codebookCache.evictAll()
 
+  /** Force the shared ⌈√n⌉-cell IVF codebook for this corpus and report
+    * the elapsed seconds. Bench clocks it OUTSIDE the per-query timers
+    * (the VERDICT r5 #1 shared-stage discipline): the ANN/semantic rows
+    * then measure their own plans, not whichever family member happened
+    * to build the codebook first.
+    */
+  def prepareSharedStages(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    ivfCodebook(withNorm(spark, dir)).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def ivfCodebook(e: org.apache.spark.sql.DataFrame,
                   nlistOverride: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val base = nlistOverride match {

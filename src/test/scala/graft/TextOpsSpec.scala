@@ -344,6 +344,35 @@ class TextOpsSpec extends SparkSpecBase {
     assert(violation == 0, s"$violation train events after a test event for the same user")
   }
 
+  test("group kfold: folds partition users AND events, no user straddles folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sample_group_kfold")(spark, sfDir)
+      .select($"fold", $"n_users", $"n_events").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L to 4L), "folds not 0..4")
+    val ev = Tables.events(spark, sfDir)
+    assert(rows.map(_._3).sum == ev.count(), "folds do not partition the events")
+    assert(rows.map(_._2).sum == ev.select($"user_id").distinct().count(),
+      "per-fold user counts overlap — a user straddles folds")
+  }
+
+  test("dau new/returning: identity holds and first day is all-new") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_dau_new_returning")(spark, sfDir)
+      .select($"day", $"dau", $"new_users", $"returning_users")
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, nw, ret) =>
+      assert(nw + ret == dau, s"$d: new+returning != dau")
+    }
+    assert(rows.head._3 == rows.head._2 && rows.head._4 == 0,
+      "the corpus' first day must be 100% new users")
+    // total new users across all days = distinct users ever seen
+    assert(rows.map(_._3).sum == Tables.events(spark, sfDir)
+      .select($"user_id").distinct().count(), "every user is new exactly once")
+  }
+
   test("ccnet buckets: per-lang terciles partition the corpus with ordered score ranges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
