@@ -205,13 +205,27 @@ object TextOps extends QueryModule {
   def cachedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     shinglesCache.getOrCompute(shingles(docs)) { f => f.cache(); f }
 
-  def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Memoized (d1, d2, i) shingle-intersection counts over ALL document
+    * pairs sharing ≥1 shingle — the quadratic stage itself, shared by
+    * the Jaccard pair table (j ≥ 0.5 filter) and the containment row
+    * (i/min-size ≥ 0.5 filter, a different survivor set), so the
+    * self-join runs once per corpus (r7).
+    */
+  private val interCache = new graft.PlanCache(2)
+
+  private def interPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sh = cachedShingles(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+    val fresh = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
+    interCache.getOrCompute(fresh) { f => f.cache(); f }
+  }
+
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = cachedShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = interPairs(docs)
     inter
       .join(sizes.as("za"), col("d1") === col("za.doc_id"))
       .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
@@ -1116,6 +1130,7 @@ object TextOps extends QueryModule {
   def evictSharedStages(): Unit = {
     decontamCache.evictAll()
     shinglesCache.evictAll()
+    interCache.evictAll()
     pairsCache.evictAll()
     labelsCache.evictAll()
   }
@@ -2077,15 +2092,12 @@ object TextOps extends QueryModule {
     "text_containment_pairs",
     (spark, dir) => {
       import spark.implicits._
-      // reuse the decontamination twins' cached shingle frame (the
-      // source tag projects away) instead of re-shingling the corpus
-      val sh = taggedShingles(spark, dir).select($"doc_id", $"shingle")
+      // the quadratic intersection stage is the SAME frame the Jaccard
+      // pair table aggregates — read it from the shared memo (r7)
+      val docs = Tables.documents(spark, dir)
+      val sh = cachedShingles(docs)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
+      val inter = interPairs(docs)
       val ws = inter
         .join(sizes.as("za"), col("d1") === col("za.doc_id"))
         .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
