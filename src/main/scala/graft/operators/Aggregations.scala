@@ -2028,6 +2028,93 @@ object Aggregations extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** Entropy rate of the event-type chain (SURVEY §2 I-sept): the
+    * conditional entropy H(next | cur) in bits — the predictability
+    * number the transition matrix (`agg_transition_matrix`) implies
+    * but never states (0 bits = journeys are fully scripted, log₂k =
+    * the next event is memoryless noise). Declared beside the
+    * MARGINAL next-event entropy H(next) and their gap/ratio: the gap
+    * is the information the current state carries about the next one
+    * (the feature-value of sequence context before training a
+    * next-action model — if it is ≈0, a Markov feature is useless).
+    *
+    * Scale notes (100 TB): the only fact-scale work is the per-user
+    * lag pair count (the one user-keyed shuffle every journey row
+    * shares); the entropy algebra runs on the bounded k×k cell table.
+    * Terms are rounded to 12 dp and summed in decimal (§2.0 rule 7)
+    * so both engines agree bit-for-bit.
+    */
+  val aggEntropyRateMarkov = Q(
+    "agg_entropy_rate_markov",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cells = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("from_type", lag($"event_type", 1).over(w))
+        .where($"from_type".isNotNull)
+        .groupBy($"from_type", $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = cells.groupBy($"from_type").agg(sum($"n").as("from_n"))
+      val toTot = cells.groupBy($"to_type").agg(sum($"n").as("to_n"))
+      val tot = cells.agg(sum($"n").as("total"), count(lit(1)).as("n_cells"))
+      val hCond = cells
+        .join(broadcast(fromTot), "from_type")
+        .crossJoin(broadcast(tot))
+        .agg(sum(round(
+          -($"n".cast(DoubleType) / $"total") *
+            log(2.0, $"n".cast(DoubleType) / $"from_n"), 12)
+          .cast(DecimalType(28, 12))).cast(DoubleType).as("h_cond"))
+      val hNext = toTot
+        .crossJoin(broadcast(tot))
+        .agg(sum(round(
+          -($"to_n".cast(DoubleType) / $"total") *
+            log(2.0, $"to_n".cast(DoubleType) / $"total"), 12)
+          .cast(DecimalType(28, 12))).cast(DoubleType).as("h_next"))
+      tot
+        .crossJoin(broadcast(hCond))
+        .crossJoin(broadcast(hNext))
+        .select(
+          $"total".as("n_transitions"),
+          $"n_cells",
+          round($"h_cond", 6).as("h_cond_bits"),
+          round($"h_next", 6).as("h_next_bits"),
+          round($"h_next" - $"h_cond", 6).as("context_gain_bits"),
+          round(lit(1.0) - $"h_cond" / $"h_next", 6).as("predictability"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM (
+          SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+            event_type AS to_type
+          FROM events
+        ) WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+      ), ft AS (
+        SELECT from_type, SUM(n) AS from_n FROM cells GROUP BY 1
+      ), tt AS (
+        SELECT to_type, SUM(n) AS to_n FROM cells GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_cells FROM cells
+      ), hc AS (
+        SELECT CAST(SUM(CAST(ROUND(
+            -(CAST(n AS DOUBLE) / total) * LOG2(CAST(n AS DOUBLE) / from_n), 12)
+          AS DECIMAL(28,12))) AS DOUBLE) AS h_cond
+        FROM cells JOIN ft USING (from_type), tot
+      ), hn AS (
+        SELECT CAST(SUM(CAST(ROUND(
+            -(CAST(to_n AS DOUBLE) / total) * LOG2(CAST(to_n AS DOUBLE) / total), 12)
+          AS DECIMAL(28,12))) AS DOUBLE) AS h_next
+        FROM tt, tot
+      )
+      SELECT total AS n_transitions, n_cells,
+        ROUND(h_cond, 6) AS h_cond_bits,
+        ROUND(h_next, 6) AS h_next_bits,
+        ROUND(h_next - h_cond, 6) AS context_gain_bits,
+        ROUND(1.0 - h_cond / h_next, 6) AS predictability
+      FROM tot, hc, hn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2040,5 +2127,5 @@ object Aggregations extends QueryModule {
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
-    aggMarkovStationary, aggDauNewReturning)
+    aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov)
 }

@@ -1435,7 +1435,7 @@ object VectorOps extends QueryModule {
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
     sampleNegativePairs, vecLabelConfusion, sampleHardNegatives,
-    sampleCoresetKcenter)
+    sampleCoresetKcenter, vecSilhouetteCentroid)
 
   /** ANN-mined hard negatives (SURVEY §2 I-sext) — the production
     * counterpart to `sample_negative_pairs`' random baseline:
@@ -1871,5 +1871,96 @@ object VectorOps extends QueryModule {
           ON e.vec_id <> q.vec_id)
       WHERE rn <= 3
       ORDER BY q_id, rn
+    """.stripMargin.trim))
+
+  /** Centroid silhouette per label (SURVEY §2 I-sept) — the
+    * clustering-quality score that completes the embedding-QA trio:
+    * `vec_label_confusion` counts WHO flips to a foreign centroid,
+    * `vec_ood_centroid_zscore` flags isolated singles, silhouette
+    * SCORES the geometry. Per member: a = distance to the own-label
+    * centroid, b = distance to the nearest FOREIGN centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]; the declared report is each
+    * label's mean silhouette and the share of negative-s members
+    * (members sitting in a foreign class's region).
+    *
+    * Scale notes: exact decimal centroids broadcast as L arrays; the
+    * n·L distance pass is the codegen'd ‖a‖²−2a·c+‖c‖² identity (one
+    * map pass, no exploded positional join, no shuffle of vectors);
+    * everything after is label-keyed and bounded. Distances round to
+    * 6 dp with label tiebreaks (§2.0 rule 7) so a/b/s match across
+    * engines and partitionings.
+    */
+  val vecSilhouetteCentroid = Q(
+    "vec_silhouette_centroid",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("emb"))
+      val cents = e
+        .select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cn"))
+        .withColumn("c",
+          ($"s".cast(DoubleType) / $"cn").cast(DecimalType(18, 8)).cast(DoubleType))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"label".as("clabel"), expr("transform(pc, x -> x.c)").as("cvec"))
+      val d2 = round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"cvec")
+          + GraftFunctions.dot($"cvec", $"cvec"), 6)
+      val dist = round(sqrt(greatest(d2, lit(0.0d))), 6)
+      val ab = e.crossJoin(broadcast(cents))
+        .withColumn("dd", dist)
+        .groupBy($"vec_id", $"label")
+        .agg(
+          min(when($"clabel" === $"label", $"dd")).as("a"),
+          min(when($"clabel" =!= $"label", $"dd")).as("b"))
+      val sil = ab.select($"vec_id", $"label",
+        round(($"b" - $"a") / nullif(greatest($"a", $"b"), lit(0.0d)), 6).as("s"))
+      sil
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n"),
+          avg($"s".cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("mean_sil"),
+          round(sum(when($"s" < 0, 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1)), 6).as("neg_share"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), cdims AS (
+        SELECT label, pos,
+          CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS c
+        FROM (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos
+              FROM e)
+        GROUP BY label, pos
+      ), cents AS (
+        SELECT label AS clabel, LIST(c ORDER BY pos) AS cvec
+        FROM cdims GROUP BY label
+      ), ab AS (
+        SELECT vec_id, label,
+          MIN(CASE WHEN clabel = label THEN dd END) AS a,
+          MIN(CASE WHEN clabel <> label THEN dd END) AS b
+        FROM (
+          SELECT e.vec_id, e.label, c.clabel,
+            ROUND(SQRT(GREATEST(ROUND(list_inner_product(e.emb, e.emb)
+                  - 2.0 * list_inner_product(e.emb, c.cvec)
+                  + list_inner_product(c.cvec, c.cvec), 6), 0.0)), 6) AS dd
+          FROM e CROSS JOIN cents c
+        )
+        GROUP BY vec_id, label
+      )
+      SELECT label, COUNT(*) AS n,
+        CAST(AVG(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS mean_sil,
+        ROUND(CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS neg_share
+      FROM (
+        SELECT vec_id, label,
+          ROUND((b - a) / NULLIF(GREATEST(a, b), 0.0), 6) AS s
+        FROM ab)
+      GROUP BY label ORDER BY label
     """.stripMargin.trim))
 }

@@ -1147,7 +1147,7 @@ object Windows extends QueryModule {
     winCumeDistScalable, winNthValue, winNtileBuckets,
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
-    winPeakDetection, winDrawdownDuration)
+    winPeakDetection, winDrawdownDuration, winKadaneBurst)
 
   /** Drawdown duration per customer (SURVEY §2 I-sext) — the
     * TIME-underwater companion to `win_max_drawdown`'s depth: risk
@@ -1276,5 +1276,87 @@ object Windows extends QueryModule {
       FROM nb
       WHERE prev IS NOT NULL AND nxt IS NOT NULL AND c > prev AND c > nxt
       ORDER BY event_type, peak_day
+    """.stripMargin.trim))
+
+  /** Maximum-sum burst window per event type (SURVEY §2 I-sept) —
+    * Kadane's max-subarray expressed as windows: the contiguous span
+    * of days whose demeaned daily counts sum highest. The detector
+    * the rest of the drift suite misses — z-scores flag single days,
+    * CUSUM locates ONE level shift; Kadane finds the strongest
+    * sustained burst of any length. Identity: the best burst ending
+    * at day d is prefix(d) − min(0, min of earlier prefixes), so two
+    * chained windows (cumsum + running-min) replace the quadratic
+    * all-spans scan. Deviations round to 6 dp before a decimal-exact
+    * cumsum, so the per-type argmax (earliest-end-day tiebreak) is
+    * reproducible on any engine or partitioning.
+    *
+    * Scale notes: one fact-scale map-side-combinable (type, day)
+    * count; both windows and the argmax ride the bounded daily table.
+    */
+  val winKadaneBurst = Q(
+    "win_kadane_burst",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.events(spark, dir)
+        .select($"event_type", $"ts".cast("date").as("d"))
+        .groupBy($"event_type", $"d")
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy($"event_type")
+      val wCum = Window.partitionBy($"event_type").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = Window.partitionBy($"event_type").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val zero = lit(0).cast(DecimalType(38, 6))
+      val withBurst = daily
+        .withColumn("mean_daily",
+          sum($"c").over(wAll).cast(DoubleType) / count(lit(1)).over(wAll))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("s",
+          sum(round($"c" - $"mean_daily", 6).cast(DecimalType(28, 6))).over(wCum))
+        .withColumn("floor_prev", least(coalesce(min($"s").over(wPrev), zero), zero))
+        .withColumn("burst", $"s" - $"floor_prev")
+      val wPick = Window.partitionBy($"event_type").orderBy($"burst".desc, $"d")
+      withBurst
+        .withColumn("rn", row_number().over(wPick))
+        .where($"rn" === 1)
+        .select($"event_type", $"n_days",
+          $"d".as("burst_end_day"),
+          round($"burst".cast(DoubleType), 6).as("peak_burst"),
+          round($"mean_daily", 6).as("mean_daily"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+      ), base AS (
+        SELECT event_type, d, c,
+          CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY event_type) AS mean_daily,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+      ), pre AS (
+        SELECT event_type, d, mean_daily, n_days,
+          SUM(CAST(ROUND(c - mean_daily, 6) AS DECIMAL(28,6)))
+            OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM base
+      ), bst AS (
+        SELECT event_type, d, mean_daily, n_days,
+          s - LEAST(COALESCE(MIN(s) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                CAST(0 AS DECIMAL(38,6))), CAST(0 AS DECIMAL(38,6))) AS burst
+        FROM pre
+      ), picked AS (
+        SELECT event_type, n_days, d, burst, mean_daily,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY burst DESC, d) AS rn
+        FROM bst
+      )
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        d AS burst_end_day,
+        ROUND(CAST(burst AS DOUBLE), 6) AS peak_burst,
+        ROUND(mean_daily, 6) AS mean_daily
+      FROM picked WHERE rn = 1
+      ORDER BY event_type
     """.stripMargin.trim))
 }

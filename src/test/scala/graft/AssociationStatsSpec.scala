@@ -250,4 +250,55 @@ class AssociationStatsSpec extends SparkSpecBase {
       .agg(sum($"e")).as[Long].collect().head
     assert(emitted == expected, s"emitted $emitted vs expected $expected")
   }
+
+  test("entropy rate: 0 ≤ H(next|cur) ≤ H(next) ≤ log2(k), matches hand recompute") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_entropy_rate_markov")(spark, sfDir).collect().head
+    val hCond = row.getAs[Double]("h_cond_bits")
+    val hNext = row.getAs[Double]("h_next_bits")
+    val gain = row.getAs[Double]("context_gain_bits")
+    // conditioning never increases entropy; marginal bounded by log2(#types)
+    assert(hCond >= -1e-9, s"negative conditional entropy $hCond")
+    assert(hCond <= hNext + 1e-6, s"H(next|cur)=$hCond above H(next)=$hNext")
+    assert(hNext <= math.log(5.0) / math.log(2.0) + 1e-9, s"h_next $hNext above log2 k")
+    assert(math.abs(gain - (hNext - hCond)) < 1e-6, "gain != hNext - hCond")
+    // hand recompute both entropies from the raw pair counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .where($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type").count()
+      .as[(String, String, Long)].collect()
+    val n = pairs.map(_._3).sum.toDouble
+    val fromN = pairs.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    val toN = pairs.groupBy(_._2).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val hc = -pairs.map(p => (p._3 / n) * lg2(p._3 / fromN(p._1))).sum
+    val hn = -toN.values.map(t => (t / n) * lg2(t / n)).sum
+    assert(math.abs(hCond - hc) < 1e-5, s"h_cond $hCond vs hand $hc")
+    assert(math.abs(hNext - hn) < 1e-5, s"h_next $hNext vs hand $hn")
+  }
+
+  test("kadane burst: equals the brute-force max over all contiguous day spans") {
+    import spark.implicits._
+    val out = SparkEntry.queries("win_kadane_burst")(spark, sfDir)
+      .select($"event_type", $"peak_burst").as[(String, Double)].collect().toMap
+    val daily = Tables.events(spark, sfDir)
+      .select($"event_type", $"ts".cast("date").cast("string").as("d"))
+      .groupBy($"event_type", $"d").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.toDouble).toVector).toMap
+    for ((t, cs) <- daily) {
+      val mean = cs.sum / cs.size
+      val dev = cs.map(c => math.rint((c - mean) * 1e6) / 1e6)
+      val best = (for {
+        i <- dev.indices; j <- i until dev.size
+      } yield dev.slice(i, j + 1).sum).max
+      assert(math.abs(out(t) - best) < 1e-4,
+        s"$t kadane ${out(t)} vs brute-force $best")
+    }
+  }
 }

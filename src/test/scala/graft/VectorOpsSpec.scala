@@ -368,4 +368,29 @@ class VectorOpsSpec extends SparkSpecBase {
       s"radius increased: ${radii.mkString(",")}")
     assert(radii.forall(_ > 0.0), "zero coverage radius — picks collapsed")
   }
+
+  test("silhouette: means within [-1,1], totals cover the corpus, sign agrees with confusion") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_silhouette_centroid")(spark, sfDir)
+      .select($"label", $"n", $"mean_sil", $"neg_share")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum ==
+      Tables.embeddings(spark, sfDir).count(), "totals don't cover the corpus")
+    assert(rows.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9),
+      "mean silhouette outside [-1,1]")
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0), "neg_share outside [0,1]")
+    // a member counted "confused" by vec_label_confusion (nearest foreign
+    // centroid) has b < a, i.e. negative silhouette — so per label the
+    // negative share must be at least the confusion off-diagonal share
+    val offDiag = SparkEntry.queries("vec_label_confusion")(spark, sfDir)
+      .where($"label" =!= $"nearest_label")
+      .groupBy($"label").agg(sum($"n").as("m"))
+      .as[(Long, Long)].collect().toMap
+    for ((label, n, _, negShare) <- rows) {
+      val confused = offDiag.getOrElse(label, 0L).toDouble / n
+      assert(negShare >= confused - 1e-6,
+        s"label $label neg_share $negShare below confusion share $confused")
+    }
+  }
 }
