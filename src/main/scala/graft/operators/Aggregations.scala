@@ -2115,6 +2115,82 @@ object Aggregations extends QueryModule {
       FROM tot, hc, hn
     """.stripMargin.trim))
 
+  /** Inter-purchase interval distribution per market segment (SURVEY §2
+    * I-sept) — the purchase-cadence number retention/LTV curves imply
+    * but never state: mean and median days between a customer's
+    * consecutive orders (RFM's recency is only the LAST gap; this is
+    * the habitual rhythm — the re-order reminder / churn-definition
+    * window is sized from it).
+    *
+    * Scale notes (100 TB): gaps are one custkey-keyed lag window (the
+    * shuffle every per-customer row shares); the segment join is
+    * key-equi (broadcast at this corpus, co-partitioned at scale). The
+    * median is a DISCRETE order statistic selected from the bounded
+    * per-segment distinct-gap FREQUENCY table (`win_rank_global
+    * _scalable` recipe: the only ordered window runs over distinct gap
+    * values, and the k-th order statistic is the row whose cumulative
+    * count straddles k) — no global sort, no single-task quantile.
+    */
+  val aggInterpurchaseGaps = Q(
+    "agg_interpurchase_gaps",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val gaps = Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+        .withColumn("prev_d", lag($"o_orderdate", 1).over(w))
+        .where($"prev_d".isNotNull)
+        .select($"o_custkey", datediff($"o_orderdate", $"prev_d").as("gap"))
+        .join(Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_mktsegment"), $"o_custkey" === $"c_custkey")
+      val seg = gaps.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("sum_gap"))
+      val wc = Window.partitionBy($"c_mktsegment").orderBy($"gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = gaps
+        .groupBy($"c_mktsegment", $"gap").agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum($"f").over(wc))
+        .join(broadcast(seg.select($"c_mktsegment", $"n_gaps")), "c_mktsegment")
+        .where($"cum" - $"f" < expr("(n_gaps + 1) div 2") &&
+          expr("(n_gaps + 1) div 2") <= $"cum")
+        .select($"c_mktsegment", $"gap".cast("long").as("p50_gap_days"))
+      seg.join(med, "c_mktsegment")
+        .select($"c_mktsegment", $"n_gaps",
+          round($"sum_gap".cast(DoubleType) / $"n_gaps", 6).as("mean_gap_days"),
+          $"p50_gap_days")
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT c_mktsegment,
+          datediff('day', prev_d, o_orderdate) AS gap
+        FROM (
+          SELECT o_custkey, o_orderdate,
+            LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev_d
+          FROM orders) o
+        JOIN customer ON o_custkey = c_custkey
+        WHERE prev_d IS NOT NULL
+      ), seg AS (
+        SELECT c_mktsegment, COUNT(*) AS n_gaps, SUM(gap) AS sum_gap
+        FROM gaps GROUP BY 1
+      ), freq AS (
+        SELECT c_mktsegment, gap, COUNT(*) AS f,
+          SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment ORDER BY gap
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM gaps GROUP BY c_mktsegment, gap
+      ), med AS (
+        SELECT f.c_mktsegment, CAST(f.gap AS BIGINT) AS p50_gap_days
+        FROM freq f JOIN seg s ON f.c_mktsegment = s.c_mktsegment
+        WHERE f.cum - f.f < (s.n_gaps + 1) // 2 AND (s.n_gaps + 1) // 2 <= f.cum
+      )
+      SELECT seg.c_mktsegment, n_gaps,
+        ROUND(CAST(sum_gap AS DOUBLE) / n_gaps, 6) AS mean_gap_days,
+        p50_gap_days
+      FROM seg JOIN med ON seg.c_mktsegment = med.c_mktsegment
+      ORDER BY seg.c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2127,5 +2203,6 @@ object Aggregations extends QueryModule {
     aggHistogramEquidepth, aggGiniConcentration, aggKsBinned, aggCramersV,
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
-    aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov)
+    aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
+    aggInterpurchaseGaps)
 }

@@ -1980,7 +1980,7 @@ object TextOps extends QueryModule {
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
     sampleGroupKfold,
     textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
-    textJsDivergenceLangpair, textCcnetQualityBuckets)
+    textJsDivergenceLangpair, textCcnetQualityBuckets, textHeapsLaw)
 
   /** Jensen–Shannon divergence between every language pair's unigram
     * distributions (SURVEY §2 I-sext) — the symmetric, bounded corpus
@@ -3049,5 +3049,111 @@ object TextOps extends QueryModule {
       GROUP BY phrase
       ORDER BY score DESC, phrase
       LIMIT 10
+    """.stripMargin.trim))
+
+  /** Heaps'-law vocabulary growth (SURVEY §2 I-sept): cumulative
+    * distinct-term count V vs cumulative token mass n over the
+    * md5-ordered ingest batches (the novelty row's batch discipline),
+    * with the log-log OLS fit V ≈ K·nᵝ. β is the corpus-diversity
+    * exponent a tokenizer/vocab budget is sized against (β→0 = closed
+    * vocabulary, β→1 = unbounded churn) — the GROWTH companion to
+    * `text_zipf_slope`'s static rank law and `text_vocab_coverage`'s
+    * top-k mass. The declared output is the 8-point curve with the
+    * fitted (beta, ln_k, r2) on every row.
+    *
+    * Scale notes: per-batch token mass and first-batch-per-term are
+    * map-side-combinable aggs (vocab ≪ corpus); cumsums and the OLS
+    * ride the bounded 8-row batch frame with 12 dp ln-term rounding +
+    * exact decimal moments (§2.0 rule 7). exp() is never taken — the
+    * intercept is declared in ln space (libm exp is not cross-engine
+    * ulp-stable; ln of exact decimal ratios is).
+    */
+  val textHeapsLaw = Q(
+    "text_heaps_law",
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = tokens(Tables.documents(spark, dir))
+        .select($"tok",
+          (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 8).as("batch"))
+      val mass = tok.groupBy($"batch").agg(count(lit(1)).as("toks"))
+      val novel = tok.groupBy($"tok").agg(min($"batch").as("fb"))
+        .groupBy($"fb".as("batch")).agg(count(lit(1)).as("novel"))
+      val wCum = Window.orderBy($"batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = mass.join(novel, Seq("batch"), "left")
+        .select($"batch", $"toks", coalesce($"novel", lit(0L)).as("novel"))
+        .withColumn("cum_tokens", sum($"toks").over(wCum))
+        .withColumn("cum_vocab", sum($"novel").over(wCum))
+        .select($"batch", $"cum_tokens", $"cum_vocab",
+          round(log($"cum_tokens".cast(DoubleType)), 12).as("lx"),
+          round(log($"cum_vocab".cast(DoubleType)), 12).as("ly"))
+      val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+      val fit = curve.agg(
+        count(lit(1)).as("n"),
+        sum($"lx".cast(DecimalType(28, 12))).as("sx"),
+        sum($"ly".cast(DecimalType(28, 12))).as("sy"),
+        sum(round($"lx" * $"ly", 12).cast(DecimalType(28, 12))).as("sxy"),
+        sum(round($"lx" * $"lx", 12).cast(DecimalType(28, 12))).as("sxx"),
+        sum(round($"ly" * $"ly", 12).cast(DecimalType(28, 12))).as("syy"))
+        .select($"n", d($"sx").as("sx"), d($"sy").as("sy"),
+          d($"sxy").as("sxy"), d($"sxx").as("sxx"), d($"syy").as("syy"))
+        .select($"n", $"sx", $"sy", $"sxx", $"syy", $"sxy",
+          (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")).as("beta"))
+        .select(
+          round($"beta", 6).as("beta"),
+          round(($"sy" - $"beta" * $"sx") / $"n", 6).as("ln_k"),
+          round(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy") /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+            .as("r2"))
+      curve
+        .crossJoin(broadcast(fit))
+        .select($"batch", $"cum_tokens", $"cum_vocab", $"beta", $"ln_k", $"r2")
+        .orderBy($"batch")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT t AS tok,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+      ), mass AS (
+        SELECT batch, COUNT(*) AS toks FROM tok GROUP BY 1
+      ), novel AS (
+        SELECT fb AS batch, COUNT(*) AS novel
+        FROM (SELECT tok, MIN(batch) AS fb FROM tok GROUP BY 1)
+        GROUP BY fb
+      ), curve AS (
+        SELECT batch, cum_tokens, cum_vocab,
+          ROUND(LN(CAST(cum_tokens AS DOUBLE)), 12) AS lx,
+          ROUND(LN(CAST(cum_vocab AS DOUBLE)), 12) AS ly
+        FROM (
+          SELECT m.batch,
+            CAST(SUM(m.toks) OVER (ORDER BY m.batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+            CAST(SUM(COALESCE(n.novel, 0)) OVER (ORDER BY m.batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+          FROM mass m LEFT JOIN novel n USING (batch))
+      ), mom AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(ROUND(lx * ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(ROUND(lx * lx, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(ROUND(ly * ly, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM curve
+      ), fit AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta, *
+        FROM mom
+      )
+      SELECT CAST(batch AS BIGINT) AS batch, cum_tokens, cum_vocab,
+        ROUND(beta, 6) AS beta,
+        ROUND((sy - beta * sx) / n, 6) AS ln_k,
+        ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      FROM curve, fit
+      ORDER BY batch
     """.stripMargin.trim))
 }

@@ -60,7 +60,7 @@ object VectorOps extends QueryModule {
   private val codebookCache = new graft.PlanCache(4)
 
   /** Test/maintenance hook: drop memoized codebooks and free their blocks. */
-  def evictCodebooks(): Unit = codebookCache.evictAll()
+  def evictCodebooks(): Unit = { codebookCache.evictAll(); knnCache.evictAll() }
 
   /** Force the shared ⌈√n⌉-cell IVF codebook for this corpus and report
     * the elapsed seconds. Bench clocks it OUTSIDE the per-query timers
@@ -733,21 +733,36 @@ object VectorOps extends QueryModule {
       .filter(col("rn1") <= k)
   }
 
+  /** Global exact k=5 kNN graph (src, label, dst, cos, rn), memoized per
+    * corpus: built once from the chunk-local candidate stage, globally
+    * re-ranked, and localCheckpointed — every consumer (`vec_knn_graph
+    * _stats`' reciprocity join reads it twice, `vec_twonn_intrinsic_dim`
+    * takes rn ≤ 2) shares ONE quadratic pass per directory, the same
+    * shared-stage discipline as the shingle/pair/codebook caches.
+    */
+  private val knnCache = new graft.PlanCache(2)
+
+  def cachedKnn5(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val m = 32
+    val fresh = knnLocalTopK(withNorm(spark, dir), k, m)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)))
+      .filter($"rn" <= k)
+      .select($"src", $"label", $"dst", $"cos", $"rn")
+    knnCache.getOrCompute(fresh)(_.localCheckpoint(true))
+  }
+
   lazy val vecKnnGraphStats = Q(
     "vec_knn_graph_stats",
     (spark, dir) => {
       import spark.implicits._
       val k = 5
-      val m = 32
       // global top-k over the m·k survivors per src — n·m·k scalar rows,
       // materialized once (checkpoint) because the reciprocity join reads
       // the graph twice.
-      val knn = knnLocalTopK(withNorm(spark, dir), k, m)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)))
-        .filter($"rn" <= k)
-        .select($"src", $"label", $"dst", $"cos", $"rn")
-        .localCheckpoint(true)
+      val knn = cachedKnn5(spark, dir)
       val mirror = knn.select($"src".as("dst"), $"dst".as("src"), lit(true).as("mk"))
       knn.join(mirror, Seq("src", "dst"), "left")
         .withColumn("recip", coalesce($"mk", lit(false)))
@@ -1435,7 +1450,7 @@ object VectorOps extends QueryModule {
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
     sampleNegativePairs, vecLabelConfusion, sampleHardNegatives,
-    sampleCoresetKcenter, vecSilhouetteCentroid)
+    sampleCoresetKcenter, vecSilhouetteCentroid, vecTwonnIntrinsicDim)
 
   /** ANN-mined hard negatives (SURVEY §2 I-sext) — the production
     * counterpart to `sample_negative_pairs`' random baseline:
@@ -1962,5 +1977,77 @@ object VectorOps extends QueryModule {
           ROUND((b - a) / NULLIF(GREATEST(a, b), 0.0), 6) AS s
         FROM ab)
       GROUP BY label ORDER BY label
+    """.stripMargin.trim))
+
+  /** TwoNN intrinsic dimension per label (SURVEY §2 I-sept; Facco et
+    * al. 2017): d̂ = N / Σ ln(r₂/r₁) from each point's two nearest
+    * neighbors — the effective-dimensionality audit (data on a ~10-d
+    * manifold inside a 64-d ambient space quantizes, indexes, and
+    * clusters like 10-d, not 64-d; `vec_pca_power_iteration` sees only
+    * LINEAR energy, TwoNN sees curved manifolds). Distances are chord
+    * distances on the cosine geometry (r² = 2−2cos), so
+    * ln μ = ½(ln(1−cos₂) − ln(1−cos₁)) needs only the 6 dp cosines the
+    * kNN graph already carries. Exact-duplicate points (cos₁ = 1 after
+    * rounding) have no defined μ — excluded and counted.
+    *
+    * Scale notes: rides the memoized k=5 exact-kNN stage shared with
+    * `vec_knn_graph_stats` (rn ≤ 2 filter — zero new quadratic work);
+    * the estimator is one bounded label-keyed aggregation with 12 dp
+    * term rounding + decimal sums (§2.0 rule 7).
+    */
+  val vecTwonnIntrinsicDim = Q(
+    "vec_twonn_intrinsic_dim",
+    (spark, dir) => {
+      import spark.implicits._
+      val knn = cachedKnn5(spark, dir).filter($"rn" <= 2)
+      val two = knn.groupBy($"src", $"label")
+        .agg(
+          min(when($"rn" === 1, $"cos")).as("cos1"),
+          min(when($"rn" === 2, $"cos")).as("cos2"))
+      val logmu = round(
+        (log(lit(1.0) - $"cos2") - log(lit(1.0) - $"cos1")) * 0.5, 12)
+      two
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(when($"cos1" >= 1.0d, 1L).otherwise(0L)).as("n_dup_excluded"),
+          sum(when($"cos1" < 1.0d, logmu.cast(DecimalType(28, 12))))
+            .cast(DoubleType).as("slm"))
+        .select($"label", $"n_points", $"n_dup_excluded",
+          round($"slm", 6).as("sum_log_mu"),
+          round(($"n_points" - $"n_dup_excluded").cast(DoubleType) /
+            nullif($"slm", lit(0.0d)), 4).as("id_hat"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), edges AS (
+        SELECT a.vec_id AS src, a.label AS label, b.vec_id AS dst,
+          ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      ), knn AS (
+        SELECT * FROM (
+          SELECT src, label, dst, cos,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+          FROM edges)
+        WHERE rn <= 2
+      ), two AS (
+        SELECT src, label,
+          MIN(CASE WHEN rn = 1 THEN cos END) AS cos1,
+          MIN(CASE WHEN rn = 2 THEN cos END) AS cos2
+        FROM knn GROUP BY src, label
+      )
+      SELECT label,
+        COUNT(*) AS n_points,
+        CAST(SUM(CASE WHEN cos1 >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_excluded,
+        ROUND(CAST(SUM(CASE WHEN cos1 < 1.0 THEN CAST(ROUND(
+            (LN(1.0 - cos2) - LN(1.0 - cos1)) * 0.5, 12) AS DECIMAL(28,12)) END)
+          AS DOUBLE), 6) AS sum_log_mu,
+        ROUND(CAST(COUNT(*) - SUM(CASE WHEN cos1 >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / NULLIF(CAST(SUM(CASE WHEN cos1 < 1.0 THEN CAST(ROUND(
+              (LN(1.0 - cos2) - LN(1.0 - cos1)) * 0.5, 12) AS DECIMAL(28,12)) END)
+            AS DOUBLE), 0.0), 4) AS id_hat
+      FROM two GROUP BY label ORDER BY label
     """.stripMargin.trim))
 }

@@ -301,4 +301,36 @@ class AssociationStatsSpec extends SparkSpecBase {
         s"$t kadane ${out(t)} vs brute-force $best")
     }
   }
+  test("interpurchase gaps: segments partition the gap population, median straddles half") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_interpurchase_gaps")(spark, sfDir)
+      .select($"c_mktsegment", $"n_gaps", $"mean_gap_days".cast("double"),
+        $"p50_gap_days")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.length == 5, "expected the 5 TPC-H market segments")
+    assert(rows.forall(r => r._2 > 0 && r._3 > 0.0 && r._4 >= 0), "non-positive stats")
+    // every customer with k>=2 orders contributes k-1 gaps:
+    // total gaps = total orders - customers with at least one order
+    val o = Tables.orders(spark, sfDir)
+    val expected = o.count() - o.select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == expected, "gap population mismatch")
+    // hand recompute each segment's gaps; check mean and the discrete
+    // lower-median rank definition (cum count straddles ceil(n/2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = o.select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev_d", lag($"o_orderdate", 1).over(w))
+      .where($"prev_d".isNotNull)
+      .select($"o_custkey", datediff($"o_orderdate", $"prev_d").as("gap"))
+      .join(Tables.customer(spark, sfDir).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"gap".cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((seg, n, mean, p50) <- rows) {
+      val g = gaps(seg)
+      assert(g.length == n, s"$seg n_gaps")
+      assert(math.abs(mean - g.sum.toDouble / g.length) < 1e-6, s"$seg mean")
+      assert(g((g.length + 1) / 2 - 1) == p50, s"$seg median")
+    }
+  }
 }

@@ -397,4 +397,33 @@ class TextOpsSpec extends SparkSpecBase {
       }
     }
   }
+  test("heaps law: 8-point curve is monotone, totals match corpus, fit is sane") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_heaps_law")(spark, sfDir)
+      .select($"batch", $"cum_tokens", $"cum_vocab",
+        $"beta".cast("double"), $"ln_k".cast("double"), $"r2".cast("double"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 7L), "batches not 0..7")
+    // cumulative series never decrease, vocab never exceeds token mass
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3, s"cumsum decreased at batch ${b._1}")
+      case _ =>
+    }
+    assert(rows.forall(r => r._3 <= r._2), "vocab above token mass")
+    // final point = whole-corpus totals under the same tokenizer
+    val tok = docs.select(explode(split(lower($"text"), " ")).as("t"))
+      .where($"t" =!= "")
+    assert(rows.last._2 == tok.count(), "final cum_tokens != corpus tokens")
+    assert(rows.last._3 == tok.distinct().count(), "final cum_vocab != corpus vocab")
+    // the fit is one corpus-level constant repeated on every row; Heaps
+    // exponent lives in [0,1) — 0 exactly for a closed vocabulary that
+    // saturates in batch 0 (this fixture's 31-word corpus does)
+    assert(rows.map(r => (r._4, r._5, r._6)).distinct.length == 1, "fit not constant")
+    val (beta, _, r2) = (rows.head._4, rows.head._5, rows.head._6)
+    assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
+    if (rows.last._3 > rows.head._3)
+      assert(beta > 0.0, "vocab grew but beta is 0")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 outside [0,1]")
+  }
 }

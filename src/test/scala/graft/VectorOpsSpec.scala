@@ -393,4 +393,27 @@ class VectorOpsSpec extends SparkSpecBase {
         s"label $label neg_share $negShare below confusion share $confused")
     }
   }
+  test("twonn: totals cover the corpus, log-ratio mass nonnegative, id_hat positive") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_twonn_intrinsic_dim")(spark, sfDir)
+      .select($"label", $"n_points", $"n_dup_excluded",
+        $"sum_log_mu".cast("double"), $"id_hat".cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum ==
+      Tables.embeddings(spark, sfDir).count(), "totals don't cover the corpus")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._2), "dup count out of range")
+    // r2 >= r1 always, so each ln(r2/r1) >= 0 and the estimator is positive
+    assert(rows.forall(_._4 >= -1e-9), "negative sum_log_mu")
+    assert(rows.forall(r => r._5.forall(_ > 0.0)), "non-positive intrinsic dim")
+    // cross-consistency with the shared kNN stage: nn1 cosine >= nn2 cosine
+    val knn = graft.operators.VectorOps.cachedKnn5(spark, sfDir).filter($"rn" <= 2)
+      .groupBy($"src")
+      .agg(min(when($"rn" === 1, $"cos")).as("c1"),
+        min(when($"rn" === 2, $"cos")).as("c2"))
+      .as[(Long, Double, Double)].collect()
+    assert(knn.forall(r => r._2 >= r._3 - 1e-9), "rank-1 cosine below rank-2")
+  }
 }
