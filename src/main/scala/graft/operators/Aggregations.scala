@@ -2191,6 +2191,74 @@ object Aggregations extends QueryModule {
       ORDER BY seg.c_mktsegment
     """.stripMargin.trim))
 
+  /** One-way ANOVA across the five market segments (SURVEY §2 I-sept) —
+    * the k-group generalization of `agg_welch_ttest`'s two-group
+    * contrast: does account balance differ BETWEEN segments more than
+    * WITHIN them? F = (SSB/(k−1))/(SSW/(N−k)) plus the effect size
+    * η² = SSB/(SSB+SSW) (the share of variance the segmentation
+    * explains — the number that tells a modeler whether the segment
+    * column is worth a feature slot).
+    *
+    * Scale notes (100 TB): one map-side-combinable groupBy over k=5
+    * groups carries (n, Σx, Σx²) in exact decimals; every downstream
+    * term lives on the 5-row table. Cross-engine determinism: each
+    * group's Σx²/n projection term is rounded to 6 dp and summed as
+    * exact DECIMAL before the F ratio is taken in doubles (§2.0 rule 7
+    * — one stabilized rounding point instead of float-ordered sums).
+    */
+  val aggAnovaOneway = Q(
+    "agg_anova_oneway",
+    (spark, dir) => {
+      import spark.implicits._
+      val g = Tables.customer(spark, dir)
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"c_acctbal".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(38, 10))).as("sxx"))
+      val tot = g.agg(
+        count(lit(1)).as("k"),
+        sum($"n").as("nn"),
+        sum($"sx").as("gsx"),
+        sum($"sxx".cast(DecimalType(38, 10))).cast(DoubleType).as("gsxx"),
+        sum(round($"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n", 6)
+          .cast(DecimalType(38, 6))).cast(DoubleType).as("proj"))
+      tot.select(
+        $"k", $"nn".as("n_total"),
+        (($"proj" - $"gsx".cast(DoubleType) * $"gsx".cast(DoubleType) / $"nn") /
+          ($"k" - 1)).as("msb"),
+        (($"gsxx" - $"proj") / ($"nn" - $"k")).as("msw"),
+        ($"proj" - $"gsx".cast(DoubleType) * $"gsx".cast(DoubleType) / $"nn").as("ssb"),
+        ($"gsxx" - $"proj").as("ssw"))
+        .select($"k", $"n_total",
+          ($"k" - 1).as("df_between"), ($"n_total" - $"k").as("df_within"),
+          round($"msb" / nullif($"msw", lit(0.0d)), 6).as("f_stat"),
+          round($"ssb" / nullif($"ssb" + $"ssw", lit(0.0d)), 6).as("eta_sq"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS sxx
+        FROM customer GROUP BY 1
+      ), tot AS (
+        SELECT COUNT(*) AS k, SUM(n) AS nn,
+          SUM(sx) AS gsx,
+          CAST(SUM(CAST(sxx AS DECIMAL(38,10))) AS DOUBLE) AS gsxx,
+          CAST(SUM(CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 6)
+            AS DECIMAL(38,6))) AS DOUBLE) AS proj
+        FROM g
+      )
+      SELECT k, CAST(nn AS BIGINT) AS n_total,
+        k - 1 AS df_between, CAST(nn - k AS BIGINT) AS df_within,
+        ROUND(((proj - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn) / (k - 1))
+          / NULLIF((gsxx - proj) / (nn - k), 0), 6) AS f_stat,
+        ROUND((proj - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn)
+          / NULLIF((proj - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn)
+            + (gsxx - proj), 0), 6) AS eta_sq
+      FROM tot
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2204,5 +2272,5 @@ object Aggregations extends QueryModule {
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
-    aggInterpurchaseGaps)
+    aggInterpurchaseGaps, aggAnovaOneway)
 }

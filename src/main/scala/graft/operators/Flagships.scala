@@ -1174,11 +1174,115 @@ object Flagships extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** Adamic–Adar link prediction over the nation trade graph (SURVEY §2
+    * I-sept) — "which two nations that do NOT trade today share the most
+    * (rare) trading partners?": for each non-adjacent pair (a,b) of the
+    * top-50-by-revenue undirected trade edges, score
+    * AA = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) (common neighbors, discounted
+    * by how promiscuous each shared partner is — Adamic & Adar 2003).
+    * The recommendation primitive of the graph family: PageRank ranks
+    * nodes, LPA groups them, k-core grades cohesion; AA predicts the
+    * MISSING EDGES. Top-10 predicted links by (AA desc, pair asc).
+    *
+    * Scale notes (100 TB): the only fact-scale stage is the same
+    * revenue-weighted edge aggregation the other graph rows share
+    * (map-side combinable, ≤ n² nation pairs out). Edge thinning
+    * (top-50 by exact decimal weight, pair-key tiebreak) and the
+    * common-neighbor self-join all live on the bounded node-sized
+    * tables. Determinism: weights are exact decimals; 1/ln(deg) terms
+    * round to 12 dp and sum as exact DECIMAL (§2.0 rule 7); a common
+    * neighbor has deg ≥ 2 by construction so ln never hits zero.
+    */
+  lazy val graphAdamicAdar = Q(
+    "graph_adamic_adar",
+    (spark, dir) => {
+      import spark.implicits._
+      val und = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_nationkey".as("src"))), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_nationkey".as("dst"))), $"o_custkey" === $"c_custkey")
+        .where($"src" =!= $"dst")
+        .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+        // bounded (≤ nation²/2 rows): one global rank is a single tiny task
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"wgt".desc, $"a", $"b")))
+        .where($"rk" <= 50)
+        .select($"a", $"b")
+      val nb = und.select($"a".as("u"), $"b".as("w"))
+        .unionAll(und.select($"b".as("u"), $"a".as("w")))
+      val degc = nb.groupBy($"w".as("wd")).agg(count(lit(1)).as("deg"))
+      val cand = nb.select($"u".as("pa"), $"w")
+        .join(nb.select($"u".as("pb"), $"w"), "w")
+        .where($"pa" < $"pb")
+        .join(und, $"pa" === $"a" && $"pb" === $"b", "left_anti")
+        .join(broadcast(degc), $"w" === $"wd")
+      val scored = cand.groupBy($"pa", $"pb")
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(round(lit(1.0) / log($"deg".cast(DoubleType)), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("aas"))
+        .select($"pa", $"pb", $"common_neighbors",
+          round($"aas".cast(DoubleType), 6).as("aa_score"))
+      scored
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey".as("pa"), $"n_name".as("a_name"))), "pa")
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey".as("pb"), $"n_name".as("b_name"))), "pb")
+        .orderBy($"aa_score".desc, $"a_name", $"b_name")
+        .limit(10)
+        .select($"a_name", $"b_name", $"common_neighbors", $"aa_score")
+    },
+    Some("""
+      WITH und AS (
+        SELECT a, b FROM (
+          SELECT a, b, ROW_NUMBER() OVER (ORDER BY wgt DESC, a, b) AS rk
+          FROM (
+            SELECT LEAST(s_nationkey, c_nationkey) AS a,
+              GREATEST(s_nationkey, c_nationkey) AS b,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2))
+        WHERE rk <= 50
+      ), nb AS (
+        SELECT a AS u, b AS w FROM und
+        UNION ALL SELECT b AS u, a AS w FROM und
+      ), degc AS (
+        SELECT w AS wd, COUNT(*) AS deg FROM nb GROUP BY 1
+      ), cand AS (
+        SELECT x.u AS pa, y.u AS pb, x.w
+        FROM nb x JOIN nb y ON x.w = y.w AND x.u < y.u
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = x.u AND b = y.u)
+      ), scored AS (
+        SELECT pa, pb, COUNT(*) AS common_neighbors,
+          ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 12)
+            AS DECIMAL(28,12))) AS DOUBLE), 6) AS aa_score
+        FROM cand JOIN degc ON w = wd
+        GROUP BY 1, 2
+      )
+      SELECT na.n_name AS a_name, nbn.n_name AS b_name,
+        common_neighbors, aa_score
+      FROM scored
+      JOIN nation na ON pa = na.n_nationkey
+      JOIN nation nbn ON pb = nbn.n_nationkey
+      ORDER BY aa_score DESC, a_name, b_name
+      LIMIT 10
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
     tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation,
-    graphKcoreTrade)
+    graphKcoreTrade, graphAdamicAdar)
 }

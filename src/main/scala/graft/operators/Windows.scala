@@ -1147,7 +1147,112 @@ object Windows extends QueryModule {
     winCumeDistScalable, winNthValue, winNtileBuckets,
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
-    winPeakDetection, winDrawdownDuration, winKadaneBurst)
+    winPeakDetection, winDrawdownDuration, winKadaneBurst,
+    winTheilSenTrend)
+
+  /** Theil–Sen robust trend per supplier nation (SURVEY §2 I-sept) —
+    * the median of all pairwise month-over-month slopes of the monthly
+    * revenue series, next to the OLS slope the same moments give. OLS
+    * answers "what is the average drift?"; Theil–Sen answers "what is
+    * the TYPICAL drift once the two crazy months are ignored?" — the
+    * outlier-robust trend detector (breakdown point ~29%) a revenue /
+    * volume monitor wants before alerting on a fitted slope a single
+    * promo month can swing.
+    *
+    * Scale notes (100 TB): the only fact-scale stage is the monthly
+    * rollup (map-side combinable, keyed on nation×month — bounded).
+    * The pairwise self-join is quadratic ONLY in months-per-nation
+    * (~7 years → ≤ 84 rows → ≤ 3.5k pairs per nation), partitioned by
+    * nation so every window is per-key parallel, never global. The
+    * median is the discrete lower order statistic of the 6 dp slope
+    * list; OLS moments are exact decimals (month index is an exact
+    * INT, so Σx·y stays decimal) cast once at the division.
+    */
+  val winTheilSenTrend = Q(
+    "win_theil_sen_trend",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey",
+          (year($"l_shipdate") * 12 + month($"l_shipdate")).as("mi"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+      val a = monthly.select($"s_nationkey", $"mi".as("mi1"), $"rev".as("r1"))
+      val b = monthly.select($"s_nationkey", $"mi".as("mi2"), $"rev".as("r2"))
+      val pairs = a.join(b, Seq("s_nationkey")).where($"mi2" > $"mi1")
+        .select($"s_nationkey",
+          round(($"r2" - $"r1").cast(DoubleType) / ($"mi2" - $"mi1"), 6).as("slope"))
+      val wN = Window.partitionBy($"s_nationkey")
+      val sen = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"s_nationkey").orderBy($"slope")))
+        .withColumn("np", count(lit(1)).over(wN))
+        .where($"rn" === expr("(np + 1) div 2"))
+        .select($"s_nationkey", $"np".as("n_pairs"), $"slope".as("sen_slope"))
+      val ols = monthly.groupBy($"s_nationkey").agg(
+        count(lit(1)).as("n_months"),
+        sum($"mi".cast(DecimalType(28, 4))).as("sx"),
+        sum($"rev".cast(DecimalType(38, 4))).as("sy"),
+        // rev narrowed to DECIMAL(18,4) first so mi×rev stays inside
+        // width-38 exact decimal in BOTH engines (wider products fall
+        // back to DOUBLE in some engines — a per-row float, not scalar)
+        sum(($"mi" * $"rev".cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("sxy"),
+        sum(($"mi" * $"mi").cast(DecimalType(28, 4))).as("sxx"))
+        // scalar algebra on per-group DOUBLE casts of the exact decimal
+        // moments: every product is one IEEE-754 op on identical inputs
+        // in both engines (no decimal-width promotion rules in play)
+        .select($"s_nationkey", $"n_months",
+          round(
+            ($"n_months" * $"sxy".cast(DoubleType) -
+              $"sx".cast(DoubleType) * $"sy".cast(DoubleType)) /
+            ($"n_months" * $"sxx".cast(DoubleType) -
+              $"sx".cast(DoubleType) * $"sx".cast(DoubleType)), 6)
+            .as("ols_slope"))
+      ols.join(sen, "s_nationkey")
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"n_months", $"n_pairs", $"sen_slope", $"ols_slope")
+        .orderBy($"n_name")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT s_nationkey,
+          year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ), pairs AS (
+        SELECT a.s_nationkey,
+          ROUND(CAST(b.rev - a.rev AS DOUBLE) / (b.mi - a.mi), 6) AS slope
+        FROM monthly a JOIN monthly b
+          ON a.s_nationkey = b.s_nationkey AND b.mi > a.mi
+      ), sen AS (
+        SELECT s_nationkey, CAST(np AS BIGINT) AS n_pairs, slope AS sen_slope
+        FROM (
+          SELECT s_nationkey, slope,
+            ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY slope) AS rn,
+            COUNT(*) OVER (PARTITION BY s_nationkey) AS np
+          FROM pairs)
+        WHERE rn = (np + 1) // 2
+      ), ols AS (
+        SELECT s_nationkey, COUNT(*) AS n_months,
+          ROUND(
+            (COUNT(*) * CAST(SUM(CAST(mi * CAST(rev AS DECIMAL(18,4)) AS DECIMAL(38,4))) AS DOUBLE)
+              - CAST(SUM(CAST(mi AS DECIMAL(28,4))) AS DOUBLE)
+                * CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE))
+            / (COUNT(*) * CAST(SUM(CAST(mi * mi AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(SUM(CAST(mi AS DECIMAL(28,4))) AS DOUBLE)
+                * CAST(SUM(CAST(mi AS DECIMAL(28,4))) AS DOUBLE)), 6)
+            AS ols_slope
+        FROM monthly GROUP BY 1
+      )
+      SELECT n_name, n_months, n_pairs, sen_slope, ols_slope
+      FROM ols JOIN sen USING (s_nationkey)
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_name
+    """.stripMargin.trim))
 
   /** Drawdown duration per customer (SURVEY §2 I-sext) — the
     * TIME-underwater companion to `win_max_drawdown`'s depth: risk

@@ -333,4 +333,93 @@ class AssociationStatsSpec extends SparkSpecBase {
       assert(g((g.length + 1) / 2 - 1) == p50, s"$seg median")
     }
   }
+  test("anova: F and eta-sq match a driver-side recompute from raw balances") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_anova_oneway")(spark, sfDir).collect().head
+    val k = row.getAs[Long]("k")
+    val nTotal = row.getAs[Long]("n_total")
+    val f = row.getAs[Double]("f_stat")
+    val eta = row.getAs[Double]("eta_sq")
+    assert(k == 5, "expected the 5 TPC-H market segments")
+    assert(row.getAs[Long]("df_between") == k - 1)
+    assert(row.getAs[Long]("df_within") == nTotal - k)
+    assert(f >= 0.0 && eta >= 0.0 && eta <= 1.0)
+    val bySeg = Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_acctbal".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(nTotal == bySeg.values.map(_.length).sum)
+    val grand = bySeg.values.flatten.sum / nTotal
+    val ssb = bySeg.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = bySeg.values.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val fRef = (ssb / (k - 1)) / (ssw / (nTotal - k))
+    assert(math.abs(f - fRef) < 1e-4, s"F $f vs recompute $fRef")
+    assert(math.abs(eta - ssb / (ssb + ssw)) < 1e-6, s"eta $eta vs ${ssb / (ssb + ssw)}")
+  }
+
+  test("theil-sen: pair counts are triangular, slopes match a driver-side recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("win_theil_sen_trend")(spark, sfDir)
+      .select($"n_name", $"n_months", $"n_pairs",
+        $"sen_slope".cast("double"), $"ols_slope".cast("double"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 == r._2 * (r._2 - 1) / 2), "pairs not n(n-1)/2")
+    // driver-side recompute of both slopes from the same monthly rollup
+    val monthly = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.nation(spark, sfDir), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", (year($"l_shipdate") * 12 + month($"l_shipdate")).as("mi"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .select($"n_name", $"mi", $"rev".cast("double"))
+      .as[(String, Int, Double)].collect().groupBy(_._1)
+    for ((name, _, np, sen, ols) <- rows) {
+      val pts = monthly(name).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        Array((m1, r1), (m2, r2)) <- pts.combinations(2).map(_.toArray)
+      } yield (r2 - r1) / (m2 - m1)).toArray.sorted
+      assert(slopes.length == np)
+      assert(math.abs(sen - slopes(((np + 1) / 2 - 1).toInt)) < 1e-4,
+        s"$name sen $sen vs ${slopes(((np + 1) / 2 - 1).toInt)}")
+      val n = pts.length
+      val sx = pts.map(_._1.toDouble).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1.toDouble * p._1).sum
+      val olsRef = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(ols - olsRef) < 1e-3, s"$name ols $ols vs $olsRef")
+    }
+  }
+
+  test("adamic-adar: predicted links are non-adjacent pairs scored from true common neighbors") {
+    import spark.implicits._
+    val out = SparkEntry.queries("graph_adamic_adar")(spark, sfDir)
+      .select($"a_name", $"b_name", $"common_neighbors", $"aa_score".cast("double"))
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(r => r._3 >= 1 && r._4 > 0.0), "empty or non-positive score")
+    // rebuild the same top-50 undirected edge set and score by hand
+    val nk = Tables.nation(spark, sfDir)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect()
+      .map { case (k, n) => (n, k) }.toMap
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .where($"s_nationkey" =!= $"c_nationkey")
+      .groupBy(least($"s_nationkey", $"c_nationkey").as("a"),
+        greatest($"s_nationkey", $"c_nationkey").as("b"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("w"))
+      .select($"a", $"b", $"w".cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(t => (-t._3, t._1, t._2)).take(50).map(t => (t._1, t._2)).toSet
+    val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((an, bn, cn, aa) <- out) {
+      val (a, b) = (nk(an), nk(bn))
+      assert(!edges.contains((math.min(a, b), math.max(a, b))), s"$an-$bn already adjacent")
+      val common = nbr.getOrElse(a, Set.empty) & nbr.getOrElse(b, Set.empty)
+      assert(common.size == cn, s"$an-$bn cn $cn vs ${common.size}")
+      val aaRef = common.toSeq.map(w => 1.0 / math.log(nbr(w).size)).sum
+      assert(math.abs(aa - aaRef) < 1e-4, s"$an-$bn aa $aa vs $aaRef")
+    }
+  }
 }
