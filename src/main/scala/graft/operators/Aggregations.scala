@@ -2259,6 +2259,115 @@ object Aggregations extends QueryModule {
       FROM tot
     """.stripMargin.trim))
 
+  /** Poisson bootstrap of the mean order value (SURVEY §2 I-sept) —
+    * THE distributed confidence-interval recipe: instead of resampling
+    * n rows with replacement (a global shuffle per replicate), each row
+    * carries an independent Poisson(1) weight per replicate b, and the
+    * weighted mean over B=32 replicates estimates the sampling
+    * distribution (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012). Declared output: the 32-row
+    * replicate curve with the point mean, bootstrap SE, and the
+    * [rank-2, rank-31] percentile CI of the replicate means on every
+    * row.
+    *
+    * Scale notes (100 TB): the B-fold explode is map-side combined to
+    * B partial rows per partition before the 32-group shuffle — no
+    * data copy, no per-replicate pass. Determinism (§2.0 rule 7):
+    * weights come from an md5-derived uniform divided by 2³² (a power
+    * of two — the division is lossless), thresholded at the shared
+    * Poisson(1) CDF literals; weighted sums are exact decimals
+    * (weight × DECIMAL price), means round at 6 dp before the bounded
+    * SE/CI algebra.
+    */
+  val samplePoissonBootstrap = Q(
+    "sample_poisson_bootstrap",
+    (spark, dir) => {
+      import spark.implicits._
+      val u = conv(substring(md5(concat($"o_orderkey".cast("string"), lit("_"),
+        $"b".cast("string"))), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .when(u < 0.999916758850712, 6L)
+        .when(u < 0.9999897508033253, 7L).otherwise(8L)
+      val reps = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice")
+        .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+        .withColumn("w", w)
+        .groupBy($"b")
+        .agg(sum($"w").as("n_eff"),
+          sum($"w" * dec($"o_totalprice")).as("ws"))
+        .select($"b", $"n_eff",
+          round($"ws".cast(DoubleType) / $"n_eff", 6).as("boot_mean"))
+      val point = Tables.orders(spark, dir)
+        .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).as("s"))
+        .select(round($"s".cast(DoubleType) / $"n", 6).as("point_mean"))
+      val mstats = reps.agg(
+        count(lit(1)).as("bb"),
+        sum($"boot_mean".cast(DecimalType(28, 6))).as("sm"),
+        sum(round($"boot_mean" * $"boot_mean", 6).cast(DecimalType(38, 6))).as("smm"))
+        .select(round(sqrt(
+          ($"smm".cast(DoubleType) -
+            $"sm".cast(DoubleType) * $"sm".cast(DoubleType) / $"bb") /
+          ($"bb" - 1)), 6).as("boot_se"))
+      val ranked = reps.select($"boot_mean".as("m"))
+        .withColumn("rk", row_number().over(Window.orderBy($"m")))
+      val ci = ranked.where($"rk" === 2).select($"m".as("ci_lo"))
+        .crossJoin(ranked.where($"rk" === 31).select($"m".as("ci_hi")))
+      reps.crossJoin(broadcast(point))
+        .crossJoin(broadcast(mstats))
+        .crossJoin(broadcast(ci))
+        .orderBy($"b")
+    },
+    Some("""
+      WITH reps AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+          ROUND(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / SUM(w), 6) AS boot_mean
+        FROM (
+          SELECT o_orderkey, o_totalprice, b,
+            CASE
+              WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238463 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.999916758850712 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              ELSE 8 END AS w
+          FROM (
+            SELECT o_orderkey, o_totalprice, r.range AS b,
+              CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_' ||
+                CAST(r.range AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+            FROM orders, range(0, 32) r))
+        GROUP BY b
+      ), point AS (
+        SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(*), 6) AS point_mean FROM orders
+      ), mstats AS (
+        SELECT ROUND(SQRT(
+          (CAST(SUM(CAST(ROUND(boot_mean * boot_mean, 6) AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(boot_mean AS DECIMAL(28,6))) AS DOUBLE)
+              * CAST(SUM(CAST(boot_mean AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+          / (COUNT(*) - 1)), 6) AS boot_se
+        FROM reps
+      ), ranked AS (
+        SELECT boot_mean AS m, ROW_NUMBER() OVER (ORDER BY boot_mean) AS rk FROM reps
+      ), ci AS (
+        SELECT lo.m AS ci_lo, hi.m AS ci_hi
+        FROM (SELECT m FROM ranked WHERE rk = 2) lo,
+             (SELECT m FROM ranked WHERE rk = 31) hi
+      )
+      SELECT CAST(b AS BIGINT) AS b, n_eff, boot_mean,
+        point_mean, boot_se, ci_lo, ci_hi
+      FROM reps, point, mstats, ci
+      ORDER BY b
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2272,5 +2381,5 @@ object Aggregations extends QueryModule {
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
-    aggInterpurchaseGaps, aggAnovaOneway)
+    aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap)
 }

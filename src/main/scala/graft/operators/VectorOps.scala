@@ -1454,7 +1454,117 @@ object VectorOps extends QueryModule {
     vecAnnIvfpq, vecAnnRecallReport, dedupEmbeddingAnn,
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
     sampleNegativePairs, vecLabelConfusion, sampleHardNegatives,
-    sampleCoresetKcenter, vecSilhouetteCentroid, vecTwonnIntrinsicDim)
+    sampleCoresetKcenter, vecSilhouetteCentroid, vecTwonnIntrinsicDim,
+    vecJlProjectionAudit)
+
+  /** Johnson–Lindenstrauss random-projection audit (SURVEY §2 I-sept):
+    * project the corpus to k=16 dims with a deterministic ±1/√k sign
+    * matrix (Achlioptas 2003 — database-friendly random projections:
+    * hash-derived signs, no float RNG) and measure how well pairwise
+    * squared distances survive on an id-bounded probe set (all pairs of
+    * vec_id < 50). Declared output: pair count, degenerate
+    * (zero-distance) count, mean/min/max distortion ratio
+    * d²₁₆/d²₆₄ (expectation 1 under JL), and the share of pairs within
+    * ±0.3 — the ACCEPT/REJECT number for "can this index/cluster stage
+    * run at k=16 instead of d=64?" (4× less memory and compute per
+    * comparison; the kNN/IVF/PQ rows all get cheaper when yes).
+    *
+    * Scale notes (100 TB): the projection is one explode-join-agg pass,
+    * n·d·k scalar rows map-side-combined to n·k — embarrassingly
+    * parallel, no quadratic stage; only the bounded probe set (50 ids
+    * → 1225 pairs) does pairwise work, and d is derived from the data
+    * (distinct positions), not hard-coded (ADVICE r6 #3 discipline).
+    * Determinism: per-term 12 dp rounding into DECIMAL sums; the sign
+    * magnitude 0.25 and the 2⁻³² uniform are exact powers of two.
+    */
+  val vecJlProjectionAudit = Q(
+    "vec_jl_projection_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      val ef = Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+        .select($"vec_id", $"i", $"x".cast(DoubleType).as("x"))
+      val signs = ef.select($"i").distinct()
+        .crossJoin(spark.range(16).select($"id".cast("int").as("j")))
+        .select($"i", $"j",
+          ((conv(substring(md5(concat($"i".cast("string"), lit("_"),
+            $"j".cast("string"))), 1, 4), 16, 10).cast("long") % 2) * 2 - 1)
+            .cast(DoubleType).multiply(0.25).as("s"))
+      val probe = ef.where($"vec_id" < 50)
+      val proj = probe.join(broadcast(signs), "i")
+        .groupBy($"vec_id", $"j")
+        .agg(sum(round($"x" * $"s", 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("p"))
+      val d64 = probe.select($"vec_id".as("va"), $"i", $"x".as("xa"))
+        .join(probe.select($"vec_id".as("vb"), $"i", $"x".as("xb")), "i")
+        .where($"va" < $"vb")
+        .groupBy($"va", $"vb")
+        .agg(sum(round(($"xa" - $"xb") * ($"xa" - $"xb"), 12)
+          .cast(DecimalType(38, 12))).cast(DoubleType).as("d2o"))
+      val d16 = proj.select($"vec_id".as("va"), $"j", $"p".as("pa"))
+        .join(proj.select($"vec_id".as("vb"), $"j", $"p".as("pb")), "j")
+        .where($"va" < $"vb")
+        .groupBy($"va", $"vb")
+        .agg(sum(round(($"pa" - $"pb") * ($"pa" - $"pb"), 12)
+          .cast(DecimalType(38, 12))).cast(DoubleType).as("d2p"))
+      val ratios = d64.join(d16, Seq("va", "vb"))
+        .select($"va", $"vb", $"d2o",
+          when($"d2o" > 0.0, round($"d2p" / $"d2o", 6)).as("ratio"))
+      ratios.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"ratio".isNull, 1L).otherwise(0L)).as("n_degenerate"),
+        round(sum($"ratio".cast(DecimalType(28, 6))).cast(DoubleType) /
+          count($"ratio"), 6).as("mean_ratio"),
+        round(min($"ratio"), 6).as("min_ratio"),
+        round(max($"ratio"), 6).as("max_ratio"),
+        round(sum(when(abs($"ratio" - 1.0) <= 0.3, 1L).otherwise(0L))
+          .cast(DoubleType) / count($"ratio"), 6).as("share_within_03"))
+    },
+    Some("""
+      WITH ef AS (
+        SELECT vec_id, pos AS i, CAST(v AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                UNNEST(embedding) AS v,
+                UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+      ), signs AS (
+        SELECT d.i, j.range AS j,
+          ((CAST('0x' || substr(md5(CAST(d.i AS VARCHAR) || '_' ||
+            CAST(j.range AS VARCHAR)), 1, 4) AS BIGINT) % 2) * 2 - 1) * 0.25 AS s
+        FROM (SELECT DISTINCT i FROM ef) d, range(0, 16) j
+      ), probe AS (
+        SELECT * FROM ef WHERE vec_id < 50
+      ), proj AS (
+        SELECT vec_id, j,
+          CAST(SUM(CAST(ROUND(x * s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS p
+        FROM probe JOIN signs USING (i)
+        GROUP BY vec_id, j
+      ), d64 AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          CAST(SUM(CAST(ROUND((a.x - b.x) * (a.x - b.x), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS d2o
+        FROM probe a JOIN probe b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+      ), d16 AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          CAST(SUM(CAST(ROUND((a.p - b.p) * (a.p - b.p), 12)
+            AS DECIMAL(38,12))) AS DOUBLE) AS d2p
+        FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+      ), ratios AS (
+        SELECT va, vb,
+          CASE WHEN d2o > 0.0 THEN ROUND(d2p / d2o, 6) END AS ratio
+        FROM d64 JOIN d16 USING (va, vb)
+      )
+      SELECT COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+        ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE) / COUNT(ratio), 6) AS mean_ratio,
+        ROUND(MIN(ratio), 6) AS min_ratio,
+        ROUND(MAX(ratio), 6) AS max_ratio,
+        ROUND(CAST(SUM(CASE WHEN ABS(ratio - 1.0) <= 0.3 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(ratio), 6) AS share_within_03
+      FROM ratios
+    """.stripMargin.trim))
 
   /** ANN-mined hard negatives (SURVEY §2 I-sext) — the production
     * counterpart to `sample_negative_pairs`' random baseline:

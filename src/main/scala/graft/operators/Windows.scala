@@ -1148,7 +1148,85 @@ object Windows extends QueryModule {
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
     winPeakDetection, winDrawdownDuration, winKadaneBurst,
-    winTheilSenTrend)
+    winTheilSenTrend, winAutocorrDaily)
+
+  /** Autocorrelation function of the daily revenue series at lags 1–7
+    * (SURVEY §2 I-sept) — the periodicity diagnostic the trend/anomaly
+    * family reads BEFORE choosing a window: EWMA and CUSUM assume
+    * near-independent residuals, the seasonal-anomaly row assumes a
+    * weekly cycle; ACF(1..7) is the measurement that says which is
+    * true (high ACF(7) = weekly seasonality, high ACF(1) = momentum,
+    * all ≈ 0 = white noise — alert thresholds can stay tight).
+    * ACF_k = Σ(x_t−m)(x_{t+k}−m) / Σ(x_t−m)² on the row-sequence of
+    * observed days.
+    *
+    * Scale notes (100 TB): one map-side-combinable daily rollup is the
+    * only fact-scale stage; the series table is calendar-bounded
+    * (~2.5k rows for 7 years), so the rn window and the lag pairing
+    * run on a bounded frame. The k-offset pairing is an EQUI-join
+    * (b.rn = a.rn + k after exploding k=1..7) — no theta join, no 7
+    * window passes. Determinism: deviations round at 6 dp off the
+    * exact-decimal daily sums, products at 12 dp into DECIMAL sums.
+    */
+  val winAutocorrDaily = Q(
+    "win_autocorr_daily",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.lineitem(spark, dir)
+        .groupBy($"l_shipdate")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+      val m = daily.agg(
+        count(lit(1)).as("n"),
+        sum($"rev".cast(DecimalType(38, 4))).as("s"))
+        .select($"n", ($"s".cast(DoubleType) / $"n").as("m"))
+      val dev = daily.crossJoin(broadcast(m))
+        .select($"l_shipdate", round($"rev".cast(DoubleType) - $"m", 6).as("dv"))
+        .withColumn("rn", row_number().over(Window.orderBy($"l_shipdate")))
+      val denom = dev.agg(
+        sum(round($"dv" * $"dv", 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("den"))
+      val pairs = dev.select($"rn", $"dv")
+        .withColumn("k", explode(sequence(lit(1L), lit(7L))))
+        .select(($"rn" + $"k").as("rn2"), $"k", $"dv".as("dv1"))
+        .join(dev.select($"rn".as("rn2"), $"dv".as("dv2")), "rn2")
+      pairs.groupBy($"k")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(round($"dv1" * $"dv2", 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("num"))
+        .crossJoin(broadcast(denom))
+        .select($"k".as("lag"), $"n_terms",
+          round($"num" / $"den", 6).as("acf"))
+        .orderBy($"lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_shipdate,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1
+      ), m AS (
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m
+        FROM daily
+      ), dev AS (
+        SELECT l_shipdate, ROUND(CAST(rev AS DOUBLE) - m, 6) AS dv,
+          ROW_NUMBER() OVER (ORDER BY l_shipdate) AS rn
+        FROM daily, m
+      ), denom AS (
+        SELECT CAST(SUM(CAST(ROUND(dv * dv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM dev
+      ), pairs AS (
+        SELECT a.rn + k.range AS rn2, k.range AS k, a.dv AS dv1
+        FROM dev a, range(1, 8) k
+      )
+      SELECT CAST(p.k AS BIGINT) AS lag, COUNT(*) AS n_terms,
+        ROUND(CAST(SUM(CAST(ROUND(p.dv1 * b.dv2, 12) AS DECIMAL(38,12))) AS DOUBLE)
+          / MIN(denom.den), 6) AS acf
+      FROM pairs p
+      JOIN (SELECT rn AS rn2, dv AS dv2 FROM dev) b USING (rn2), denom
+      GROUP BY p.k
+      ORDER BY lag
+    """.stripMargin.trim))
 
   /** Theil–Sen robust trend per supplier nation (SURVEY §2 I-sept) —
     * the median of all pairwise month-over-month slopes of the monthly

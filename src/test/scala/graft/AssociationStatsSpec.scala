@@ -422,4 +422,56 @@ class AssociationStatsSpec extends SparkSpecBase {
       assert(math.abs(aa - aaRef) < 1e-4, s"$an-$bn aa $aa vs $aaRef")
     }
   }
+  test("poisson bootstrap: replicate weights cover ~n, CI brackets the point mean sanely") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_poisson_bootstrap")(spark, sfDir)
+      .select($"b", $"n_eff", $"boot_mean".cast("double"), $"point_mean".cast("double"),
+        $"boot_se".cast("double"), $"ci_lo".cast("double"), $"ci_hi".cast("double"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 31L), "expected 32 replicates")
+    val n = Tables.orders(spark, sfDir).count()
+    // Poisson(1) weights: each replicate's effective n concentrates near n
+    assert(rows.forall(r => math.abs(r._2 - n) < 5 * math.sqrt(n.toDouble)),
+      "replicate effective n far from corpus size")
+    val (pm, se, lo, hi) = (rows.head._4, rows.head._5, rows.head._6, rows.head._7)
+    assert(rows.map(r => (r._4, r._5, r._6, r._7)).distinct.length == 1, "summary not constant")
+    assert(se > 0.0 && lo <= hi, "degenerate bootstrap spread")
+    // hand recompute SE and the rank-2/rank-31 CI from the replicate means
+    val ms = rows.map(_._3).sorted
+    val mbar = ms.sum / ms.length
+    val seRef = math.sqrt(ms.map(m => (m - mbar) * (m - mbar)).sum / (ms.length - 1))
+    assert(math.abs(se - seRef) < 1e-4, s"se $se vs $seRef")
+    assert(lo == ms(1) && hi == ms(30), "CI not the rank-2/rank-31 order statistics")
+    // the point mean sits inside (or at worst a hair outside) the 90% CI
+    assert(pm > lo - 3 * se && pm < hi + 3 * se, "point mean far outside the CI")
+  }
+
+  test("autocorr: lags 1..7, |acf| bounded by 1, term counts shrink by the lag") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("win_autocorr_daily")(spark, sfDir)
+      .select($"lag", $"n_terms", $"acf".cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    val nDays = Tables.lineitem(spark, sfDir).select($"l_shipdate").distinct().count()
+    assert(rows.forall(r => r._2 == nDays - r._1), "n_terms != n - k")
+    assert(rows.forall(r => math.abs(r._3) <= 1.0 + 1e-9), "|acf| above 1")
+  }
+
+  test("jl audit: full probe pair set, positive distances, ratio stats ordered and near 1") {
+    import spark.implicits._
+    val row = SparkEntry.queries("vec_jl_projection_audit")(spark, sfDir).collect().head
+    val nPairs = row.getAs[Long]("n_pairs")
+    val nDeg = row.getAs[Long]("n_degenerate")
+    val mean = row.getAs[Double]("mean_ratio")
+    val mn = row.getAs[Double]("min_ratio")
+    val mx = row.getAs[Double]("max_ratio")
+    val share = row.getAs[Double]("share_within_03")
+    val nProbe = Tables.embeddings(spark, sfDir).where($"vec_id" < 50).count()
+    assert(nPairs == nProbe * (nProbe - 1) / 2, "probe pairs not all-pairs")
+    assert(nDeg >= 0 && nDeg <= nPairs)
+    assert(mn > 0.0 && mn <= mean && mean <= mx, "ratio stats out of order")
+    // E[ratio] = 1 under JL; the mean over >1000 pairs concentrates hard
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean far from 1")
+    assert(share >= 0.0 && share <= 1.0)
+  }
 }
