@@ -2368,6 +2368,93 @@ object Aggregations extends QueryModule {
       ORDER BY b
     """.stripMargin.trim))
 
+  /** Neyman optimal stratified allocation (SURVEY §2 I-sept) — the
+    * sampling-budget allocator: given a 1000-row budget across the five
+    * market segments, allocate n_h ∝ N_h·s_h (Neyman 1934 — more rows
+    * where the metric is both plentiful AND volatile), then REALIZE the
+    * sample with a deterministic md5-uniform per order and report the
+    * achieved count next to the target. Proportional allocation ignores
+    * s_h; this is the minimum-variance design for estimating the mean —
+    * the `sample_mixture_temperature`/`sample_importance_weighted`
+    * family's missing "how many from each stratum" row.
+    *
+    * Scale notes (100 TB): two fact passes (one moment agg, one
+    * broadcast-rate sampling count), both map-side combinable on the
+    * 5-key segment; the allocation algebra lives on the 5-row table.
+    * Determinism: s_h rounds to 6 dp off exact decimal moments, the
+    * uniform is an md5 hex prefix over 2³² (lossless), and the rate
+    * comparison uses the same rounded literals in both engines.
+    */
+  val sampleStratifiedNeyman = Q(
+    "sample_stratified_neyman",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_custkey")
+        .join(Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+      val stats = base.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_h"),
+          sum($"o_totalprice".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"o_totalprice" * $"o_totalprice").cast(DecimalType(38, 10))).as("sxx"))
+        .select($"c_mktsegment", $"n_h",
+          round(sqrt(($"sxx".cast(DoubleType) -
+            $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n_h") /
+            ($"n_h" - 1)), 6).as("s_h"))
+        .withColumn("w_h", round($"n_h" * $"s_h", 6))
+      val tot = stats.agg(
+        sum($"w_h".cast(DecimalType(38, 6))).cast(DoubleType).as("wt"))
+      val alloc = stats.crossJoin(broadcast(tot))
+        .select($"c_mktsegment", $"n_h", $"s_h",
+          floor(lit(1000.0) * $"w_h" / $"wt").cast("long").as("alloc_n"))
+        .withColumn("rate", round($"alloc_n".cast(DoubleType) / $"n_h", 9))
+      val u = conv(substring(md5($"o_orderkey".cast("string")), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0)
+      val realized = base.join(broadcast(alloc.select($"c_mktsegment", $"rate")),
+          "c_mktsegment")
+        .groupBy($"c_mktsegment")
+        .agg(sum(when(u < $"rate", 1L).otherwise(0L)).as("n_sampled"))
+      alloc.join(realized, "c_mktsegment")
+        .select($"c_mktsegment", $"n_h", $"s_h", $"alloc_n", $"n_sampled",
+          round($"n_sampled".cast(DoubleType) / $"n_h", 6).as("realized_rate"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      ), stats AS (
+        SELECT c_mktsegment, COUNT(*) AS n_h,
+          ROUND(SQRT(
+            (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+              - CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                * CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1)), 6) AS s_h
+        FROM base GROUP BY 1
+      ), w AS (
+        SELECT *, ROUND(n_h * s_h, 6) AS w_h FROM stats
+      ), tot AS (
+        SELECT CAST(SUM(CAST(w_h AS DECIMAL(38,6))) AS DOUBLE) AS wt FROM w
+      ), alloc AS (
+        SELECT c_mktsegment, n_h, s_h,
+          CAST(FLOOR(1000.0 * w_h / wt) AS BIGINT) AS alloc_n,
+          ROUND(CAST(FLOOR(1000.0 * w_h / wt) AS BIGINT) / CAST(n_h AS DOUBLE), 9) AS rate
+        FROM w, tot
+      ), realized AS (
+        SELECT b.c_mktsegment,
+          CAST(SUM(CASE WHEN
+            CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 < a.rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM base b JOIN alloc a USING (c_mktsegment)
+        GROUP BY 1
+      )
+      SELECT a.c_mktsegment, CAST(a.n_h AS BIGINT) AS n_h, a.s_h, a.alloc_n,
+        r.n_sampled,
+        ROUND(CAST(r.n_sampled AS DOUBLE) / a.n_h, 6) AS realized_rate
+      FROM alloc a JOIN realized r USING (c_mktsegment)
+      ORDER BY a.c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2381,5 +2468,6 @@ object Aggregations extends QueryModule {
     aggMutualInformation, aggWelchTtest, aggMarketBasketLift,
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
-    aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap)
+    aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap,
+    sampleStratifiedNeyman)
 }

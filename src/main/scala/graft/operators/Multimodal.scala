@@ -72,5 +72,126 @@ object Multimodal extends QueryModule {
       ORDER BY doc_id, frame_idx
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(multimodalBinaryMeta, multimodalFrameSample)
+  /** Chunk manifest for parallel decode (SURVEY §2 I-sept): shard each
+    * opaque payload into fixed 1 KiB byte ranges with per-chunk SHA-256
+    * fingerprints — the blob-splitting step a media pipeline runs BEFORE
+    * fan-out decode, so each task pulls one bounded range instead of a
+    * whole video, and the per-chunk digest makes retries/dedup
+    * content-addressed. One row per chunk: offset, length, is_last,
+    * digest.
+    *
+    * Scale notes (100 TB): pure per-row explode — chunk count rides the
+    * scan with no shuffle at all; the manifest columns (offset/len) are
+    * integer algebra on octet_length, and substring-then-hash keeps the
+    * digest computable in both engines (the mapPartitions codec path
+    * doing real byte-range reads is MediaPipelineSpec territory).
+    */
+  val multimodalChunkManifest = Q(
+    "multimodal_chunk_manifest",
+    (spark, dir) => {
+      import spark.implicits._
+      val cs = 1024
+      Tables
+        .documents(spark, dir)
+        .select($"doc_id", $"text", octet_length($"text").as("n_bytes"))
+        .withColumn("n_chunks", expr(s"(n_bytes + ${cs - 1}) div $cs").cast("long"))
+        .select($"doc_id", $"text", $"n_bytes", $"n_chunks",
+          explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+        .select($"doc_id", $"n_bytes", $"n_chunks", $"chunk_idx",
+          ($"chunk_idx" * cs).as("byte_offset"),
+          least(lit(cs).cast("long"), $"n_bytes" - $"chunk_idx" * cs).as("chunk_len"),
+          ($"chunk_idx" === $"n_chunks" - 1).as("is_last"),
+          sha2($"text".substr(($"chunk_idx" * cs + 1).cast("int"), lit(cs))
+            .cast("binary"), 256).as("chunk_sha"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""
+      SELECT doc_id, n_bytes, n_chunks, chunk_idx,
+        chunk_idx * 1024 AS byte_offset,
+        LEAST(1024, n_bytes - chunk_idx * 1024) AS chunk_len,
+        chunk_idx = n_chunks - 1 AS is_last,
+        sha256(substr(text, CAST(chunk_idx * 1024 + 1 AS INTEGER), 1024)) AS chunk_sha
+      FROM (
+        SELECT doc_id, text, n_bytes,
+          CAST((n_bytes + 1023) // 1024 AS BIGINT) AS n_chunks,
+          CAST(UNNEST(range((n_bytes + 1023) // 1024)) AS BIGINT) AS chunk_idx
+        FROM (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+              FROM documents))
+      ORDER BY doc_id, chunk_idx
+    """.stripMargin.trim))
+
+  /** Aspect-ratio bucket statistics (SURVEY §2 I-sept) — the
+    * variable-resolution BATCH-SHAPING step of an image training
+    * pipeline: images only batch together when they share a shape, so
+    * each (width, height) from the fingerprint-derived dimensions is
+    * snapped to the nearest of a fixed 5-rung aspect ladder (0.5, 0.75,
+    * 1.0, 1.33, 2.0 — portrait→landscape), and the declared output is
+    * the per-bucket manifest: image count, mean megapixels, and how
+    * many batch-of-32 batches the bucket fills (padded last batch
+    * included — the padding-waste number bucketing exists to minimize).
+    *
+    * Scale notes: ratio snap is scalar algebra on the scan (the arg-min
+    * over 5 rungs is an inlined LEAST chain — no UDF); the rollup is a
+    * 5-group map-side-combinable agg. Determinism: the ratio and the
+    * rung distances round at 6 dp before comparison, so the snap
+    * decision is exact in both engines.
+    */
+  val multimodalAspectBucketStats = Q(
+    "multimodal_aspect_bucket_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.documents(spark, dir)
+        .select($"doc_id", sha2($"text".cast("binary"), 256).as("sha"))
+        .withColumn("width",
+          lit(64) + (ascii(substring($"sha", 1, 1)) * 256 + ascii(substring($"sha", 2, 1))) % 576)
+        .withColumn("height",
+          lit(64) + (ascii(substring($"sha", 3, 1)) * 256 + ascii(substring($"sha", 4, 1))) % 416)
+        .withColumn("ratio", round($"width".cast("double") / $"height", 6))
+      val rungs = Seq(0.5, 0.75, 1.0, 1.33, 2.0)
+      val dist = (r: Double) => round(abs($"ratio" - r), 6)
+      val best = rungs.map(r => struct(dist(r).as("d"), lit(r).as("rung")))
+        .reduce((a, b) => when(b("d") < a("d"), b).otherwise(a))
+      base.withColumn("bucket", best("rung"))
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_images"),
+          round(sum(($"width".cast("long") * $"height")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+            .cast("double") / count(lit(1)) / 1e6, 6).as("mean_mpix"),
+          expr("(count(1) + 31) div 32").as("n_batches"),
+          (count(lit(1)) % 32).as("last_batch_fill"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      SELECT bucket, COUNT(*) AS n_images,
+        ROUND(CAST(SUM(CAST(CAST(width AS BIGINT) * height AS DECIMAL(28,0))) AS DOUBLE)
+          / COUNT(*) / 1e6, 6) AS mean_mpix,
+        (COUNT(*) + 31) // 32 AS n_batches,
+        COUNT(*) % 32 AS last_batch_fill
+      FROM (
+        SELECT doc_id, width, height,
+          CASE
+            WHEN ROUND(ABS(ratio - 0.5), 6) = md THEN 0.5
+            WHEN ROUND(ABS(ratio - 0.75), 6) = md THEN 0.75
+            WHEN ROUND(ABS(ratio - 1.0), 6) = md THEN 1.0
+            WHEN ROUND(ABS(ratio - 1.33), 6) = md THEN 1.33
+            ELSE 2.0 END AS bucket
+        FROM (
+          SELECT doc_id, width, height,
+            ROUND(CAST(width AS DOUBLE) / height, 6) AS ratio,
+            LEAST(ROUND(ABS(ROUND(CAST(width AS DOUBLE) / height, 6) - 0.5), 6),
+                  ROUND(ABS(ROUND(CAST(width AS DOUBLE) / height, 6) - 0.75), 6),
+                  ROUND(ABS(ROUND(CAST(width AS DOUBLE) / height, 6) - 1.0), 6),
+                  ROUND(ABS(ROUND(CAST(width AS DOUBLE) / height, 6) - 1.33), 6),
+                  ROUND(ABS(ROUND(CAST(width AS DOUBLE) / height, 6) - 2.0), 6)) AS md
+          FROM (
+            SELECT doc_id,
+              64 + (ascii(substr(sha, 1, 1)) * 256 + ascii(substr(sha, 2, 1))) % 576 AS width,
+              64 + (ascii(substr(sha, 3, 1)) * 256 + ascii(substr(sha, 4, 1))) % 416 AS height
+            FROM (SELECT doc_id, sha256(text) AS sha FROM documents))))
+      GROUP BY bucket ORDER BY bucket
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(multimodalBinaryMeta, multimodalFrameSample,
+    multimodalChunkManifest, multimodalAspectBucketStats)
 }

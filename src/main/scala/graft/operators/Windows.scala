@@ -1148,7 +1148,116 @@ object Windows extends QueryModule {
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
     winPeakDetection, winDrawdownDuration, winKadaneBurst,
-    winTheilSenTrend, winAutocorrDaily)
+    winTheilSenTrend, winAutocorrDaily, winSeasonalityStrength)
+
+  /** Seasonality strength of the daily revenue series (SURVEY §2
+    * I-sept) — the STL-style decomposition number that tells the
+    * anomaly family whether a weekly profile is worth modeling:
+    * detrend with a centered 7-day moving average (full frames only),
+    * average the detrended series per weekday into the seasonal
+    * profile, and report strength = max(0, 1 − Var(resid)/Var(detr))
+    * (Hyndman's seasonal-strength statistic: 1 = pure weekly cycle,
+    * 0 = the profile explains nothing). Declared output: the 7-row
+    * weekday profile with the strength and both variances on every
+    * row. `win_autocorr_daily` DETECTS periodicity; this row MEASURES
+    * how much of the variance it owns.
+    *
+    * Scale notes (100 TB): the daily rollup is the only fact-scale
+    * stage; every window runs on the calendar-bounded series (~2.5k
+    * rows). Weekday is day-epoch arithmetic (datediff % 7), not a
+    * locale-dependent dayofweek. Determinism: deviations at 6 dp off
+    * exact-decimal sums, MA sums in DECIMAL before one double
+    * division, variance terms at 12 dp into DECIMAL moments.
+    */
+  val winSeasonalityStrength = Q(
+    "win_seasonality_strength",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.lineitem(spark, dir)
+        .groupBy($"l_shipdate")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+      val m = daily.agg(count(lit(1)).as("n"),
+        sum($"rev".cast(DecimalType(38, 4))).as("s"))
+        .select(($"s".cast(DoubleType) / $"n").as("m"))
+      val wMa = Window.orderBy($"l_shipdate").rowsBetween(-3, 3)
+      val detr = daily.crossJoin(broadcast(m))
+        .select($"l_shipdate", round($"rev".cast(DoubleType) - $"m", 6).as("dv"))
+        .withColumn("ma",
+          sum($"dv".cast(DecimalType(28, 6))).over(wMa).cast(DoubleType) / 7)
+        .withColumn("nf", count(lit(1)).over(wMa))
+        .where($"nf" === 7)
+        .select($"l_shipdate",
+          (datediff($"l_shipdate", lit("1992-01-01").cast("date")) % 7).as("wd"),
+          round($"dv" - round($"ma", 6), 6).as("detr"))
+      val seas = detr.groupBy($"wd")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum($"detr".cast(DecimalType(28, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("seasonal"))
+      val resid = detr.join(broadcast(seas.select($"wd", $"seasonal")), "wd")
+        .select($"detr", round($"detr" - $"seasonal", 6).as("resid"))
+      val vars = resid.agg(
+        count(lit(1)).as("n"),
+        sum($"detr".cast(DecimalType(28, 6))).as("sd"),
+        sum(round($"detr" * $"detr", 12).cast(DecimalType(38, 12))).as("sdd"),
+        sum($"resid".cast(DecimalType(28, 6))).as("sr"),
+        sum(round($"resid" * $"resid", 12).cast(DecimalType(38, 12))).as("srr"))
+        .select(
+          (($"sdd".cast(DoubleType) -
+            $"sd".cast(DoubleType) * $"sd".cast(DoubleType) / $"n") / $"n").as("vd"),
+          (($"srr".cast(DoubleType) -
+            $"sr".cast(DoubleType) * $"sr".cast(DoubleType) / $"n") / $"n").as("vr"))
+        .select(round($"vd", 6).as("var_detrended"), round($"vr", 6).as("var_residual"),
+          round(greatest(lit(0.0), lit(1.0) - $"vr" / nullif($"vd", lit(0.0d))), 6)
+            .as("strength"))
+      seas.crossJoin(broadcast(vars)).orderBy($"wd")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_shipdate,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY 1
+      ), m AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS m
+        FROM daily
+      ), detr AS (
+        SELECT l_shipdate,
+          datediff('day', DATE '1992-01-01', l_shipdate) % 7 AS wd,
+          ROUND(dv - ROUND(ma, 6), 6) AS detr
+        FROM (
+          SELECT l_shipdate, dv,
+            CAST(SUM(CAST(dv AS DECIMAL(28,6))) OVER (ORDER BY l_shipdate
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7 AS ma,
+            COUNT(*) OVER (ORDER BY l_shipdate
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nf
+          FROM (SELECT l_shipdate, ROUND(CAST(rev AS DOUBLE) - m, 6) AS dv
+                FROM daily, m))
+        WHERE nf = 7
+      ), seas AS (
+        SELECT wd, COUNT(*) AS n_days,
+          ROUND(CAST(SUM(CAST(detr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+            AS seasonal
+        FROM detr GROUP BY 1
+      ), vars AS (
+        SELECT
+          ROUND(vd, 6) AS var_detrended, ROUND(vr, 6) AS var_residual,
+          ROUND(GREATEST(0.0, 1.0 - vr / NULLIF(vd, 0.0)), 6) AS strength
+        FROM (
+          SELECT
+            (CAST(SUM(CAST(ROUND(detr * detr, 12) AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(detr AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(SUM(CAST(detr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS vd,
+            (CAST(SUM(CAST(ROUND(resid * resid, 12) AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(resid AS DECIMAL(28,6))) AS DOUBLE)
+                * CAST(SUM(CAST(resid AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) / COUNT(*) AS vr
+          FROM (
+            SELECT d.detr, ROUND(d.detr - s.seasonal, 6) AS resid
+            FROM detr d JOIN seas s USING (wd)))
+      )
+      SELECT wd, n_days, seasonal, var_detrended, var_residual, strength
+      FROM seas, vars
+      ORDER BY wd
+    """.stripMargin.trim))
 
   /** Autocorrelation function of the daily revenue series at lags 1–7
     * (SURVEY §2 I-sept) — the periodicity diagnostic the trend/anomaly

@@ -474,4 +474,45 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean far from 1")
     assert(share >= 0.0 && share <= 1.0)
   }
+  test("seasonality strength: weekday profile covers interior days, strength bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("win_seasonality_strength")(spark, sfDir)
+      .select($"wd", $"n_days", $"seasonal".cast("double"),
+        $"var_detrended".cast("double"), $"var_residual".cast("double"),
+        $"strength".cast("double"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 6L), "expected the 7 weekday rows")
+    // full 7-day frames exclude exactly the first and last 3 observed days
+    val nDays = Tables.lineitem(spark, sfDir).select($"l_shipdate").distinct().count()
+    assert(rows.map(_._2).sum == nDays - 6, "interior day coverage wrong")
+    val (vd, vr, st) = (rows.head._4, rows.head._5, rows.head._6)
+    assert(rows.map(r => (r._4, r._5, r._6)).distinct.length == 1, "summary not constant")
+    assert(vd > 0.0 && vr >= 0.0, "degenerate variances")
+    assert(st >= 0.0 && st <= 1.0 + 1e-9, s"strength $st outside [0,1]")
+    // removing the weekday means can only reduce variance up to rounding slack
+    assert(vr <= vd + 1e-3, s"residual variance $vr above detrended $vd")
+    assert(math.abs(st - math.max(0.0, 1.0 - vr / vd)) < 1e-5, "strength formula broken")
+  }
+
+  test("neyman allocation: budget respected, allocation tracks n_h*s_h, sampling realizes it") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("sample_stratified_neyman")(spark, sfDir)
+      .select($"c_mktsegment", $"n_h", $"s_h".cast("double"), $"alloc_n",
+        $"n_sampled", $"realized_rate".cast("double"))
+      .as[(String, Long, Double, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    val totalAlloc = rows.map(_._4).sum
+    assert(totalAlloc <= 1000 && totalAlloc > 1000 - 5, s"floor allocation $totalAlloc outside (995,1000]")
+    assert(rows.forall(r => r._3 > 0.0 && r._4 >= 0 && r._5 >= 0))
+    // Neyman monotonicity: allocation ordering follows the n_h*s_h weights
+    val byWeight = rows.sortBy(r => r._2 * r._3)
+    assert(byWeight.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "allocation not monotone in n_h*s_h")
+    // realized sample concentrates near the target (binomial, 5 sigma)
+    rows.foreach { r =>
+      val sd = math.sqrt(r._4.toDouble max 1.0)
+      assert(math.abs(r._5 - r._4) <= 5 * sd + 3,
+        s"${r._1} sampled ${r._5} far from target ${r._4}")
+    }
+  }
 }
