@@ -2295,6 +2295,10 @@ object Aggregations extends QueryModule {
         .when(u < 0.9999897508033253, 7L).otherwise(8L)
       val reps = Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_totalprice")
+        // explicit pre-explode split (the PCA lesson): the source is one
+        // parquet split at this SF, and 32× explode + md5 on a single
+        // task serializes the whole replicate fan-out
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("b", explode(sequence(lit(0L), lit(31L))))
         .withColumn("w", w)
         .groupBy($"b")
@@ -2455,6 +2459,90 @@ object Aggregations extends QueryModule {
       ORDER BY a.c_mktsegment
     """.stripMargin.trim))
 
+  /** Kaplan–Meier survival of the re-order interval (SURVEY §2 I-sept)
+    * — "what share of customers have NOT yet re-ordered by day t?", the
+    * censoring-aware churn curve `agg_interpurchase_gaps`' mean/median
+    * cannot give: a customer's LAST order contributes a right-censored
+    * duration (observed to the end of the order window, re-order never
+    * seen), and dropping those rows — what a naive mean does — biases
+    * the curve optimistic. KM: at each distinct event day t_i,
+    * S ← S·(1 − d_i/n_i) with n_i = subjects still at risk; declared in
+    * ln space (12 dp ln terms, exact decimal cumsum — libm exp is not
+    * cross-engine ulp-stable, ln of exact ratios is), one row per event
+    * day with at-risk/event/censored-so-far counts.
+    *
+    * Scale notes (100 TB): durations are one custkey-keyed lead window
+    * (the per-customer shuffle every order query shares); everything
+    * after rides the bounded distinct-duration FREQUENCY table (one
+    * ordered window over ≤ a few hundred distinct gap lengths — the
+    * `win_rank_global_scalable` discipline). The d_i = n_i extinction
+    * point (S → 0, ln → −∞), provably only possible at the LAST event
+    * time, is excluded: the declared curve ends at the last
+    * positive-survival step.
+    */
+  val aggSurvivalKm = Q(
+    "agg_survival_km",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir).select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      val wc = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val horizon = o.agg(max($"o_orderdate").as("hz"))
+      val durs = o
+        .withColumn("nxt", lead($"o_orderdate", 1).over(wc))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when($"nxt".isNotNull, datediff($"nxt", $"o_orderdate"))
+            .otherwise(datediff($"hz", $"o_orderdate")).cast("long").as("t"),
+          when($"nxt".isNotNull, 1L).otherwise(0L).as("ev"))
+      val freq = durs.groupBy($"t")
+        .agg(count(lit(1)).as("c"), sum($"ev").as("d"))
+      val total = freq.agg(sum($"c").as("n_total"))
+      val wt = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+      val wcum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      freq.crossJoin(broadcast(total))
+        .withColumn("n_risk", $"n_total" - coalesce(sum($"c").over(wt), lit(0L)))
+        .where($"d" > 0 && $"d" < $"n_risk")
+        .withColumn("lnterm",
+          round(log(lit(1.0) - $"d".cast(DoubleType) / $"n_risk"), 12))
+        .withColumn("ln_surv",
+          round(sum($"lnterm".cast(DecimalType(28, 12))).over(wcum)
+            .cast(DoubleType), 6))
+        .select($"t".as("t_days"), $"n_risk", $"d".as("d_events"), $"ln_surv")
+        .orderBy($"t_days")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey,
+          LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS nxt
+        FROM orders
+      ), durs AS (
+        SELECT
+          CASE WHEN nxt IS NOT NULL THEN datediff('day', o_orderdate, nxt)
+               ELSE datediff('day', o_orderdate, (SELECT MAX(o_orderdate) FROM orders))
+          END AS t,
+          CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM o
+      ), freq AS (
+        SELECT t, COUNT(*) AS c, SUM(ev) AS d FROM durs GROUP BY 1
+      ), risk AS (
+        SELECT t, d,
+          (SELECT SUM(c) FROM freq) - COALESCE(SUM(c) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM freq
+      ), curve AS (
+        SELECT t, n_risk, d,
+          ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 12) AS lnterm
+        FROM risk WHERE d > 0 AND d < n_risk
+      )
+      SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        CAST(d AS BIGINT) AS d_events,
+        ROUND(CAST(SUM(CAST(lnterm AS DECIMAL(28,12))) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS ln_surv
+      FROM curve
+      ORDER BY t_days
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2469,5 +2557,5 @@ object Aggregations extends QueryModule {
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
     aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap,
-    sampleStratifiedNeyman)
+    sampleStratifiedNeyman, aggSurvivalKm)
 }

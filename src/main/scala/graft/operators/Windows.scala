@@ -1148,7 +1148,133 @@ object Windows extends QueryModule {
     winEwmaDyadic, winParetoFront, winIntervalUnionLength,
     winMaxDrawdown, winRollingCorr, winCusumChangepoint,
     winPeakDetection, winDrawdownDuration, winKadaneBurst,
-    winTheilSenTrend, winAutocorrDaily, winSeasonalityStrength)
+    winTheilSenTrend, winAutocorrDaily, winSeasonalityStrength,
+    winHurstExponent)
+
+  /** Hurst exponent of the daily revenue series by rescaled-range (R/S)
+    * analysis (SURVEY §2 I-sept) — the LONG-memory diagnostic that
+    * completes the short-memory trio (`win_autocorr_daily` lags 1–7,
+    * `win_seasonality_strength` the weekly cycle): split the series
+    * into non-overlapping blocks of 8/16/32/64/128 days, compute each
+    * block's rescaled range R/S (range of the cumulative
+    * mean-adjusted deviations over the block std), and fit
+    * ln E[R/S] = H·ln n + c. H ≈ 0.5 = random walk (alert thresholds
+    * hold), H → 1 = trending/persistent (z-score windows understate
+    * risk), H < 0.5 = mean-reverting.
+    *
+    * Scale notes (100 TB): one fact-scale daily rollup; the block
+    * machinery rides the calendar-bounded series × 5 block sizes, with
+    * every window partitioned by (block size, block id). Determinism:
+    * block sizes are powers of two so the block-mean division is a
+    * lossless scalar; deviations at 6 dp, squared/cumulative terms at
+    * 12 dp into DECIMAL sums; the OLS fit reuses the Heaps-law exact
+    * moment recipe on the bounded 5-point table.
+    */
+  val winHurstExponent = Q(
+    "win_hurst_exponent",
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = Tables.lineitem(spark, dir)
+        .groupBy($"l_shipdate")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+        .withColumn("rn", row_number().over(Window.orderBy($"l_shipdate")))
+        .select($"rn", $"rev")
+      val sized = daily
+        .withColumn("bs", explode(array(Seq(8, 16, 32, 64, 128).map(lit): _*)))
+        .withColumn("g", expr("(rn - 1) div bs"))
+      val wBlk = Window.partitionBy($"bs", $"g")
+      val wCum = Window.partitionBy($"bs", $"g").orderBy($"rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = sized
+        .withColumn("nb", count(lit(1)).over(wBlk))
+        .where($"nb" === $"bs")
+        // block mean: exact decimal sum over the block / a power of two —
+        // the division is a lossless double scalar
+        .withColumn("mb",
+          sum($"rev".cast(DecimalType(38, 4))).over(wBlk).cast(DoubleType) / $"bs")
+        .withColumn("dv", round($"rev".cast(DoubleType) - $"mb", 6))
+        .withColumn("w",
+          sum($"dv".cast(DecimalType(28, 6))).over(wCum).cast(DoubleType))
+        .groupBy($"bs", $"g")
+        .agg(
+          (max($"w") - min($"w")).as("r"),
+          sqrt(sum(round($"dv" * $"dv", 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType) / first($"bs")).as("sd"))
+        .where($"sd" > 0.0)
+        .select($"bs", round(log($"r" / $"sd"), 12).as("lnrs"))
+      val pts = blocks.groupBy($"bs")
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum($"lnrs".cast(DecimalType(28, 12))).cast(DoubleType) /
+            count(lit(1)), 12).as("y"))
+        .select($"bs", $"n_blocks", round(log($"bs".cast(DoubleType)), 12).as("x"), $"y")
+      val fit = pts.agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast(DecimalType(28, 12))).cast(DoubleType).as("sx"),
+        sum($"y".cast(DecimalType(28, 12))).cast(DoubleType).as("sy"),
+        sum(round($"x" * $"y", 12).cast(DecimalType(28, 12))).cast(DoubleType).as("sxy"),
+        sum(round($"x" * $"x", 12).cast(DecimalType(28, 12))).cast(DoubleType).as("sxx"))
+        .select(round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("hurst"))
+      pts.crossJoin(broadcast(fit))
+        .select($"bs".cast("long").as("block_size"), $"n_blocks",
+          round($"y", 6).as("mean_ln_rs"), $"hurst")
+        .orderBy($"block_size")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY l_shipdate) AS rn, rev
+        FROM (
+          SELECT l_shipdate,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+          FROM lineitem GROUP BY 1)
+      ), sized AS (
+        SELECT rn, rev, bs.v AS bs, (rn - 1) // bs.v AS g
+        FROM daily, (VALUES (8), (16), (32), (64), (128)) bs(v)
+      ), framed AS (
+        SELECT bs, g, rn, rev,
+          COUNT(*) OVER (PARTITION BY bs, g) AS nb,
+          CAST(SUM(CAST(rev AS DECIMAL(38,4))) OVER (PARTITION BY bs, g)
+            AS DOUBLE) / bs AS mb
+        FROM sized
+      ), devs AS (
+        SELECT bs, g, rn, ROUND(CAST(rev AS DOUBLE) - mb, 6) AS dv
+        FROM framed WHERE nb = bs
+      ), walks AS (
+        SELECT bs, g, dv,
+          CAST(SUM(CAST(dv AS DECIMAL(28,6))) OVER (PARTITION BY bs, g
+            ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS w
+        FROM devs
+      ), blocks AS (
+        SELECT bs, ROUND(LN((MAX(w) - MIN(w)) / sd), 12) AS lnrs
+        FROM (
+          SELECT bs, g, w, dv,
+            SQRT(CAST(SUM(CAST(ROUND(dv * dv, 12) AS DECIMAL(38,12)))
+              OVER (PARTITION BY bs, g) AS DOUBLE) / bs) AS sd
+          FROM walks)
+        GROUP BY bs, g, sd
+        HAVING sd > 0.0
+      ), pts AS (
+        SELECT bs, COUNT(*) AS n_blocks,
+          ROUND(LN(CAST(bs AS DOUBLE)), 12) AS x,
+          ROUND(CAST(SUM(CAST(lnrs AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 12) AS y
+        FROM blocks GROUP BY bs
+      ), fit AS (
+        SELECT ROUND(
+          (COUNT(*) * CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE)
+            - CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              * CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE))
+          / (COUNT(*) * CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+            - CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+              * CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)), 6) AS hurst
+        FROM pts
+      )
+      SELECT CAST(bs AS BIGINT) AS block_size, n_blocks,
+        ROUND(y, 6) AS mean_ln_rs, hurst
+      FROM pts, fit
+      ORDER BY block_size
+    """.stripMargin.trim))
 
   /** Seasonality strength of the daily revenue series (SURVEY §2
     * I-sept) — the STL-style decomposition number that tells the

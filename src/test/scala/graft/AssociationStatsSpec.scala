@@ -515,4 +515,69 @@ class AssociationStatsSpec extends SparkSpecBase {
         s"${r._1} sampled ${r._5} far from target ${r._4}")
     }
   }
+  test("kaplan-meier: risk set shrinks, survival falls, matches a driver-side recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_survival_km")(spark, sfDir)
+      .select($"t_days", $"n_risk", $"d_events", $"ln_surv".cast("double"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.head._2 <= Tables.orders(spark, sfDir).count(), "risk set above subjects")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 < a._2, "risk set must strictly shrink between event days")
+        assert(b._4 <= a._4 + 1e-12, "survival increased")
+      case _ =>
+    }
+    assert(rows.forall(r => r._3 >= 1 && r._3 < r._2), "events outside (0, n_risk)")
+    assert(rows.forall(_._4 <= 1e-12), "positive log-survival")
+    // recompute the whole curve from raw durations (censor at max date)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val hz = Tables.orders(spark, sfDir).agg(max($"o_orderdate").as("hz"))
+    val durs = Tables.orders(spark, sfDir)
+      .withColumn("nxt", lead($"o_orderdate", 1).over(w))
+      .crossJoin(broadcast(hz))
+      .select(
+        when($"nxt".isNotNull, datediff($"nxt", $"o_orderdate"))
+          .otherwise(datediff($"hz", $"o_orderdate")).cast("long").as("t"),
+        when($"nxt".isNotNull, 1).otherwise(0).as("ev"))
+      .as[(Long, Int)].collect()
+    val n = durs.length
+    val byT = durs.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.count(_._2 == 1).toLong)).toMap
+    var atRisk = n.toLong; var lnS = 0.0
+    val ref = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    for (t <- byT.keys.toSeq.sorted) {
+      val (c, d) = byT(t)
+      if (d > 0 && d < atRisk) {
+        lnS += math.log(1.0 - d.toDouble / atRisk)
+        ref(t) = (atRisk, d, lnS)
+      }
+      atRisk -= c
+    }
+    for ((t, nr, d, ls) <- rows) {
+      val (nrR, dR, lsR) = ref(t)
+      assert(nr == nrR && d == dR, s"t=$t risk/event mismatch")
+      assert(math.abs(ls - lsR) < 1e-4, s"t=$t ln_surv $ls vs $lsR")
+    }
+    assert(rows.length == ref.size, "curve length mismatch")
+  }
+
+  test("hurst: five dyadic block sizes, R/S grows with n, H in a sane band") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("win_hurst_exponent")(spark, sfDir)
+      .select($"block_size", $"n_blocks", $"mean_ln_rs".cast("double"),
+        $"hurst".cast("double"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L, 128L))
+    val nDays = Tables.lineitem(spark, sfDir).select($"l_shipdate").distinct().count()
+    assert(rows.forall(r => r._2 <= nDays / r._1 && r._2 >= 1), "block counts off")
+    // rescaled range grows with block length for any non-degenerate series
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "mean ln(R/S) not increasing in n")
+    val h = rows.head._4
+    assert(rows.forall(_._4 == h), "hurst not constant")
+    // OLS slope of 5 increasing points stays in a generous (0, 1.25) band
+    assert(h > 0.0 && h < 1.25, s"hurst $h outside (0,1.25)")
+  }
 }
