@@ -47,7 +47,8 @@ object Bench {
     // below then measure each query's OWN plan, not whichever family
     // member happened to run first
     val sharedStageS = operators.TextOps.prepareSharedStages(spark, sfDir) +
-      operators.VectorOps.prepareSharedStages(spark, sfDir)
+      operators.VectorOps.prepareSharedStages(spark, sfDir) +
+      operators.Flagships.prepareSharedStages(spark, sfDir)
     // (name, seconds, succeeded) — a failed query records its
     // elapsed-until-throw time AND lands in the errors list, so a crash
     // can never masquerade as a fast clean run (ADVICE round 3)

@@ -797,6 +797,39 @@ object Flagships extends QueryModule {
       ORDER BY s_suppkey
     """.stripMargin.trim))
 
+  /** Directed nation-level trade edges (src nation → dst nation, exact
+    * decimal revenue weight) — the ONE fact-scale stage every graph-family
+    * query (PageRank, LPA, k-core, Adamic–Adar) starts from, memoized per
+    * corpus and localCheckpointed at its bounded ≤ n² size (the same
+    * shared-stage discipline as the shingle/codebook/kNN caches; Bench
+    * clocks the build on the shared-stage line, not whichever graph query
+    * runs first).
+    */
+  private val edgeCache = new graft.PlanCache(2)
+
+  def nationTradeEdges(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fresh = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"src", $"dst")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+    edgeCache.getOrCompute(fresh)(_.coalesce(1).localCheckpoint(true))
+  }
+
+  /** Bench hook: build (and clock) the shared edge table outside any
+    * individual graph query's timer. */
+  def prepareSharedStages(spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    nationTradeEdges(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** WEIGHTED PAGERANK over the nation-level trade graph — iterative
     * graph analytics beyond reachability (the CC/triangle family in
     * TextOps): edges are (supplier nation → customer nation) weighted
@@ -828,16 +861,7 @@ object Flagships extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
-      val edges = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
-          $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
-          $"o_custkey" === $"c_custkey")
-        .groupBy($"src", $"dst")
-        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+      val edges = nationTradeEdges(spark, dir)
         .select($"src", $"dst",
           ($"wgt".cast(DoubleType) / sum($"wgt").over(w).cast(DoubleType)).as("ratio"))
         // nation-pair sized (≤625 rows): 1 partition keeps every
@@ -955,16 +979,7 @@ object Flagships extends QueryModule {
     "graph_label_propagation",
     (spark, dir) => {
       import spark.implicits._
-      val e0 = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
-          $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
-          $"o_custkey" === $"c_custkey")
-        .groupBy($"src", $"dst")
-        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+      val e0 = nationTradeEdges(spark, dir)
       // Symmetrize, then SPARSIFY to each node's top-3 heaviest partners
       // (kNN-graph community detection): on this corpus every nation
       // trades with every other, and majority LPA on a near-complete
@@ -1085,16 +1100,7 @@ object Flagships extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val k = 8
-      val e0 = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey".as("src"))),
-          $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey".as("dst"))),
-          $"o_custkey" === $"c_custkey")
-        .groupBy($"src", $"dst")
-        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+      val e0 = nationTradeEdges(spark, dir)
       val und = e0.where($"src" =!= $"dst")
         .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"), $"wgt")
         .groupBy($"u", $"v")
@@ -1197,17 +1203,13 @@ object Flagships extends QueryModule {
     "graph_adamic_adar",
     (spark, dir) => {
       import spark.implicits._
-      val und = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-        .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(spark, dir)
-          .select($"s_suppkey", $"s_nationkey".as("src"))), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(Tables.customer(spark, dir)
-          .select($"c_custkey", $"c_nationkey".as("dst"))), $"o_custkey" === $"c_custkey")
+      // undirected weights fold the shared directed edges: decimal
+      // addition is exact, so the two-step sum equals the one-shot
+      // fact-level aggregation the oracle mirrors
+      val und = nationTradeEdges(spark, dir)
         .where($"src" =!= $"dst")
         .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("wgt"))
+        .agg(sum($"wgt").as("wgt"))
         // bounded (≤ nation²/2 rows): one global rank is a single tiny task
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
