@@ -2543,6 +2543,81 @@ object Aggregations extends QueryModule {
       ORDER BY t_days
     """.stripMargin.trim))
 
+  /** Cumulative-gains deciles of customer revenue (SURVEY §2 I-sept) —
+    * the 80/20 TABLE behind `agg_gini_concentration`'s single number:
+    * customers ranked by lifetime spend, cut into spend-rank deciles,
+    * each row reporting its customer count, revenue share, and the
+    * cumulative share ("the top 10% hold X%") — the gains/CAP curve a
+    * targeting model is judged against and the skew profile a
+    * partitioner wants before keying anything by customer.
+    *
+    * Scale notes (100 TB): per-customer spend is one fact-scale
+    * map-side-combinable agg; the decile assignment follows the
+    * `win_rank_global_scalable` recipe — the ONLY ordered window runs
+    * over the bounded DISTINCT-spend frequency table (desc cumulative
+    * count), each distinct spend maps to ⌈cum·10/N⌉ by EXACT integer
+    * arithmetic, and the spend→decile map joins back on the spend key
+    * (co-partitioned, no global sort). Ties share a decile by
+    * construction, so decile sizes can differ — that is data, not
+    * nondeterminism.
+    */
+  val aggGainsDeciles = Q(
+    "agg_gains_deciles",
+    (spark, dir) => {
+      import spark.implicits._
+      val spend = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).as("sp"))
+      val n = spend.agg(count(lit(1)).as("n"),
+        sum($"sp".cast(DecimalType(38, 2))).as("tot"))
+      val wDesc = Window.orderBy($"sp".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dmap = spend.groupBy($"sp").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wDesc))
+        .crossJoin(broadcast(n.select($"n")))
+        .select($"sp", expr("(cum * 10 + n - 1) div n").as("decile"))
+      spend.join(dmap, "sp")
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"sp".cast(DecimalType(38, 2))).as("rev"))
+        .crossJoin(broadcast(n.select($"tot")))
+        .withColumn("rev_share",
+          round($"rev".cast(DoubleType) / $"tot".cast(DoubleType), 6))
+        .withColumn("cum_share",
+          round(sum($"rev".cast(DecimalType(38, 2)))
+            .over(Window.orderBy($"decile")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType) / $"tot".cast(DoubleType), 6))
+        .select($"decile", $"n_customers", $"rev_share", $"cum_share")
+        .orderBy($"decile")
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM orders GROUP BY 1
+      ), n AS (
+        SELECT COUNT(*) AS n, SUM(CAST(sp AS DECIMAL(38,2))) AS tot FROM spend
+      ), dmap AS (
+        SELECT sp, (cum * 10 + n.n - 1) // n.n AS decile
+        FROM (
+          SELECT sp, SUM(c) OVER (ORDER BY sp DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (SELECT sp, COUNT(*) AS c FROM spend GROUP BY 1)), n
+      ), dec AS (
+        SELECT decile, COUNT(*) AS n_customers,
+          SUM(CAST(spend.sp AS DECIMAL(38,2))) AS rev
+        FROM spend JOIN dmap USING (sp)
+        GROUP BY 1
+      )
+      SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        ROUND(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+        ROUND(CAST(SUM(CAST(rev AS DECIMAL(38,2))) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(tot AS DOUBLE), 6) AS cum_share
+      FROM dec, n
+      ORDER BY decile
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2557,5 +2632,5 @@ object Aggregations extends QueryModule {
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
     aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap,
-    sampleStratifiedNeyman, aggSurvivalKm)
+    sampleStratifiedNeyman, aggSurvivalKm, aggGainsDeciles)
 }

@@ -1455,7 +1455,94 @@ object VectorOps extends QueryModule {
     vecOodCentroidZscore, vecHammingTopk, vecPcaPowerIteration,
     sampleNegativePairs, vecLabelConfusion, sampleHardNegatives,
     sampleCoresetKcenter, vecSilhouetteCentroid, vecTwonnIntrinsicDim,
-    vecJlProjectionAudit)
+    vecJlProjectionAudit, vecEmbeddingDrift)
+
+  /** Embedding drift between interleaved corpus halves (SURVEY §2
+    * I-sept): per label, the cosine between the centroid of the even
+    * vec_ids and the centroid of the odd vec_ids (plus the squared L2
+    * shift and both half-counts) — the EMBEDDING-space counterpart of
+    * `etl_psi_drift`'s scalar drift: when a re-encoded or re-crawled
+    * batch lands, a label whose half-centroids disagree (cos < ~0.99)
+    * has moved in representation space and its cached kNN/IVF/PQ
+    * structures are stale. The even/odd split is the deterministic
+    * null baseline — on a HOMOGENEOUS corpus halves agree, so any
+    * disagreement is structure, not sampling noise.
+    *
+    * Scale notes (100 TB): centroids are the `vec_centroid_per_label`
+    * exact-decimal recipe keyed on (label, half, dim) — shuffle size
+    * independent of row count; the cosine/shift algebra runs on the
+    * bounded label×dim centroid table with 12 dp terms into DECIMAL
+    * sums (§2.0 rule 7).
+    */
+  val vecEmbeddingDrift = Q(
+    "vec_embedding_drift",
+    (spark, dir) => {
+      import spark.implicits._
+      val cent = Tables.embeddings(spark, dir)
+        .select($"label", ($"vec_id" % 2).as("half"),
+          posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"half", $"pos")
+        .agg((sum($"v".cast(DoubleType).cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).cast(DecimalType(18, 8))
+          .cast(DoubleType).as("c"))
+      val counts = Tables.embeddings(spark, dir)
+        .groupBy($"label", ($"vec_id" % 2).as("half"))
+        .agg(count(lit(1)).as("n"))
+      val a = cent.where($"half" === 0).select($"label", $"pos", $"c".as("ca"))
+      val b = cent.where($"half" === 1).select($"label", $"pos", $"c".as("cb"))
+      val alg = a.join(b, Seq("label", "pos"))
+        .groupBy($"label")
+        .agg(
+          sum(round($"ca" * $"cb", 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("dotab"),
+          sum(round($"ca" * $"ca", 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("na"),
+          sum(round($"cb" * $"cb", 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("nb"),
+          sum(round(($"ca" - $"cb") * ($"ca" - $"cb"), 12).cast(DecimalType(38, 12)))
+            .cast(DoubleType).as("l2"))
+      val n0 = counts.where($"half" === 0).select($"label", $"n".as("n_even"))
+      val n1 = counts.where($"half" === 1).select($"label", $"n".as("n_odd"))
+      alg.join(n0, "label").join(n1, "label")
+        .select($"label", $"n_even", $"n_odd",
+          round($"dotab" / nullif(sqrt($"na") * sqrt($"nb"), lit(0.0d)), 6)
+            .as("cos_centroids"),
+          round($"l2", 6).as("l2_shift_sq"))
+        .orderBy($"label")
+    },
+    Some("""
+      WITH cent AS (
+        SELECT label, half, pos,
+          CAST(CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+            / COUNT(*) AS DECIMAL(18,8)) AS DOUBLE) AS c
+        FROM (SELECT label, vec_id % 2 AS half,
+                UNNEST(embedding) AS v,
+                UNNEST(range(len(embedding))) AS pos
+              FROM embeddings)
+        GROUP BY 1, 2, 3
+      ), counts AS (
+        SELECT label, vec_id % 2 AS half, COUNT(*) AS n
+        FROM embeddings GROUP BY 1, 2
+      ), alg AS (
+        SELECT a.label,
+          CAST(SUM(CAST(ROUND(a.c * b.c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dotab,
+          CAST(SUM(CAST(ROUND(a.c * a.c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS na,
+          CAST(SUM(CAST(ROUND(b.c * b.c, 12) AS DECIMAL(38,12))) AS DOUBLE) AS nb,
+          CAST(SUM(CAST(ROUND((a.c - b.c) * (a.c - b.c), 12) AS DECIMAL(38,12))) AS DOUBLE) AS l2
+        FROM (SELECT label, pos, c FROM cent WHERE half = 0) a
+        JOIN (SELECT label, pos, c FROM cent WHERE half = 1) b
+          USING (label, pos)
+        GROUP BY 1
+      )
+      SELECT label,
+        n0.n AS n_even, n1.n AS n_odd,
+        ROUND(dotab / NULLIF(SQRT(na) * SQRT(nb), 0.0), 6) AS cos_centroids,
+        ROUND(l2, 6) AS l2_shift_sq
+      FROM alg
+      JOIN (SELECT label, n FROM counts WHERE half = 0) n0 USING (label)
+      JOIN (SELECT label, n FROM counts WHERE half = 1) n1 USING (label)
+      ORDER BY label
+    """.stripMargin.trim))
 
   /** Johnson–Lindenstrauss random-projection audit (SURVEY §2 I-sept):
     * project the corpus to k=16 dims with a deterministic ±1/√k sign

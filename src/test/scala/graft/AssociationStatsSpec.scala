@@ -580,4 +580,25 @@ class AssociationStatsSpec extends SparkSpecBase {
     // OLS slope of 5 increasing points stays in a generous (0, 1.25) band
     assert(h > 0.0 && h < 1.25, s"hurst $h outside (0,1.25)")
   }
+  test("gains deciles: partition customers, shares sum to 1, curve concave from the top") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_gains_deciles")(spark, sfDir)
+      .select($"decile", $"n_customers", $"rev_share".cast("double"),
+        $"cum_share".cast("double"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    val nCust = Tables.orders(spark, sfDir).select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust, "deciles don't partition customers")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares don't sum to 1")
+    assert(math.abs(rows.last._4 - 1.0) < 1e-4, "cumulative share doesn't reach 1")
+    // decile 1 holds the biggest spenders: per-capita revenue must be
+    // non-increasing down the deciles
+    val perCap = rows.map(r => r._3 / r._2)
+    assert(perCap.sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12),
+      "per-capita revenue not decreasing down the deciles")
+    // cumulative share is the prefix sum of the shares
+    val prefix = rows.map(_._3).scanLeft(0.0)(_ + _).tail
+    rows.zip(prefix).foreach { case (r, p) =>
+      assert(math.abs(r._4 - p) < 1e-4, s"decile ${r._1} cum ${r._4} vs $p") }
+  }
 }

@@ -416,4 +416,36 @@ class VectorOpsSpec extends SparkSpecBase {
       .as[(Long, Double, Double)].collect()
     assert(knn.forall(r => r._2 >= r._3 - 1e-9), "rank-1 cosine below rank-2")
   }
+  test("embedding drift: halves cover the corpus, cos and shift match a recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("vec_embedding_drift")(spark, sfDir)
+      .select($"label", $"n_even", $"n_odd", $"cos_centroids".cast("double"),
+        $"l2_shift_sq".cast("double"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r._2 + r._3).sum ==
+      Tables.embeddings(spark, sfDir).count(), "halves don't cover the corpus")
+    assert(rows.forall(r => r._4 <= 1.0 + 1e-9 && r._4 >= -1.0 - 1e-9), "cos outside [-1,1]")
+    assert(rows.forall(_._5 >= 0.0), "negative squared shift")
+    // hand recompute both statistics from raw embeddings (this fixture's
+    // label centroids sit near the origin, so the cosine is small — the
+    // check is the ALGEBRA, not a cluster-tightness assumption)
+    val raw = Tables.embeddings(spark, sfDir)
+      .select($"label", ($"vec_id" % 2).as("half"), $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    for ((label, _, _, cos, l2) <- rows) {
+      def centroid(h: Long): Array[Double] = {
+        val vs = raw.filter(r => r._1 == label && r._2 == h).map(_._3)
+        val d = vs.head.length
+        Array.tabulate(d)(i => vs.map(_(i).toDouble).sum / vs.length)
+      }
+      val (ca, cb) = (centroid(0), centroid(1))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ca.map(x => x * x).sum)
+      val nb = math.sqrt(cb.map(x => x * x).sum)
+      assert(math.abs(cos - dot / (na * nb)) < 1e-3, s"label $label cos $cos")
+      val l2Ref = ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(l2 - l2Ref) < 1e-3, s"label $label l2 $l2 vs $l2Ref")
+    }
+  }
 }
