@@ -620,4 +620,35 @@ class PlanSpec extends SparkSpecBase {
       s"iterations must read the checkpointed vector, not re-derive the Gram:\n$p")
     assert(df.count() == 5)
   }
+  test("sample_poisson_bootstrap: replicate fan-out partial-aggregates before the 32-group shuffle") {
+    val p = planString(operators.Aggregations.samplePoissonBootstrap.fn(spark, sfDir))
+    assert(p.contains("Generate"), s"replicate explode missing:\n$p")
+    assert(p.contains("HashAggregate"), s"expected map-side partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bootstrap must not shuffle-join the fact table:\n$p")
+  }
+
+  test("agg_gains_deciles: decile map rides the frequency table, no fact-table global sort") {
+    val df = operators.Aggregations.aggGainsDeciles.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains("Window"), s"expected the bounded frequency-table window:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial-aggregated spend rollup:\n$p")
+    // the only BroadcastNestedLoop allowed is the 1-row totals cross join;
+    // customer-spend assignment must stay a key-equi join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"spend->decile assignment must be an equi join:\n$p")
+  }
+
+  test("vec_jl_projection_audit: sign matrix broadcasts, projection partial-aggregates") {
+    val p = planString(operators.VectorOps.vecJlProjectionAudit.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"sign-matrix join must broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"projection must hash-aggregate:\n$p")
+  }
+
+  test("multimodal_chunk_manifest: pure scan + explode, no join or aggregation anywhere") {
+    val p = planString(operators.Multimodal.multimodalChunkManifest.fn(spark, sfDir))
+    assert(p.contains("Generate"), s"chunk explode missing:\n$p")
+    assert(!p.contains("Join"), s"manifest must not join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"manifest must not aggregate:\n$p")
+  }
 }
