@@ -2618,6 +2618,72 @@ object Aggregations extends QueryModule {
       ORDER BY decile
     """.stripMargin.trim))
 
+  /** A/B-test power sizing (SURVEY §2 I-sept) — the minimum detectable
+    * effect (MDE) for the AUTOMOBILE-vs-BUILDING account-balance
+    * contrast `agg_welch_ttest` tests after the fact: at α = 0.05
+    * (two-sided) and 80% power, MDE = (z₀.₉₇₅ + z₀.₈₀)·√(s²_a/n_a +
+    * s²_b/n_b) — the experiment-design number that says what effect
+    * size THIS sample could even see (running the t-test without it is
+    * how underpowered "no significant difference" conclusions happen).
+    * Declared with the absolute MDE, the MDE relative to the control
+    * mean, and the per-arm n required to halve it (4× the current n —
+    * the √n law made concrete).
+    *
+    * Scale notes: one k=2 map-side-combinable moment agg; all sizing
+    * algebra is scalar on the 2-row table. z literals are shared
+    * IEEE-754 constants in both engines; variances come off exact
+    * decimal moments with the §2.0 rounding discipline.
+    */
+  val aggMdePower = Q(
+    "agg_mde_power",
+    (spark, dir) => {
+      import spark.implicits._
+      val zsum = 1.959963984540054 + 0.8416212335729143
+      val m = Tables.customer(spark, dir)
+        .where($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"c_acctbal".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(38, 10))).as("sxx"))
+        .select($"c_mktsegment", $"n",
+          ($"sx".cast(DoubleType) / $"n").as("mean"),
+          (($"sxx".cast(DoubleType) -
+            $"sx".cast(DoubleType) * $"sx".cast(DoubleType) / $"n") /
+            ($"n" - 1)).as("v"))
+      val a = m.where($"c_mktsegment" === "AUTOMOBILE")
+        .select($"n".as("n_a"), $"mean".as("mean_a"), $"v".as("v_a"))
+      val b = m.where($"c_mktsegment" === "BUILDING")
+        .select($"n".as("n_b"), $"v".as("v_b"))
+      a.crossJoin(broadcast(b))
+        .select($"n_a", $"n_b",
+          round(lit(zsum) * sqrt($"v_a" / $"n_a" + $"v_b" / $"n_b"), 6).as("mde_abs"),
+          round(lit(zsum) * sqrt($"v_a" / $"n_a" + $"v_b" / $"n_b") /
+            nullif($"mean_a", lit(0.0d)), 6).as("mde_rel"),
+          ($"n_a" * 4).as("n_a_for_half_mde"),
+          ($"n_b" * 4).as("n_b_for_half_mde"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+          (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+            / (COUNT(*) - 1) AS v
+        FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')
+        GROUP BY 1
+      ), a AS (SELECT n AS n_a, mean AS mean_a, v AS v_a FROM m WHERE c_mktsegment = 'AUTOMOBILE'),
+         b AS (SELECT n AS n_b, v AS v_b FROM m WHERE c_mktsegment = 'BUILDING')
+      SELECT n_a, n_b,
+        ROUND((1.959963984540054 + 0.8416212335729143)
+          * SQRT(v_a / n_a + v_b / n_b), 6) AS mde_abs,
+        ROUND((1.959963984540054 + 0.8416212335729143)
+          * SQRT(v_a / n_a + v_b / n_b) / NULLIF(mean_a, 0.0), 6) AS mde_rel,
+        n_a * 4 AS n_a_for_half_mde,
+        n_b * 4 AS n_b_for_half_mde
+      FROM a, b
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2632,5 +2698,5 @@ object Aggregations extends QueryModule {
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
     aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap,
-    sampleStratifiedNeyman, aggSurvivalKm, aggGainsDeciles)
+    sampleStratifiedNeyman, aggSurvivalKm, aggGainsDeciles, aggMdePower)
 }

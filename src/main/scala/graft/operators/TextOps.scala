@@ -1980,7 +1980,8 @@ object TextOps extends QueryModule {
     textVocabCoverage, sampleClassBalanced, sampleTimeHoldout,
     sampleGroupKfold,
     textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
-    textJsDivergenceLangpair, textCcnetQualityBuckets, textHeapsLaw)
+    textJsDivergenceLangpair, textCcnetQualityBuckets, textHeapsLaw,
+    textLangidConfusion)
 
   /** Jensen–Shannon divergence between every language pair's unigram
     * distributions (SURVEY §2 I-sext) — the symmetric, bounded corpus
@@ -3155,5 +3156,86 @@ object TextOps extends QueryModule {
           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
       FROM curve, fit
       ORDER BY batch
+    """.stripMargin.trim))
+
+  /** Language-ID confusion matrix (SURVEY §2 I-sept) — the EVALUATION of
+    * `text_langid_ngram` against the corpus's labeled `lang` column:
+    * one cell per (true, predicted) pair plus the overall accuracy on
+    * every row. The langid row produces predictions; this row is the
+    * quality gate a pipeline actually routes on (per-language recall
+    * decides whether the cheap n-gram filter may gate ingestion for
+    * that language or must fall through to a real classifier).
+    *
+    * Scale notes: same fact-scale token aggregation as the langid row
+    * (map-side combinable marker counts per doc), then the confusion
+    * rollup is a ≤ |langs|² bounded agg; accuracy is an exact BIGINT
+    * ratio. Tie-break mirrors langid exactly (first alphabetical
+    * language at the best score).
+    */
+  val textLangidConfusion = Q(
+    "text_langid_confusion",
+    (spark, dir) => {
+      import spark.implicits._
+      val markers = Map(
+        "en" -> Seq("the", "a", "and", "of", "fast", "slow"),
+        "de" -> Seq("der", "die", "und", "das", "ein"),
+        "es" -> Seq("el", "la", "los", "y", "un"),
+        "fr" -> Seq("le", "la", "les", "et", "un"),
+        "zh" -> Seq("de", "shi", "le", "zai", "he"))
+      val tok = tokens(Tables.documents(spark, dir))
+      val scores = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
+        count(when($"tok".isin(ws: _*), 1)).as(s"score_$l")
+      }
+      val scored = tok.groupBy($"doc_id").agg(scores.head, scores.tail: _*)
+      val langs = markers.keys.toSeq.sorted
+      val bestScore = greatest(langs.map(l => col(s"score_$l")): _*)
+      val predExpr = langs.foldRight(lit("??")) { (l, acc) =>
+        when(col(s"score_$l") === $"best_score", lit(l)).otherwise(acc)
+      }
+      val pred = scored.withColumn("best_score", bestScore)
+        .select($"doc_id", predExpr.as("pred_lang"))
+      val cells = Tables.documents(spark, dir).select($"doc_id", $"lang")
+        .join(pred, "doc_id")
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n"))
+      val acc = cells.agg(
+        round(sum(when($"lang" === $"pred_lang", $"n").otherwise(0L))
+          .cast(DoubleType) / sum($"n"), 6).as("accuracy"))
+      cells.crossJoin(broadcast(acc)).orderBy($"lang", $"pred_lang")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+          COUNT(CASE WHEN tok IN ('der','die','und','das','ein') THEN 1 END) AS score_de,
+          COUNT(CASE WHEN tok IN ('the','a','and','of','fast','slow') THEN 1 END) AS score_en,
+          COUNT(CASE WHEN tok IN ('el','la','los','y','un') THEN 1 END) AS score_es,
+          COUNT(CASE WHEN tok IN ('le','la','les','et','un') THEN 1 END) AS score_fr,
+          COUNT(CASE WHEN tok IN ('de','shi','le','zai','he') THEN 1 END) AS score_zh
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY doc_id
+      ), pred AS (
+        SELECT doc_id,
+          CASE GREATEST(score_de, score_en, score_es, score_fr, score_zh)
+            WHEN score_de THEN 'de'
+            WHEN score_en THEN 'en'
+            WHEN score_es THEN 'es'
+            WHEN score_fr THEN 'fr'
+            WHEN score_zh THEN 'zh'
+            ELSE '??' END AS pred_lang
+        FROM scored
+      ), cells AS (
+        SELECT lang, pred_lang, COUNT(*) AS n
+        FROM documents JOIN pred USING (doc_id)
+        GROUP BY 1, 2
+      ), acc AS (
+        SELECT ROUND(CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS DOUBLE)
+          / SUM(n), 6) AS accuracy
+        FROM cells
+      )
+      SELECT lang, pred_lang, n, accuracy
+      FROM cells, acc
+      ORDER BY lang, pred_lang
     """.stripMargin.trim))
 }

@@ -601,4 +601,29 @@ class AssociationStatsSpec extends SparkSpecBase {
     rows.zip(prefix).foreach { case (r, p) =>
       assert(math.abs(r._4 - p) < 1e-4, s"decile ${r._1} cum ${r._4} vs $p") }
   }
+  test("mde power: consistent with the welch moments, scales with the sqrt-n law") {
+    import spark.implicits._
+    val row = SparkEntry.queries("agg_mde_power")(spark, sfDir).collect().head
+    val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    val mdeAbs = row.getAs[Double]("mde_abs")
+    val mdeRel = row.getAs[Double]("mde_rel")
+    assert(mdeAbs > 0.0 && mdeRel > 0.0)
+    assert(row.getAs[Long]("n_a_for_half_mde") == na * 4)
+    assert(row.getAs[Long]("n_b_for_half_mde") == nb * 4)
+    // recompute from raw balances: mde = (z975 + z80) * se_welch
+    val g = Tables.customer(spark, sfDir)
+      .where($"c_mktsegment".isin("AUTOMOBILE", "BUILDING"))
+      .select($"c_mktsegment", $"c_acctbal".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def varOf(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val (a, b) = (g("AUTOMOBILE"), g("BUILDING"))
+    assert(na == a.length && nb == b.length)
+    val se = math.sqrt(varOf(a) / a.length + varOf(b) / b.length)
+    val ref = (1.959963984540054 + 0.8416212335729143) * se
+    assert(math.abs(mdeAbs - ref) < 1e-4, s"mde $mdeAbs vs $ref")
+    assert(math.abs(mdeRel - ref / (a.sum / a.length)) < 1e-6, "relative mde inconsistent")
+  }
 }

@@ -426,4 +426,26 @@ class TextOpsSpec extends SparkSpecBase {
       assert(beta > 0.0, "vocab grew but beta is 0")
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 outside [0,1]")
   }
+  test("langid confusion: cells cover the corpus, diagonal matches langid predictions") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
+      .select($"lang", $"pred_lang", $"n", $"accuracy".cast("double"))
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.map(_._3).sum == docs.count(), "cells don't cover the corpus")
+    val acc = rows.head._4
+    assert(rows.forall(_._4 == acc), "accuracy not constant")
+    assert(acc >= 0.0 && acc <= 1.0)
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(math.abs(acc - diag.toDouble / rows.map(_._3).sum) < 1e-6, "accuracy != diagonal share")
+    // cross-check against the langid row's predictions joined to labels
+    val pred = SparkEntry.queries("text_langid_ngram")(spark, sfDir)
+      .select($"doc_id", $"pred_lang")
+    val refCells = docs.select($"doc_id", $"lang").join(pred, "doc_id")
+      .groupBy($"lang", $"pred_lang").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { r =>
+      assert(refCells.getOrElse((r._1, r._2), 0L) == r._3,
+        s"cell (${r._1},${r._2}) ${r._3} vs ${refCells.getOrElse((r._1, r._2), 0L)}") }
+  }
 }
