@@ -1233,7 +1233,69 @@ object EtlOps extends QueryModule {
       LIMIT 15
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
+  /** Ledger reconciliation of the order-header total against its lines
+    * (SURVEY §2 I-sept): TPC-H's own invariant o_totalprice =
+    * Σ l_extendedprice·(1+l_tax)·(1−l_discount) checked per order
+    * status — the cross-table DQ audit `etl_dq_audit` (single-table
+    * nulls/ranges) and `etl_fk_orphan_audit` (key existence) don't
+    * cover: VALUE consistency between a rollup and its detail. Declared
+    * per status: order count, headers with no lines, mismatches beyond
+    * a 0.01 tolerance, and the worst absolute difference.
+    *
+    * Scale notes (100 TB): one map-side-combinable per-order line
+    * rollup, one co-partitioned orderkey equi-join, one bounded status
+    * rollup. Determinism: the recomputed total is EXACT decimal algebra
+    * end to end (price × (1−disc) × (1+tax) at fixed scales), so the
+    * tolerance compare has no float anywhere.
+    */
+  val etlReconciliationTotals = Q(
+    "etl_reconciliation_totals",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.Tables.dec
+      val lineSum = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount", 18, 2))
+          * (lit(1) + dec($"l_tax", 18, 2))).as("recomputed"))
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderstatus", dec($"o_totalprice").as("header"))
+        .join(lineSum, $"o_orderkey" === $"l_orderkey", "left")
+        .select($"o_orderstatus",
+          $"recomputed".isNull.as("no_lines"),
+          when($"recomputed".isNotNull,
+            abs($"header" - $"recomputed".cast(DecimalType(38, 6))))
+            .as("adiff"))
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when($"no_lines", 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when($"adiff" > lit(new java.math.BigDecimal("0.01")), 1L)
+            .otherwise(0L)).as("n_mismatch"),
+          max($"adiff").cast(DecimalType(18, 6)).as("max_abs_diff"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""
+      WITH linesum AS (
+        SELECT l_orderkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+            * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS recomputed
+        FROM lineitem GROUP BY 1
+      )
+      SELECT o_orderstatus,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        CAST(SUM(CASE WHEN ABS(CAST(o_totalprice AS DECIMAL(18,2))
+          - CAST(recomputed AS DECIMAL(38,6))) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mismatch,
+        CAST(MAX(ABS(CAST(o_totalprice AS DECIMAL(18,2))
+          - CAST(recomputed AS DECIMAL(38,6)))) AS DECIMAL(18,6)) AS max_abs_diff
+      FROM orders LEFT JOIN linesum ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(etlReconciliationTotals,
+    etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,
     etlRowChecksumAudit, sqlCorrelatedScalar, etlFkOrphanAudit,

@@ -1280,11 +1280,101 @@ object Flagships extends QueryModule {
       LIMIT 10
     """.stripMargin.trim))
 
+  /** Degree assortativity of the nation trade graph (SURVEY §2 I-sept)
+    * — Newman's r: the Pearson correlation of the degrees at the two
+    * ends of every undirected edge (both orientations, the standard
+    * symmetrization). r > 0 = hubs trade with hubs (a core-periphery
+    * failure won't cascade far), r < 0 = hubs bridge the periphery
+    * (hub loss fragments the graph) — the one-number structural
+    * summary the rank/group/cohesion/prediction rows don't state.
+    *
+    * Scale notes: rides the SAME memoized fact-scale edge stage as the
+    * rest of the graph family, thinned to the top-50 revenue backbone
+    * (the raw graph is near-complete — zero degree variance makes r
+    * undefined); degrees and moments live on the bounded pair table. Determinism: every moment (Σx, Σx², Σxy
+    * over integer degrees) is EXACT integer arithmetic — the only
+    * doubles are the final scalar correlation, identical in both
+    * engines.
+    */
+  lazy val graphAssortativity = Q(
+    "graph_assortativity",
+    (spark, dir) => {
+      import spark.implicits._
+      // the raw nation graph is near-complete (degree variance 0 →
+      // undefined r), so the statistic runs on the same top-50 revenue
+      // backbone the Adamic–Adar row predicts against
+      val und = nationTradeEdges(spark, dir)
+        .where($"src" =!= $"dst")
+        .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .agg(sum($"wgt").as("wgt"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"wgt".desc, $"a", $"b")))
+        .where($"rk" <= 50)
+        .select($"a", $"b")
+      val nb = und.select($"a".as("u"), $"b".as("w"))
+        .unionAll(und.select($"b".as("u"), $"a".as("w")))
+      val degc = nb.groupBy($"u").agg(count(lit(1)).as("deg"))
+      val ends = nb
+        .join(broadcast(degc.select($"u", $"deg".as("dx"))), "u")
+        .join(broadcast(degc.select($"u".as("w"), $"deg".as("dy"))), "w")
+      val m = ends.agg(
+        count(lit(1)).as("n_ends"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"),
+        sum($"dy" * $"dy").as("syy"))
+      m.select(
+        expr("n_ends div 2").as("n_edges"),
+        round(($"n_ends" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+          nullif(sqrt(($"n_ends" * $"sxx" - $"sx" * $"sx").cast(DoubleType)) *
+            sqrt(($"n_ends" * $"syy" - $"sy" * $"sy").cast(DoubleType)), lit(0.0d)),
+          6).as("assortativity"))
+    },
+    Some("""
+      WITH und AS (
+        SELECT a, b FROM (
+          SELECT a, b, ROW_NUMBER() OVER (ORDER BY wgt DESC, a, b) AS rk
+          FROM (
+            SELECT LEAST(s_nationkey, c_nationkey) AS a,
+              GREATEST(s_nationkey, c_nationkey) AS b,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2))
+        WHERE rk <= 50
+      ), nb AS (
+        SELECT a AS u, b AS w FROM und
+        UNION ALL SELECT b AS u, a AS w FROM und
+      ), degc AS (
+        SELECT u, COUNT(*) AS deg FROM nb GROUP BY 1
+      ), ends AS (
+        SELECT dx.deg AS dx, dy.deg AS dy
+        FROM nb
+        JOIN degc dx ON nb.u = dx.u
+        JOIN degc dy ON nb.w = dy.u
+      ), m AS (
+        SELECT COUNT(*) AS n_ends,
+          SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+          SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+        FROM ends
+      )
+      SELECT CAST(n_ends // 2 AS BIGINT) AS n_edges,
+        ROUND(CAST(n_ends * sxy - sx * sy AS DOUBLE)
+          / NULLIF(SQRT(CAST(n_ends * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n_ends * syy - sy * sy AS DOUBLE)), 0.0), 6) AS assortativity
+      FROM m
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
     tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation,
-    graphKcoreTrade, graphAdamicAdar)
+    graphKcoreTrade, graphAdamicAdar, graphAssortativity)
 }

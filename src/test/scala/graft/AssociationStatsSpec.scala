@@ -626,4 +626,34 @@ class AssociationStatsSpec extends SparkSpecBase {
     assert(math.abs(mdeAbs - ref) < 1e-4, s"mde $mdeAbs vs $ref")
     assert(math.abs(mdeRel - ref / (a.sum / a.length)) < 1e-6, "relative mde inconsistent")
   }
+  test("reconciliation: statuses cover all orders, mismatch decision matches exact recompute") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("etl_reconciliation_totals")(spark, sfDir)
+      .select($"o_orderstatus", $"n_orders", $"n_no_lines", $"n_mismatch",
+        $"max_abs_diff".cast("double"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._2).sum == Tables.orders(spark, sfDir).count(),
+      "statuses don't cover all orders")
+    assert(rows.forall(r => r._3 + r._4 <= r._2), "mismatch+no_lines above order count")
+    // exact recompute of one status's mismatch count with BigDecimal algebra
+    val recomputed = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1) - $"l_discount".cast("decimal(18,2)")) *
+        (lit(1) + $"l_tax".cast("decimal(18,2)"))).as("rc"))
+    val joined = Tables.orders(spark, sfDir)
+      .join(recomputed, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderstatus", $"o_totalprice".cast("decimal(18,2)").as("h"),
+        $"rc".cast("decimal(38,6)").as("rc"))
+      .as[(String, java.math.BigDecimal, java.math.BigDecimal)].collect()
+    val tol = new java.math.BigDecimal("0.01")
+    val refMis = joined.groupBy(_._1).view.mapValues(_.count { case (_, h, rc) =>
+      rc != null && h.subtract(rc).abs.compareTo(tol) > 0 }).toMap
+    val refNo = joined.groupBy(_._1).view.mapValues(_.count(_._3 == null)).toMap
+    rows.foreach { r =>
+      assert(r._4 == refMis(r._1), s"${r._1} mismatch ${r._4} vs ${refMis(r._1)}")
+      assert(r._3 == refNo(r._1), s"${r._1} no-lines ${r._3} vs ${refNo(r._1)}")
+      assert(r._5 >= 0.0)
+    }
+  }
 }

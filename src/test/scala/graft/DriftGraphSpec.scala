@@ -289,4 +289,33 @@ class DriftGraphSpec extends SparkSpecBase {
     assert(math.abs(top.getAs[Double]("z") - zHand) < 1e-3,
       s"z ${top.getAs[Double]("z")} vs hand $zHand")
   }
+  test("assortativity: backbone Pearson r matches a driver-side recompute, in [-1,1]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("graph_assortativity")(spark, sfDir).collect().head
+    val nEdges = row.getAs[Long]("n_edges")
+    val r = row.getAs[Double]("assortativity")
+    assert(nEdges <= 50 && nEdges > 0)
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"r $r outside [-1,1]")
+    // rebuild the same top-50 backbone and correlate end degrees by hand
+    val edges = graft.operators.Flagships.nationTradeEdges(spark, sfDir)
+      .where($"src" =!= $"dst")
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(sum($"wgt").as("w"))
+      .select($"a", $"b", $"w".cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .sortBy(t => (-t._3, t._1, t._2)).take(50).map(t => (t._1, t._2))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ends = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = ends.length.toDouble
+    val sx = ends.map(_._1).sum.toDouble; val sy = ends.map(_._2).sum.toDouble
+    val sxy = ends.map(e => e._1 * e._2).sum.toDouble
+    val sxx = ends.map(e => e._1 * e._1).sum.toDouble
+    val syy = ends.map(e => e._2 * e._2).sum.toDouble
+    val ref = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(nEdges == edges.length)
+    assert(math.abs(r - ref) < 1e-4, s"r $r vs recompute $ref")
+  }
 }
