@@ -2684,6 +2684,57 @@ object Aggregations extends QueryModule {
       FROM a, b
     """.stripMargin.trim))
 
+  /** DAU/MAU stickiness per month (SURVEY §2 I-sept) — the engagement
+    * ratio product teams steer by: mean daily-active users over
+    * monthly-active users (1.0 = every monthly user shows up daily,
+    * ~1/30 = everyone is a drive-by), next to the raw MAU and the mean
+    * DAU that form it. `agg_dau_new_returning` splits WHO the actives
+    * are; this row says how HABITUAL they are.
+    *
+    * Scale notes (100 TB): both distinct counts are exact and
+    * partial-aggregated — DAU per (month, day) and MAU per month key
+    * the same shuffle family; the stickiness algebra rides the bounded
+    * month table. Exact BIGINT ratio at 6 dp.
+    */
+  val aggDauMauStickiness = Q(
+    "agg_dau_mau_stickiness",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(date_trunc("month", $"ts").cast("date").as("month"),
+          $"ts".cast("date").as("d"), $"user_id")
+      val dau = ev.groupBy($"month", $"d")
+        .agg(countDistinct($"user_id").as("dau"))
+        .groupBy($"month")
+        .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"))
+      val mau = ev.groupBy($"month")
+        .agg(countDistinct($"user_id").as("mau"))
+      dau.join(mau, "month")
+        .select($"month", $"n_days", $"mau",
+          round($"sum_dau".cast(DoubleType) / $"n_days", 6).as("mean_dau"),
+          round($"sum_dau".cast(DoubleType) / $"n_days" / $"mau", 6).as("stickiness"))
+        .orderBy($"month")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+          CAST(ts AS DATE) AS d, user_id
+        FROM events
+      ), dau AS (
+        SELECT month, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+        FROM (SELECT month, d, COUNT(DISTINCT user_id) AS dau
+              FROM ev GROUP BY 1, 2)
+        GROUP BY 1
+      ), mau AS (
+        SELECT month, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1
+      )
+      SELECT month, n_days, mau,
+        ROUND(CAST(sum_dau AS DOUBLE) / n_days, 6) AS mean_dau,
+        ROUND(CAST(sum_dau AS DOUBLE) / n_days / mau, 6) AS stickiness
+      FROM dau JOIN mau USING (month)
+      ORDER BY month
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
@@ -2698,5 +2749,6 @@ object Aggregations extends QueryModule {
     aggFunnelLatency, aggAttributionLastTouch, aggCohortLtvCurve,
     aggMarkovStationary, aggDauNewReturning, aggEntropyRateMarkov,
     aggInterpurchaseGaps, aggAnovaOneway, samplePoissonBootstrap,
-    sampleStratifiedNeyman, aggSurvivalKm, aggGainsDeciles, aggMdePower)
+    sampleStratifiedNeyman, aggSurvivalKm, aggGainsDeciles, aggMdePower,
+    aggDauMauStickiness)
 }

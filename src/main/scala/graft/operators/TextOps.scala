@@ -1981,7 +1981,7 @@ object TextOps extends QueryModule {
     sampleGroupKfold,
     textLshScurveAudit, textNgramNoveltyRate, textRakeKeywords,
     textJsDivergenceLangpair, textCcnetQualityBuckets, textHeapsLaw,
-    textLangidConfusion)
+    textLangidConfusion, textSourceOverlapMatrix)
 
   /** Jensen–Shannon divergence between every language pair's unigram
     * distributions (SURVEY §2 I-sext) — the symmetric, bounded corpus
@@ -3237,5 +3237,72 @@ object TextOps extends QueryModule {
       SELECT lang, pred_lang, n, accuracy
       FROM cells, acc
       ORDER BY lang, pred_lang
+    """.stripMargin.trim))
+
+  /** Cross-source shingle overlap (SURVEY §2 I-sept) — the PROVENANCE
+    * duplication matrix: for the top source pairs, what share of source
+    * A's distinct 3-gram shingles also appear in source B? The
+    * corpus-curation question the DOC-level dedup rows never answer —
+    * "is crawl X already substantially inside dump Y?" decides whether
+    * a source earns its ingest cost at all (and directed containment
+    * catches the subset case symmetric Jaccard hides). Top-20 directed
+    * pairs by overlap share with deterministic tiebreaks.
+    *
+    * Scale notes (100 TB): rides the row-local shingle construction
+    * (zero-shuffle 3-gram formation), then ONE distinct over (source,
+    * shingle) — cardinality bounded by corpus tokens, shuffled on the
+    * shingle key — and a shingle-keyed co-partitioned self-join whose
+    * output is source-pair bounded. Sizes broadcast back. Exact BIGINT
+    * ratio at 6 dp.
+    */
+  val textSourceOverlapMatrix = Q(
+    "text_source_overlap_matrix",
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val ss = shingles(docs)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .select($"source", $"shingle").distinct()
+      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+      val inter = ss.select($"source".as("a_source"), $"shingle")
+        .join(ss.select($"source".as("b_source"), $"shingle"), "shingle")
+        .where($"a_source" =!= $"b_source")
+        .groupBy($"a_source", $"b_source")
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(broadcast(sizes.select($"source".as("a_source"), $"n_shingles")), "a_source")
+        .select($"a_source", $"b_source", $"n_shared",
+          round($"n_shared".cast(DoubleType) / $"n_shingles", 6).as("overlap_frac"))
+        .orderBy($"overlap_frac".desc, $"a_source", $"b_source")
+        .limit(20)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), ss AS (
+        SELECT DISTINCT d.source, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        JOIN documents d ON a.doc_id = d.doc_id
+      ), sizes AS (
+        SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY 1
+      ), inter AS (
+        SELECT x.source AS a_source, y.source AS b_source, COUNT(*) AS n_shared
+        FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.source <> y.source
+        GROUP BY 1, 2
+      )
+      SELECT a_source, b_source, n_shared,
+        ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_frac
+      FROM inter JOIN sizes ON a_source = sizes.source
+      ORDER BY overlap_frac DESC, a_source, b_source
+      LIMIT 20
     """.stripMargin.trim))
 }

@@ -656,4 +656,20 @@ class AssociationStatsSpec extends SparkSpecBase {
       assert(r._5 >= 0.0)
     }
   }
+  test("stickiness: bounded by 1/n_days and 1, components agree with direct counts") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("agg_dau_mau_stickiness")(spark, sfDir)
+      .select($"month".cast("string"), $"n_days", $"mau",
+        $"mean_dau".cast("double"), $"stickiness".cast("double"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._5 > 0.0 && r._5 <= 1.0 + 1e-9, s"stickiness ${r._5} outside (0,1]")
+      assert(r._4 <= r._3 + 1e-9, "mean DAU above MAU")
+      assert(math.abs(r._5 - r._4 / r._3) < 1e-5, "stickiness != mean_dau/mau")
+    }
+    // months cover every event day; total distinct users bound MAU
+    val nDays = Tables.events(spark, sfDir).select($"ts".cast("date")).distinct().count()
+    assert(rows.map(_._2).sum == nDays, "month day counts don't cover the corpus")
+  }
 }

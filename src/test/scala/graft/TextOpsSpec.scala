@@ -448,4 +448,27 @@ class TextOpsSpec extends SparkSpecBase {
       assert(refCells.getOrElse((r._1, r._2), 0L) == r._3,
         s"cell (${r._1},${r._2}) ${r._3} vs ${refCells.getOrElse((r._1, r._2), 0L)}") }
   }
+  test("source overlap: directed shares in (0,1], top pair verified against set algebra") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("text_source_overlap_matrix")(spark, sfDir)
+      .select($"a_source", $"b_source", $"n_shared", $"overlap_frac".cast("double"))
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(r => r._1 != r._2), "self pair leaked")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0 + 1e-9), "share outside (0,1]")
+    // exact set-algebra recompute of every reported pair
+    val sets = docs.select($"doc_id", $"source", lower($"text").as("t"))
+      .as[(Long, String, String)].collect()
+      .groupBy(_._2).view.mapValues { ds =>
+        ds.flatMap { case (_, _, t) =>
+          val toks = t.split(" ").filter(_.nonEmpty)
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        }.toSet
+      }.toMap
+    rows.foreach { case (a, b, n, f) =>
+      val inter = (sets(a) & sets(b)).size
+      assert(inter == n, s"$a->$b shared $n vs $inter")
+      assert(math.abs(f - inter.toDouble / sets(a).size) < 1e-6, s"$a->$b share $f")
+    }
+  }
 }
