@@ -19,6 +19,16 @@ object Verify {
     // of query names, so tools/parity.py iterations don't pay all ~265.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A subset run leaves every non-selected query's parquet from an older
+    // full run in place — drop a loud marker so a later parity sweep over
+    // this outDir can't be mistaken for full verification output, and
+    // remove it again when a full run rewrites everything.
+    val marker = Paths.get(s"$outDir/PARTIAL_RUN_ONLY")
+    only match {
+      case Some(sel) => Files.writeString(marker,
+        s"subset run (${sel.size} queries): ${sel.toSeq.sorted.mkString(",")}\n")
+      case None => Files.deleteIfExists(marker)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

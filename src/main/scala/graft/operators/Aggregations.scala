@@ -2306,10 +2306,14 @@ object Aggregations extends QueryModule {
           sum($"w" * dec($"o_totalprice")).as("ws"))
         .select($"b", $"n_eff",
           round($"ws".cast(DoubleType) / $"n_eff", 6).as("boot_mean"))
+      // Three downstream consumers (mstats, ranked, final crossJoin) would
+      // each recompute the fact-scale 32× explode+md5 fan-out; cutting the
+      // lineage at the 32-row replicate table makes it run exactly once.
+      val repsCut = graft.Checkpoints.cut(reps)
       val point = Tables.orders(spark, dir)
         .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).as("s"))
         .select(round($"s".cast(DoubleType) / $"n", 6).as("point_mean"))
-      val mstats = reps.agg(
+      val mstats = repsCut.agg(
         count(lit(1)).as("bb"),
         sum($"boot_mean".cast(DecimalType(28, 6))).as("sm"),
         sum(round($"boot_mean" * $"boot_mean", 6).cast(DecimalType(38, 6))).as("smm"))
@@ -2317,11 +2321,11 @@ object Aggregations extends QueryModule {
           ($"smm".cast(DoubleType) -
             $"sm".cast(DoubleType) * $"sm".cast(DoubleType) / $"bb") /
           ($"bb" - 1)), 6).as("boot_se"))
-      val ranked = reps.select($"boot_mean".as("m"))
+      val ranked = repsCut.select($"boot_mean".as("m"))
         .withColumn("rk", row_number().over(Window.orderBy($"m")))
       val ci = ranked.where($"rk" === 2).select($"m".as("ci_lo"))
         .crossJoin(ranked.where($"rk" === 31).select($"m".as("ci_hi")))
-      reps.crossJoin(broadcast(point))
+      repsCut.crossJoin(broadcast(point))
         .crossJoin(broadcast(mstats))
         .crossJoin(broadcast(ci))
         .orderBy($"b")

@@ -101,8 +101,14 @@ object Multimodal extends QueryModule {
           ($"chunk_idx" * cs).as("byte_offset"),
           least(lit(cs).cast("long"), $"n_bytes" - $"chunk_idx" * cs).as("chunk_len"),
           ($"chunk_idx" === $"n_chunks" - 1).as("is_last"),
-          sha2($"text".substr(($"chunk_idx" * cs + 1).cast("int"), lit(cs))
-            .cast("binary"), 256).as("chunk_sha"))
+          // substring AFTER the binary cast: the declared 1 KiB ranges are
+          // byte offsets into the UTF-8 encoding, so the hashed slice must
+          // be the byte range, not a char range (they differ off-ASCII).
+          // The digest is over the uppercase hex encoding of the range —
+          // the oracle's sha256 is VARCHAR-only, and hex-then-slice there
+          // equals slice-then-hex here, byte for byte.
+          sha2(hex(substring($"text".cast("binary"),
+            ($"chunk_idx" * cs + 1).cast("int"), lit(cs))), 256).as("chunk_sha"))
         .orderBy($"doc_id", $"chunk_idx")
     },
     Some("""
@@ -110,7 +116,7 @@ object Multimodal extends QueryModule {
         chunk_idx * 1024 AS byte_offset,
         LEAST(1024, n_bytes - chunk_idx * 1024) AS chunk_len,
         chunk_idx = n_chunks - 1 AS is_last,
-        sha256(substr(text, CAST(chunk_idx * 1024 + 1 AS INTEGER), 1024)) AS chunk_sha
+        sha256(substr(hex(encode(text)), CAST(chunk_idx * 2048 + 1 AS BIGINT), 2048)) AS chunk_sha
       FROM (
         SELECT doc_id, text, n_bytes,
           CAST((n_bytes + 1023) // 1024 AS BIGINT) AS n_chunks,

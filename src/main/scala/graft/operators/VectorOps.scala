@@ -2138,7 +2138,11 @@ object VectorOps extends QueryModule {
         .groupBy($"label")
         .agg(
           count(lit(1)).as("n"),
-          avg($"s".cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("mean_sil"),
+          // explicit-rounding rule (§2.0 rule 7): exact decimal sum, ONE
+          // double divide, round 6 — engine-native AVG over DECIMAL
+          // differs between engines at 6-dp rounding boundaries
+          round(sum($"s".cast(DecimalType(28, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("mean_sil"),
           round(sum(when($"s" < 0, 1L).otherwise(0L)).cast(DoubleType) /
             count(lit(1)), 6).as("neg_share"))
         .orderBy($"label")
@@ -2170,7 +2174,7 @@ object VectorOps extends QueryModule {
         GROUP BY vec_id, label
       )
       SELECT label, COUNT(*) AS n,
-        CAST(AVG(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS mean_sil,
+        ROUND(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sil,
         ROUND(CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
           / COUNT(*), 6) AS neg_share
       FROM (

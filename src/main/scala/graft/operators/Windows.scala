@@ -1507,10 +1507,13 @@ object Windows extends QueryModule {
         count(lit(1)).as("n_months"),
         sum($"mi".cast(DecimalType(28, 4))).as("sx"),
         sum($"rev".cast(DecimalType(38, 4))).as("sy"),
-        // rev narrowed to DECIMAL(18,4) first so mi×rev stays inside
-        // width-38 exact decimal in BOTH engines (wider products fall
-        // back to DOUBLE in some engines — a per-row float, not scalar)
-        sum(($"mi" * $"rev".cast(DecimalType(18, 4))).cast(DecimalType(38, 4))).as("sxy"),
+        // mi narrowed to DECIMAL(9,0) (month index is 5 digits) so the
+        // rev factor can keep DECIMAL(28,4) — 24 integer digits of
+        // headroom for 100 TB monthly revenue — while 9+28 ≤ 38 keeps
+        // the product exact decimal in BOTH engines (wider products
+        // fall back to DOUBLE in some engines — a per-row float)
+        sum(($"mi".cast(DecimalType(9, 0)) * $"rev".cast(DecimalType(28, 4)))
+          .cast(DecimalType(38, 4))).as("sxy"),
         sum(($"mi" * $"mi").cast(DecimalType(28, 4))).as("sxx"))
         // scalar algebra on per-group DOUBLE casts of the exact decimal
         // moments: every product is one IEEE-754 op on identical inputs
@@ -1552,7 +1555,7 @@ object Windows extends QueryModule {
       ), ols AS (
         SELECT s_nationkey, COUNT(*) AS n_months,
           ROUND(
-            (COUNT(*) * CAST(SUM(CAST(mi * CAST(rev AS DECIMAL(18,4)) AS DECIMAL(38,4))) AS DOUBLE)
+            (COUNT(*) * CAST(SUM(CAST(CAST(mi AS DECIMAL(9,0)) * CAST(rev AS DECIMAL(28,4)) AS DECIMAL(38,4))) AS DOUBLE)
               - CAST(SUM(CAST(mi AS DECIMAL(28,4))) AS DOUBLE)
                 * CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE))
             / (COUNT(*) * CAST(SUM(CAST(mi * mi AS DECIMAL(28,4))) AS DOUBLE)

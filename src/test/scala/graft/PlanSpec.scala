@@ -620,10 +620,17 @@ class PlanSpec extends SparkSpecBase {
       s"iterations must read the checkpointed vector, not re-derive the Gram:\n$p")
     assert(df.count() == 5)
   }
-  test("sample_poisson_bootstrap: replicate fan-out partial-aggregates before the 32-group shuffle") {
+  test("sample_poisson_bootstrap: replicate fan-out runs once behind a 32-row lineage cut") {
     val p = planString(operators.Aggregations.samplePoissonBootstrap.fn(spark, sfDir))
-    assert(p.contains("Generate"), s"replicate explode missing:\n$p")
-    assert(p.contains("HashAggregate"), s"expected map-side partial aggregation:\n$p")
+    // mstats/ranked/final all read the checkpointed 32-row replicate table;
+    // the only parquet scan left in the final plan is the point-mean branch.
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 1,
+      s"expected ONE orders scan (point mean) besides the checkpointed replicates, got $factScans:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"replicate consumers must read the checkpointed frame:\n$p")
+    assert(!p.contains("Generate"),
+      s"the 32x explode must sit behind the cut, not re-run per consumer:\n$p")
     assert(!p.contains("SortMergeJoin"), s"bootstrap must not shuffle-join the fact table:\n$p")
   }
 
