@@ -46,9 +46,10 @@ object Bench {
     // separately-clocked line item (VERDICT r5 #1) — per-query figures
     // below then measure each query's OWN plan, not whichever family
     // member happened to run first
-    val sharedStageS = operators.TextOps.prepareSharedStages(spark, sfDir) +
-      operators.VectorOps.prepareSharedStages(spark, sfDir) +
-      operators.Flagships.prepareSharedStages(spark, sfDir)
+    val sharedTextS = operators.TextOps.prepareSharedStages(spark, sfDir)
+    val sharedVecS = operators.VectorOps.prepareSharedStages(spark, sfDir)
+    val sharedGraphS = operators.Flagships.prepareSharedStages(spark, sfDir)
+    val sharedStageS = sharedTextS + sharedVecS + sharedGraphS
     // (name, seconds, succeeded) — a failed query records its
     // elapsed-until-throw time AND lands in the errors list, so a crash
     // can never masquerade as a fast clean run (ADVICE round 3)
@@ -73,10 +74,13 @@ object Bench {
       "\"" + n + "\":" + (if (ok) v else -v)
     }.mkString("{\"metric\":\"total\",\"value\":" + total +
       ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
-      "\",\"shared_stage_s\":" + sharedStageS + ",\"queries\":{", ",", "}}")
+      "\",\"shared_stage_s\":" + sharedStageS +
+      ",\"shared_text_s\":" + sharedTextS +
+      ",\"shared_vec_s\":" + sharedVecS +
+      ",\"shared_graph_s\":" + sharedGraphS + ",\"queries\":{", ",", "}}")
     Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     // compact stdout line: slowest queries first, greedy until MaxLine
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"shared_text_s":$sharedTextS%.3f,"shared_vec_s":$sharedVecS%.3f,"shared_graph_s":$sharedGraphS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
       f""""$n":${if (ok) "" else "-"}$v%.3f"""
     }

@@ -263,9 +263,80 @@ object Streaming extends QueryModule {
       ORDER BY w_start
     """.stripMargin.trim))
 
+  /** Per-user session summaries via transformWithState + EVENT-TIME
+    * TIMERS (SURVEY §2.1.H) — the Spark-4 arbitrary-state-v2 row the
+    * `stream_stateful_custom` family was missing: sessions closed by a
+    * later event emit inline, sessions closed by INACTIVITY emit from
+    * `handleExpiredTimer` when the watermark passes last-event+30 min
+    * (graft.streaming.StatefulOps.SessionTimerProcessor). This batch
+    * declaration is the run-to-completion equivalent — gaps-and-islands
+    * with a 30-minute gap, per-user session ordinal, bounds, event /
+    * purchase counts, floor-second duration; StreamingSpec drives the
+    * processor through MemoryStream (RocksDB state store) with a
+    * watermark-advancing sentinel and proves row equality.
+    *
+    * Scale notes (100 TB/day): state is one open-session record + one
+    * ordinal per user, partitioned by user_id; each user keeps exactly
+    * one live timer, so the timer store is O(users) too. The batch
+    * formulation shuffles once on user_id; both windows ride that one
+    * Exchange.
+    */
+  val streamSessionTimer = Q(
+    "stream_session_timer",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.events(spark, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            $"ts" >= $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      val wc = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged
+        .withColumn("session_seq", sum($"new_session").over(wc))
+        .groupBy($"user_id", $"session_seq")
+        .agg(
+          min($"ts").as("s_start"),
+          max($"ts").as("last_ts"),
+          count(lit(1)).as("n_events"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .withColumn("duration_s",
+          unix_seconds($"last_ts".cast("timestamp")) -
+            unix_seconds($"s_start".cast("timestamp")))
+        .select($"user_id", $"session_seq", $"s_start", $"last_ts",
+          $"n_events", $"n_purchases", $"duration_s")
+        .orderBy($"user_id", $"session_seq")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts, event_type,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        MIN(ts) AS s_start, MAX(ts) AS last_ts,
+        COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_purchases,
+        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)
+          - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+      FROM sessions
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
-    streamDistinctUsers)
+    streamDistinctUsers, streamSessionTimer)
 }

@@ -76,6 +76,10 @@ object VectorOps extends QueryModule {
     // vec_twonn_intrinsic_dim — clock its build here (VERDICT r5 #1:
     // shared stages get their own line, not whichever query runs first)
     cachedKnn5(spark, dir).count()
+    // persisted IVF index: first bench run on a corpus pays the build
+    // here (its own shared-stage line item, not vec_ann_ivf_serve's
+    // clock); subsequent sessions re-register metadata only
+    IvfIndex.ensure(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -1446,7 +1450,87 @@ object VectorOps extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** ANN serve from the PERSISTED IVF index (SURVEY §2 I-sept) — the
+    * production query path: [[IvfIndex.ensure]] finds (or builds once)
+    * the cell-bucketed index + codebook tables under the warehouse, and
+    * this query answers 50 probes (nprobe=3, k=3) reading ONLY those
+    * persisted tables — zero re-clustering, the cross-job path the
+    * in-session PlanCache cannot provide. Unlike `vec_ann_ivf` (the
+    * in-plan formulation, no-oracle), every step here rounds at 6 dp
+    * with id tiebreaks, so the row is FULLY oracled: DuckDB re-derives
+    * codebook, assignment, probes, and top-k from scratch and must
+    * match the served results bit-for-bit — which also proves the
+    * persisted artifacts faithfully capture the in-plan build.
+    *
+    * Scale notes (100 TB): the index side is a bucketed scan with NO
+    * Exchange (probes broadcast; PlanSpec asserts no cell-keyed
+    * shuffle and that cell-keyed aggregation over the index plans
+    * exchange-free); per-query work is ~nprobe/nlist of the corpus.
+    * The build amortizes across every job that serves from it.
+    */
+  val vecAnnIvfServe = Q(
+    "vec_ann_ivf_serve",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx, cb) = IvfIndex.ensure(spark, dir)
+      val wp = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val probes = withNorm(spark, dir)
+        .filter($"vec_id" < 50)
+        .crossJoin(broadcast(cb))
+        .withColumn("csim",
+          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
+        .withColumn("cr", row_number().over(wp))
+        .filter($"cr" <= 3)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      idx
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 50)
+        WHERE cr <= 3
+      ), cand AS (
+        SELECT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecAnnIvfServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,

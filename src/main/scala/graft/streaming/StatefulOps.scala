@@ -90,4 +90,117 @@ object StatefulOps {
       .groupByKey(_.user_id)
       .transformWithState(new SinceSignupProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Per-user session summary row (the `stream_session_timer` output):
+    * ordinal, bounds, counts, and floor-second duration.
+    */
+  case class SessionSum(user_id: Long, session_seq: Long,
+      s_start: java.sql.Timestamp, last_ts: java.sql.Timestamp,
+      n_events: Long, n_purchases: Long, duration_s: Long)
+
+  /** Open-session state: ordinal + µs bounds + counters. Microseconds,
+    * not Timestamp.getTime's milliseconds — the fixtures carry µs
+    * precision and the 30-minute gap rule must bit-match the batch
+    * formulation's INTERVAL arithmetic at the boundary.
+    */
+  case class SessState(seq: Long, startUs: Long, lastUs: Long,
+      nEvents: Long, nPurchases: Long)
+
+  private val GapUs = 30L * 60 * 1000000
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Event-time-timer sessionization on Spark 4's transformWithState —
+    * the `stream_session_timer` streaming half. A session CLOSED by a
+    * later event (gap ≥ 30 min) emits from `handleInputRows`; a session
+    * closed by INACTIVITY emits from `handleExpiredTimer` when the
+    * watermark passes last-event + 30 min — the event-time-timer pattern
+    * a production sessionizer needs (nothing else ever "ends" the last
+    * session of a quiet user). State per user: one open-session record
+    * plus the session ordinal (survives session closes so ordinals keep
+    * counting); each update re-registers the user's single timer.
+    */
+  class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionSum] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var sess: ValueState[SessState] = _
+    @transient private var lastSeq: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessState](
+        "open_session", Encoders.product[SessState], TTLConfig.NONE)
+      lastSeq = getHandle.getValueState[Long](
+        "session_ordinal", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def summary(uid: Long, s: SessState): SessionSum =
+      SessionSum(uid, s.seq, tsOf(s.startUs), tsOf(s.lastUs), s.nEvents, s.nPurchases,
+        Math.floorDiv(s.lastUs, 1000000L) - Math.floorDiv(s.startUs, 1000000L))
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSum] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionSum]
+      var cur: Option[SessState] = if (sess.exists()) Some(sess.get()) else None
+      def nextSeq(): Long = {
+        val s = (if (lastSeq.exists()) lastSeq.get() else 0L) + 1L
+        lastSeq.update(s)
+        s
+      }
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        val p = if (e.event_type == "purchase") 1L else 0L
+        cur match {
+          case Some(s) if t >= s.lastUs + GapUs =>
+            out += summary(uid, s)
+            cur = Some(SessState(nextSeq(), t, t, 1L, p))
+          case Some(s) =>
+            cur = Some(s.copy(lastUs = t, nEvents = s.nEvents + 1, nPurchases = s.nPurchases + p))
+          case None =>
+            cur = Some(SessState(nextSeq(), t, t, 1L, p))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live timer per user: drop the stale expiry, arm at the new
+        // inactivity deadline (+1 ms so a µs-truncated watermark is
+        // strictly past the boundary when it fires)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(Math.floorDiv(s.lastUs + GapUs, 1000L) + 1L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSum] =
+      if (sess.exists()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(summary(uid, s))
+      } else Iterator.empty
+  }
+
+  /** Apply the event-time-timer sessionizer to a (streaming) typed event
+    * dataset. The 10-minute watermark bounds both late data and timer
+    * latency; state is (one open session + one ordinal) per user,
+    * partitioned by user_id across executors.
+    */
+  def sessionSummariesTws(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSum] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc = Encoders.product[SessionSum]
+    implicit val longEnc = Encoders.scalaLong
+    val src = if (events.isStreaming) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
 }

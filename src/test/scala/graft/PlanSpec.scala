@@ -634,6 +634,29 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"bootstrap must not shuffle-join the fact table:\n$p")
   }
 
+  test("vec_ann_ivf_serve: serves from the persisted bucketed index, no re-clustering") {
+    val df = operators.VectorOps.vecAnnIvfServe.fn(spark, sfDir)
+    val p = planString(df)
+    // no codebook rebuild at serve time: the Lloyd step's posexplode
+    // (Generate) and the corpus-wide assignment must be absent
+    assert(!p.contains("Generate"),
+      s"serve plan re-clusters (posexplode of the corpus seen):\n$p")
+    // the index side must be the persisted catalog table…
+    assert(p.contains(operators.IvfIndex.indexTable(sfDir)),
+      s"serve plan does not read the persisted index table:\n$p")
+    // …and never shuffles on cell: probes broadcast against the bucketed scan
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the serve path:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+    // bucketing is exploited by cell-keyed aggregation: per-cell stats over
+    // the index plan with ZERO Exchange (bucketed scan pre-partitions)
+    val agg = spark.table(operators.IvfIndex.indexTable(sfDir))
+      .groupBy("cell").count()
+    val ap = planString(agg)
+    assert(!ap.contains("Exchange"),
+      s"cell-keyed aggregation over the bucketed index must not shuffle:\n$ap")
+  }
+
   test("agg_gains_deciles: decile map rides the frequency table, no fact-table global sort") {
     val df = operators.Aggregations.aggGainsDeciles.fn(spark, sfDir)
     val p = planString(df)

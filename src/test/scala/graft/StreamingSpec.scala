@@ -147,6 +147,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(collectSorted(streamed) == collectSorted(batch.select($"event_id", $"user_id", $"events_since_signup")))
   }
 
+  test("transformWithState event-time timers: sessions equal declared batch formulation") {
+    // the event-time-timer proof for stream_session_timer: sessions closed
+    // by a later event emit inline; TRAILING sessions only emit when the
+    // watermark crosses last-event+30min and the per-user timer fires —
+    // driven here by two far-future sentinel batches (watermark updates
+    // after the batch that advances it; timers fire in the NEXT batch)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val sentinelUid = 999999999L
+    val maxTs = evs.map(_.ts.getTime).max
+    def sentinel(id: Long, plusMs: Long) = StatefulOps.Event(
+      id, new Timestamp(maxTs + plusMs), sentinelUid, "view")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StatefulOps.Event]
+      val q = StatefulOps
+        .sessionSummariesTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("session_timer").outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_session_timer_${System.nanoTime()}")
+        .start()
+      try {
+        val batches = evs.map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+          .grouped(evs.size / 4 + 1).toSeq
+        (batches ++ Seq(Seq(sentinel(-1L, 2L * 3600 * 1000)),
+                        Seq(sentinel(-2L, 3L * 3600 * 1000))))
+          .foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("session_timer").where($"user_id" =!= sentinelUid)
+    val batch = operators.Streaming.streamSessionTimer.fn(spark, sfDir)
+      .select($"user_id", $"session_seq",
+        $"s_start".cast("timestamp").as("s_start"),
+        $"last_ts".cast("timestamp").as("last_ts"),
+        $"n_events", $"n_purchases", $"duration_s")
+    assert(collectSorted(streamed) == collectSorted(batch),
+      "timer-emitted session summaries differ from the batch gaps-and-islands formulation")
+  }
+
   test("stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
