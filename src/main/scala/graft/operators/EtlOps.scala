@@ -1294,7 +1294,61 @@ object EtlOps extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(etlReconciliationTotals,
+  /** Late-arriving-dimension handling (SURVEY §2 I-oct) — the Kimball
+    * inferred-member pattern the SCD rows don't cover: facts land before
+    * their dimension row does (here: customers with c_custkey % 10 ≥ 7
+    * are "not yet arrived"), the load attributes those orders to an
+    * INFERRED placeholder instead of dropping or stalling them, and a
+    * later backfill re-attributes when the dimension ships. Declared
+    * output: per TRUE segment, the order/revenue totals, how much of it
+    * is currently parked on inferred members (count + exact revenue +
+    * share), and how many distinct placeholder keys the backfill will
+    * update — the reconciliation view a daily-load owner reads.
+    *
+    * Scale notes (100 TB): one broadcast dim join + one map-side
+    * combinable segment agg; the inferred flag is a dim-side predicate,
+    * so the fact scan is untouched. Revenue sums are exact decimals;
+    * the share is one guarded double divide rounded at 6 dp.
+    */
+  val etlLateArrivingDimension = Q(
+    "etl_late_arriving_dimension",
+    (spark, dir) => {
+      import spark.implicits._
+      val dim = Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment",
+          ($"c_custkey" % 10 >= 7).as("is_late"))
+      Tables.orders(spark, dir)
+        .join(broadcast(dim), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast(DoubleType).as("revenue"),
+          sum(when($"is_late", 1L).otherwise(0L)).as("n_late_orders"),
+          coalesce(sum(when($"is_late", dec($"o_totalprice"))), lit(0))
+            .cast(DecimalType(28, 2)).cast(DoubleType).as("late_revenue"),
+          countDistinct(when($"is_late", $"o_custkey")).as("n_inferred_keys"))
+        .withColumn("late_share",
+          round($"n_late_orders".cast(DoubleType) / $"n_orders", 6))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(SUM(CASE WHEN c_custkey % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_late_orders,
+        CAST(CAST(COALESCE(SUM(CASE WHEN c_custkey % 10 >= 7
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+          AS DECIMAL(28,2)) AS DOUBLE) AS late_revenue,
+        COUNT(DISTINCT CASE WHEN c_custkey % 10 >= 7 THEN o_custkey END)
+          AS n_inferred_keys,
+        ROUND(CAST(SUM(CASE WHEN c_custkey % 10 >= 7 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS late_share
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(etlReconciliationTotals, etlLateArrivingDimension,
     etlIncrementalMerge, etlScd2Intervals, etlDqAudit,
     etlAnomalyZscore, etlGapFillLocf, etlCompactSmallFiles, etlSnapshotDiff,
     etlBackfillDynamicOverwrite, sqlRecursiveSpine, etlCatalogStats,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted shingle registry — the incremental-ingest dedup artifact
+  * (the [[IvfIndex]] pattern applied to text): everything ingested so
+  * far (md5-ordered batches 0..6 of the corpus) contributes its distinct
+  * 3-gram shingles to a warehouse table BUCKETED by shingle, and each
+  * NEW batch is scored against that registry without recomputing
+  * history. This is the production shape of corpus-growth dedup (the
+  * novelty-curve row `text_ngram_novelty_rate` computes the whole curve
+  * in one job; real ingestion has the history on disk and only the new
+  * batch in hand).
+  *
+  * Scale notes (100 TB): the registry is the HUGE side (all history);
+  * bucketing it by shingle means the probe join shuffles only the new
+  * batch — the registry side reads co-partitioned with ZERO Exchange
+  * (PlanSpec asserts exactly one shingle-keyed Exchange in the probe
+  * plan). Freshness follows the PlanCache (path, size, mtime) rule
+  * persisted beside the table; a new session re-registers catalog
+  * metadata only.
+  */
+object ShingleRegistry {
+
+  val NBuckets = 16
+
+  /** md5-derived deterministic ingest batch of a document — the
+    * `text_ngram_novelty_rate` rule, shared so registry and probe agree.
+    */
+  def batchOf(docIdCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(docIdCol.cast("string")), 1, 4), 16, 10).cast("long") % 8
+
+  private def tag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+
+  def registryTable(dir: String): String = s"graft_shingle_registry_${tag(dir)}"
+
+  private def fingerprint(dir: String): String = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    s"${f.getAbsolutePath}|${f.length}|${f.lastModified}"
+  }
+
+  private def warehouseDir(spark: SparkSession): java.io.File = {
+    val w = spark.conf.get("spark.sql.warehouse.dir")
+    if (w.startsWith("file:")) new java.io.File(new java.net.URI(w).getPath)
+    else new java.io.File(w)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Find-or-build the persisted registry of batches 0..6: one row per
+    * distinct historical shingle with the batch that first shipped it.
+    */
+  def ensure(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val name = registryTable(dir)
+    val fp = fingerprint(dir)
+    val wh = warehouseDir(spark)
+    val loc = new java.io.File(wh, name)
+    val metaFile = new java.io.File(wh, s"$name.fingerprint")
+    val onDisk = metaFile.isFile && loc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    if (onDisk && !spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"""CREATE TABLE $name (shingle STRING, first_batch BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (shingle) SORTED BY (shingle) INTO $NBuckets BUCKETS
+           |LOCATION '${loc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val docs = Tables.documents(spark, dir)
+      val hist = docs.filter(batchOf(col("doc_id")) < 7)
+      val reg = TextOps.shingles(hist)
+        .withColumn("batch", batchOf(col("doc_id")))
+        .groupBy(col("shingle"))
+        .agg(min(col("batch")).as("first_batch"))
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(loc)
+      reg
+        .repartition(NBuckets, col("shingle"))
+        .write
+        .bucketBy(NBuckets, "shingle")
+        .sortBy("shingle")
+        .option("path", loc.getAbsolutePath)
+        .saveAsTable(name)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    spark.table(name)
+  }
+}

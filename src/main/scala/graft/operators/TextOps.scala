@@ -1962,7 +1962,87 @@ object TextOps extends QueryModule {
       FROM s
     """.stripMargin.trim))
 
+  /** Incremental-ingest dedup against the PERSISTED shingle registry
+    * (SURVEY §2 I-oct) — the production counterpart of
+    * `text_ngram_novelty_rate`'s whole-curve job: history (md5 batches
+    * 0..6) lives on disk as [[ShingleRegistry]]'s shingle-bucketed
+    * warehouse table; the CURRENT batch (7) is scored against it —
+    * per new document, how many of its distinct shingles the corpus
+    * already holds, and the ≥50 % flag an ingest gate would drop on.
+    * Fully oracled: the registry contents are a deterministic function
+    * of the corpus, so DuckDB re-derives history + probe from scratch
+    * and must match the persisted-serve answer.
+    *
+    * Scale notes (100 TB): the registry is the huge side — bucketing
+    * by shingle means the probe join shuffles ONLY the new batch
+    * (PlanSpec asserts exactly one shingle-keyed Exchange); the
+    * left-outer merge join streams the bucketed registry scan. The
+    * flag compare is exact integer (2·seen ≥ total), no float gate.
+    */
+  val dedupIncrementalRegistry = Q(
+    "dedup_incremental_registry",
+    (spark, dir) => {
+      import spark.implicits._
+      val reg = ShingleRegistry.ensure(spark, dir)
+      val cur = shingles(
+        Tables.documents(spark, dir)
+          .filter(ShingleRegistry.batchOf($"doc_id") === 7))
+      cur
+        // merge hint: the registry side must never broadcast — at scale
+        // it is the big side, and the bucketed scan feeds the sort-merge
+        // join co-partitioned (no Exchange on the registry side)
+        .join(reg.select($"shingle", lit(1L).as("seen")).hint("merge"),
+          Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce($"seen", lit(0L))).as("n_seen"))
+        .select($"doc_id", $"n_shingles", $"n_seen",
+          round($"n_seen".cast(DoubleType) / $"n_shingles", 6).as("seen_share"),
+          ($"n_seen" * 2 >= $"n_shingles").as("is_flagged"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM documents
+      ), reg AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN b USING (doc_id) WHERE b.batch < 7
+      ), cur AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN b USING (doc_id) WHERE b.batch = 7
+      )
+      SELECT c.doc_id,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_seen,
+        ROUND(CAST(SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS seen_share,
+        SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) * 2 >= COUNT(*)
+          AS is_flagged
+      FROM cur c LEFT JOIN reg r USING (shingle)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    dedupIncrementalRegistry,
     textZipfSlope,
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,

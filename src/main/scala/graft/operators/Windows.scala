@@ -1138,7 +1138,94 @@ object Windows extends QueryModule {
       ORDER BY event_type
     """.stripMargin.trim))
 
+  /** RSI momentum oscillator (SURVEY §2 I-oct) — the classic
+    * overbought/oversold indicator (Cutler's SMA formulation: exact
+    * frame sums, not Wilder's recursive smoothing, which would compound
+    * float error per step): per supplier nation's monthly revenue
+    * series, split each month-over-month delta into gain/loss, 6-month
+    * rolling sums of each, RSI = 100 − 100/(1 + gains/losses); the
+    * all-gain edge pins RSI = 100 exactly (0-loss divide guarded).
+    * Completes the finance-window family: drawdown = risk, Hurst =
+    * persistence, CUSUM = level shifts, RSI = momentum state.
+    *
+    * Scale notes (100 TB): one fact-scale month agg (map-side
+    * combinable), then per-nation windows on the bounded monthly table
+    * riding ONE nation-keyed shuffle. Deltas and frame sums are exact
+    * decimals; doubles appear only in the final guarded ratio, rounded
+    * at 6 dp.
+    */
+  val winRsiMomentum = Q(
+    "win_rsi_momentum",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey",
+          (year($"l_shipdate") * 12 + month($"l_shipdate")).as("mi"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"))
+      val wOrd = Window.partitionBy($"s_nationkey").orderBy($"mi")
+      val wFrame = wOrd.rowsBetween(-5, 0)
+      monthly
+        .withColumn("delta",
+          ($"rev" - lag($"rev", 1).over(wOrd)).cast(DecimalType(28, 4)))
+        .withColumn("gain", greatest($"delta", lit(0).cast(DecimalType(28, 4))))
+        .withColumn("loss", greatest(-$"delta", lit(0).cast(DecimalType(28, 4))))
+        .withColumn("n_deltas", count($"delta").over(wFrame))
+        .withColumn("gains", sum($"gain").over(wFrame))
+        .withColumn("losses", sum($"loss").over(wFrame))
+        .filter($"n_deltas" === 6)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+        // round(…,6) after the double cast: width-38 decimals are
+        // int128-backed in the oracle engine, whose →double conversion
+        // can be one ulp off; re-rounding a scale-4 value at 6 dp is
+        // value-preserving and lands both engines on the same double
+        .select($"n_name", $"mi",
+          round($"gains".cast(DoubleType), 6).as("gains"),
+          round($"losses".cast(DoubleType), 6).as("losses"),
+          when($"losses" === 0, lit(100.0d))
+            .otherwise(round(lit(100.0d) - lit(100.0d) /
+              (lit(1.0d) + $"gains".cast(DoubleType) / $"losses".cast(DoubleType)), 6))
+            .as("rsi"))
+        .orderBy($"n_name", $"mi")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT s_nationkey,
+          year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ), d AS (
+        SELECT s_nationkey, mi,
+          CAST(rev - LAG(rev) OVER w AS DECIMAL(28,4)) AS delta
+        FROM monthly
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY mi)
+      ), f AS (
+        SELECT s_nationkey, mi,
+          COUNT(delta) OVER wf AS n_deltas,
+          SUM(GREATEST(delta, CAST(0 AS DECIMAL(28,4)))) OVER wf AS gains,
+          SUM(GREATEST(-delta, CAST(0 AS DECIMAL(28,4)))) OVER wf AS losses
+        FROM d
+        WINDOW wf AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      )
+      SELECT n_name, mi,
+        ROUND(CAST(gains AS DOUBLE), 6) AS gains,
+        ROUND(CAST(losses AS DOUBLE), 6) AS losses,
+        CASE WHEN losses = 0 THEN 100.0
+             ELSE ROUND(100.0 - 100.0 /
+               (1.0 + CAST(gains AS DOUBLE) / CAST(losses AS DOUBLE)), 6)
+        END AS rsi
+      FROM f JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_deltas = 6
+      ORDER BY n_name, mi
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    winRsiMomentum,
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,

@@ -657,6 +657,36 @@ class PlanSpec extends SparkSpecBase {
       s"cell-keyed aggregation over the bucketed index must not shuffle:\n$ap")
   }
 
+  test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
+    val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains(operators.ShingleRegistry.registryTable(sfDir)),
+      s"probe must read the persisted registry table:\n$p")
+    assert(p.contains("SortMergeJoin"), s"registry join must not broadcast the registry:\n$p")
+    val shingleExchanges = "Exchange hashpartitioning\\(shingle".r.findAllIn(p).size
+    assert(shingleExchanges == 1,
+      s"exactly ONE shingle-keyed Exchange (the new batch); registry side is bucketed — got $shingleExchanges:\n$p")
+  }
+
+  test("etl_late_arriving_dimension: dim broadcasts, fact aggregates partially") {
+    val p = planString(operators.EtlOps.etlLateArrivingDimension.fn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the dim join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation:\n$p")
+  }
+
+  test("win_rsi_momentum: one nation-keyed window shuffle over the bounded monthly table") {
+    val p = planString(operators.Windows.winRsiMomentum.fn(spark, sfDir))
+    assert(p.contains("Window"), s"expected the per-nation frame windows:\n$p")
+    // one fact-scale shuffle (the (nation, month) agg) + one bounded-table
+    // shuffle (the per-nation windows over ~25×months rows) — anything
+    // beyond that means a window or join re-shuffled fact-scale data
+    val natExchanges = "Exchange hashpartitioning\\(s_nationkey".r.findAllIn(p).size
+    assert(natExchanges <= 2,
+      s"expected at most agg + window nation shuffles, got $natExchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims must broadcast:\n$p")
+  }
+
   test("agg_gains_deciles: decile map rides the frequency table, no fact-table global sort") {
     val df = operators.Aggregations.aggGainsDeciles.fn(spark, sfDir)
     val p = planString(df)
