@@ -1370,7 +1370,120 @@ object Flagships extends QueryModule {
       FROM m
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
+  /** HARMONIC CLOSENESS centrality on the trade backbone (SURVEY §2
+    * I-oct) — the reachability-efficiency member of the centrality
+    * family (PageRank = flow importance, k-core = cohesion depth, LPA =
+    * blocs; closeness = how FEW hops a node needs to reach everyone).
+    * Harmonic form Σ 1/d(u,v) — the disconnection-robust standard
+    * (Boldi–Vigna): unreachable pairs contribute 0 instead of breaking
+    * the mean. Graph = the same symmetrized top-3-per-node backbone LPA
+    * clusters (near-complete raw graph makes closeness degenerate);
+    * distances by 4 unrolled min-plus rounds over unit hops (≤5-hop
+    * horizon, declared — the same bounded-round contract as k-core/LPA),
+    * each round checkpointed on the ≤625-row pair table. Per node:
+    * reach count, eccentricity (within horizon), harmonic score.
+    *
+    * Scale notes (100 TB): fact-scale work is the ONE shared edge
+    * aggregation (memoized stage); everything iterative runs on the
+    * node²-bounded distance table. Determinism: 1/d terms round at 9 dp
+    * into an int64-backed DECIMAL(18,9) sum (width-38 decimal→double is
+    * one ulp off in the oracle engine), hop counts are exact integers.
+    */
+  lazy val graphHarmonicCloseness = Q(
+    "graph_harmonic_closeness",
+    (spark, dir) => {
+      import spark.implicits._
+      val e0 = nationTradeEdges(spark, dir)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"a").orderBy($"w".desc, $"b")
+      val sym = e0.select($"src".as("a"), $"dst".as("b"), $"wgt")
+        .unionAll(e0.select($"dst".as("a"), $"src".as("b"), $"wgt"))
+        .where($"a" =!= $"b")
+        .groupBy($"a", $"b")
+        .agg(sum($"wgt").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("w"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"a", $"b")
+        .coalesce(1)
+        .transform(graft.Checkpoints.cut)
+      var dist = sym.select($"a".as("u"), $"b".as("v"), lit(1L).as("d"))
+      for (_ <- 1 to 4) {
+        dist = dist
+          .unionAll(dist
+            .join(sym.select($"a".as("v"), $"b".as("nxt")), "v")
+            .where($"nxt" =!= $"u")
+            .select($"u", $"nxt".as("v"), ($"d" + 1).as("d")))
+          .groupBy($"u", $"v")
+          .agg(min($"d").as("d"))
+        // the next round references dist twice (carry + extension):
+        // cut per round or the plan grows 2^rounds (the k-core lesson)
+        dist = graft.Checkpoints.cut(dist.coalesce(1))
+      }
+      val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("u"), $"n_name")
+      dist
+        .groupBy($"u")
+        .agg(
+          count(lit(1)).as("n_reached"),
+          max($"d").as("eccentricity"),
+          sum(round(lit(1.0d) / $"d", 9)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9))).as("hsum"))
+        .join(broadcast(nodes), "u")
+        .select($"u".as("n_nationkey"), $"n_name", $"n_reached", $"eccentricity",
+          $"hsum".cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            .cast(DoubleType).as("harmonic"))
+        .orderBy($"n_nationkey")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (
+        SELECT u, v, MIN(d) AS d FROM (
+          SELECT u, v, d FROM d${i - 1}
+          UNION ALL
+          SELECT p.u, s.b AS v, p.d + 1 AS d
+          FROM d${i - 1} p JOIN sym s ON p.v = s.a
+          WHERE s.b <> p.u)
+        GROUP BY u, v
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e0 AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), symall AS (
+        SELECT a, b, CAST(SUM(wgt) AS DECIMAL(28,2)) AS w
+        FROM (SELECT src AS a, dst AS b, wgt FROM e0
+              UNION ALL
+              SELECT dst AS a, src AS b, wgt FROM e0)
+        WHERE a <> b
+        GROUP BY a, b
+      ), sym AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b,
+            ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+          FROM symall
+        ) WHERE rn <= 3
+      ), d0 AS (
+        SELECT a AS u, b AS v, CAST(1 AS BIGINT) AS d FROM sym
+      ), $rounds
+      SELECT u AS n_nationkey, n_name,
+        COUNT(*) AS n_reached,
+        MAX(d) AS eccentricity,
+        CAST(CAST(SUM(CAST(ROUND(1.0 / d, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9))
+          AS DOUBLE) AS harmonic
+      FROM d4 JOIN nation ON u = n_nationkey
+      GROUP BY u, n_name
+      ORDER BY n_nationkey
+      """.stripMargin.trim
+    })
+
+  def qs: Seq[Q] = Seq(graphHarmonicCloseness,
+    tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,

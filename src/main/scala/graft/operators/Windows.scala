@@ -1224,8 +1224,86 @@ object Windows extends QueryModule {
       ORDER BY n_name, mi
     """.stripMargin.trim))
 
+  /** Additive SEASONAL DECOMPOSITION of the monthly revenue series
+    * (SURVEY §2 I-oct) — the classical-decomposition shape (trend +
+    * seasonal + residual) behind every seasonality-aware forecast and
+    * the seasonality-adjusted anomaly family (`etl_seasonal_anomaly`
+    * z-scores cells; this row extracts the components): trend = 13-month
+    * centered moving mean (complete frames only), detrended = revenue −
+    * trend, seasonal = month-of-year mean of the detrended series,
+    * residual = detrended − seasonal.
+    *
+    * Scale notes (100 TB): one fact-scale month agg (map-side
+    * combinable); every window/join after runs on the BOUNDED monthly
+    * table (~#months rows). Decimal discipline: monthly revenue narrows
+    * to DECIMAL(18,4) — PRECISION-only narrowing (a scale change rounds
+    * half differently across engines) — and every decimal→double cast
+    * goes through an int64-backed width (≤18): the oracle engine's
+    * int128→double conversion is one ulp off, which a 6 dp round cannot
+    * always absorb.
+    */
+  val winSeasonalDecompose = Q(
+    "win_seasonal_decompose",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = Tables.lineitem(spark, dir)
+        .groupBy((year($"l_shipdate") * 12 + month($"l_shipdate")).as("mi"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .cast(DecimalType(18, 4)).as("rev"))
+      val w13 = Window.orderBy($"mi").rowsBetween(-6, 6)
+      val det = monthly
+        .withColumn("nf", count(lit(1)).over(w13))
+        .withColumn("trend",
+          round(sum($"rev").over(w13).cast(DecimalType(18, 4)).cast(DoubleType)
+            / 13, 6))
+        .filter($"nf" === 13)
+        .withColumn("moy", $"mi" % 12)
+        .withColumn("det", round($"rev".cast(DoubleType) - $"trend", 6))
+      val seasonal = det
+        .groupBy($"moy")
+        .agg(round(
+          sum(round($"det", 6).cast(DecimalType(28, 6)))
+            .cast(DecimalType(18, 6)).cast(DoubleType) / count(lit(1)), 6)
+          .as("seasonal"))
+      det
+        .join(broadcast(seasonal), "moy")
+        .select($"mi", $"moy",
+          $"rev".cast(DoubleType).as("rev"),
+          $"trend", $"seasonal",
+          round($"det" - $"seasonal", 6).as("residual"))
+        .orderBy($"mi")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+        FROM lineitem GROUP BY 1
+      ), t AS (
+        SELECT mi, rev,
+          COUNT(*) OVER w13 AS nf,
+          ROUND(CAST(CAST(SUM(rev) OVER w13 AS DECIMAL(18,4)) AS DOUBLE)
+            / 13, 6) AS trend
+        FROM monthly
+        WINDOW w13 AS (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+      ), det AS (
+        SELECT mi, mi % 12 AS moy, rev, trend,
+          ROUND(CAST(rev AS DOUBLE) - trend, 6) AS det
+        FROM t WHERE nf = 13
+      ), seasonal AS (
+        SELECT moy,
+          ROUND(CAST(CAST(SUM(CAST(ROUND(det, 6) AS DECIMAL(28,6)))
+              AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*), 6) AS seasonal
+        FROM det GROUP BY moy
+      )
+      SELECT mi, moy, CAST(rev AS DOUBLE) AS rev, trend, seasonal,
+        ROUND(det - seasonal, 6) AS residual
+      FROM det JOIN seasonal USING (moy)
+      ORDER BY mi
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
-    winRsiMomentum,
+    winRsiMomentum, winSeasonalDecompose,
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,

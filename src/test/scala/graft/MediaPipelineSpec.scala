@@ -89,10 +89,16 @@ class MediaPipelineSpec extends SparkSpecBase {
       assert(sorted.map(_._6).sum == nb, "chunk lengths don't sum to the payload")
       sorted.foreach { c => assert(c._5 == c._4 * 1024, "offset != idx*1024") }
       assert(sorted.count(_._7) == 1 && sorted.last._7, "is_last not exactly the tail")
-      // digest of a middle chunk matches hashing the substring directly
+      // digest matches hashing the BYTE range directly — via its uppercase
+      // hex encoding, the engine-portable digest the manifest declares
+      // (the oracle's sha256 is VARCHAR-only, so the contract is
+      // sha256(hex(byte_range)); byte slicing means non-ASCII payloads
+      // chunk correctly too)
       val c0 = sorted.head
+      val byteRange = docs(id).getBytes("UTF-8").slice(0, c0._6.toInt)
+      val hexUpper = byteRange.map("%02X".format(_)).mkString
       val direct = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(docs(id).substring(0, c0._6.toInt).getBytes("UTF-8"))
+        .digest(hexUpper.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(c0._8 == direct, s"doc $id chunk-0 sha mismatch")
     }

@@ -687,6 +687,28 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims must broadcast:\n$p")
   }
 
+  test("graph_harmonic_closeness: rounds read checkpoints, no fact re-scan in the final plan") {
+    val df = operators.Flagships.graphHarmonicCloseness.fn(spark, sfDir)
+    val p = planString(df)
+    // final plan = last round's checkpointed distance table + nation dim;
+    // the fact-scale edge agg ran once inside the shared memoized stage
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans <= 1,
+      s"only the nation dim may scan parquet in the final plan, got $factScans:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"distances must come from the checkpointed min-plus table:\n$p")
+    assert(df.count() == 25)
+  }
+
+  test("win_seasonal_decompose: one fact month agg, windows on the bounded monthly table") {
+    val p = planString(operators.Windows.winSeasonalDecompose.fn(spark, sfDir))
+    assert(p.contains("Window"), s"expected the centered-frame window:\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial-aggregated month rollup:\n$p")
+    val factScans = "Scan parquet".r.findAllIn(p).size
+    assert(factScans == 1, s"lineitem must scan exactly once, got $factScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"seasonal table must broadcast back:\n$p")
+  }
+
   test("agg_gains_deciles: decile map rides the frequency table, no fact-table global sort") {
     val df = operators.Aggregations.aggGainsDeciles.fn(spark, sfDir)
     val p = planString(df)
