@@ -108,6 +108,91 @@ class StreamingRobustnessSpec extends SparkSpecBase {
       s"resume diverged: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("session-timer processor resumes from checkpoint: open sessions, ordinals, timers intact") {
+    import spark.implicits._
+    // the event-time-timer sessionizer killed mid-stream must resume with
+    // its open-session records, per-user ordinals AND registered timers —
+    // trailing sessions that straddle the restart still emit exactly once
+    // when the watermark finally passes their deadline
+    val data = evs(2000).map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+    val sentinelUid = 999999999L
+    val maxTs = data.map(_.ts.getTime).max
+    def sentinel(id: Long, plusMs: Long) = StatefulOps.Event(
+      id, new Timestamp(maxTs + plusMs), sentinelUid, "view")
+    val root = s"/tmp/graft_scratch/resume_tws_${System.nanoTime()}"
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[StatefulOps.Event].schema
+    val (first, second) = data.splitAt(1000)
+
+    def sessionStream() = StatefulOps.sessionSummariesTws(
+      spark,
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir).as[StatefulOps.Event])
+    def startQuery() = sessionStream()
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // phase 1: first half, then STOP mid-corpus (simulated crash)
+      spark.createDataFrame(first).write.parquet(s"$srcDir/batch0")
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop()
+      // phase 2: a NEW query on the SAME checkpoint gets the rest plus
+      // two watermark-advancing sentinel files (each file = one
+      // micro-batch; timers fire the batch AFTER the watermark passes)
+      val q2 = startQuery()
+      try {
+        spark.createDataFrame(second).write.parquet(s"$srcDir/batch1")
+        q2.processAllAvailable()
+        spark.createDataFrame(Seq(sentinel(-1L, 2L * 3600 * 1000)))
+          .write.parquet(s"$srcDir/batch2")
+        q2.processAllAvailable()
+        spark.createDataFrame(Seq(sentinel(-2L, 3L * 3600 * 1000)))
+          .write.parquet(s"$srcDir/batch3")
+        q2.processAllAvailable()
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    val streamed = spark.read.parquet(outDir)
+      .where($"user_id" =!= sentinelUid)
+      .collect().map(_.toString).toSet
+    // batch gaps-and-islands over the same 2000 rows (the declared
+    // stream_session_timer formulation, inlined for this subset)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wc = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val batch = spark.createDataFrame(data)
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          $"ts" >= $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(wc))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").as("s_start"), max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .withColumn("duration_s",
+        unix_seconds($"last_ts") - unix_seconds($"s_start"))
+      .select($"user_id", $"session_seq", $"s_start", $"last_ts",
+        $"n_events", $"n_purchases", $"duration_s")
+      .collect().map(_.toString).toSet
+    assert(streamed == batch,
+      s"restart diverged: extra=${(streamed diff batch).take(3)} missing=${(batch diff streamed).take(3)}")
+  }
+
   test("transformWithState processor matches flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
