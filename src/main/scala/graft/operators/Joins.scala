@@ -930,7 +930,84 @@ object Joins extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(
+  /** POINT-IN-TIME join against the SCD2 dimension (SURVEY §2 I-oct) —
+    * the query the `etl_scd2_intervals` history exists FOR: each fact
+    * (purchase event) joined to the dimension VERSION that was valid at
+    * its timestamp (valid_from ≤ ts < valid_to, open-ended current
+    * version), never to today's row — the as-of-history discipline that
+    * separates a type-2 warehouse from a type-1 one. Versions are the
+    * same state-change intervals `etl_scd2_intervals` declares; every
+    * purchase lands in exactly one version (versions tile each user's
+    * timeline from the first event). Output per purchase: the version
+    * ordinal, the regime it was in, and floor-seconds into that regime.
+    *
+    * Scale notes (100 TB): versions and purchases are both user-keyed —
+    * the version window and the join ride user_id-hash shuffles; the
+    * interval predicate is a residual filter on the equi join (each
+    * user's version count is small, so the per-key fanout is bounded).
+    * No broadcast: both sides are fact-scale, co-partitioned on the key.
+    */
+  val joinPitScd2 = Q(
+    "join_pit_scd2",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val versions = ev
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        .select(
+          $"user_id".as("v_user"),
+          row_number().over(w).cast("long").as("version"),
+          $"event_type".as("regime"),
+          $"ts".as("valid_from"),
+          lead($"ts", 1).over(w).as("valid_to"))
+      val purchases = ev
+        .where($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      purchases
+        .join(versions,
+          $"user_id" === $"v_user" &&
+            $"valid_from" <= $"ts" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+        .select($"event_id", $"user_id", $"ts", $"version", $"regime",
+          $"valid_from",
+          (unix_seconds($"ts".cast("timestamp")) -
+            unix_seconds($"valid_from".cast("timestamp"))).as("secs_into_version"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_type
+          FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type
+      ), versions AS (
+        SELECT user_id AS v_user,
+          CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+          event_type AS regime,
+          ts AS valid_from,
+          LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT e.event_id, e.user_id, e.ts, v.version, v.regime, v.valid_from,
+        CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+          - CAST(FLOOR(epoch(v.valid_from)) AS BIGINT) AS secs_into_version
+      FROM events e
+      JOIN versions v
+        ON e.user_id = v.v_user
+        AND v.valid_from <= e.ts
+        AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+      WHERE e.event_type = 'purchase'
+      ORDER BY e.event_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(joinPitScd2,
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,
