@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Physical-plan assertions: the scale behaviors SURVEY.md §4 promises
@@ -655,6 +656,22 @@ class PlanSpec extends SparkSpecBase {
     val ap = planString(agg)
     assert(!ap.contains("Exchange"),
       s"cell-keyed aggregation over the bucketed index must not shuffle:\n$ap")
+    // literal cell predicates prune BUCKETS at the file level — the
+    // maintenance-scan path (rebalance one cell, inspect one cell) reads
+    // 1/16th of the index, the on-disk analog of partition pruning.
+    // (autoBucketedScan turns bucketed reads off for filter-only plans;
+    // a deployment that leans on bucket pruning pins it on, as here.)
+    val prevAuto = spark.conf.getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val pruned = planString(spark.table(operators.IvfIndex.indexTable(sfDir))
+        .where(col("cell") === 3))
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 16"),
+        s"literal cell filter must prune to one bucket:\n$pruned")
+    } finally prevAuto match {
+      case Some(v) => spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
   }
 
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
