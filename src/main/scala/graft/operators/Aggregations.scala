@@ -2739,7 +2739,123 @@ object Aggregations extends QueryModule {
       ORDER BY month
     """.stripMargin.trim))
 
+  /** A/B SAMPLE-RATIO-MISMATCH check (SURVEY §2 I-oct) — the first
+    * trust gate every experimentation platform runs BEFORE reading any
+    * metric: with deterministic md5 arm assignment the user split must
+    * be 50/50 up to chance, and a χ² (1 df) beyond the 0.05 critical
+    * value (3.841) means the assignment or logging pipeline is broken —
+    * every downstream result (the `agg_welch_ttest`/`agg_mde_power`
+    * family) is then invalid. Observed arms = distinct event users
+    * hashed like `sample_hash_split`; declared output: per-arm counts,
+    * χ², and the boolean SRM flag.
+    *
+    * Scale notes (100 TB): one distinct-user pass (map-side partial on
+    * user_id), then a 2-row χ² in exact-integer algebra: with exp = n/2,
+    * χ² = (nA−nB)²/n — ONE guarded double divide, no float ordering
+    * anywhere (§2.0 rule 7).
+    */
+  val aggAbSrmCheck = Q(
+    "agg_ab_srm_check",
+    (spark, dir) => {
+      import spark.implicits._
+      val arm = conv(substring(md5($"user_id".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2
+      Tables.events(spark, dir)
+        .select($"user_id").distinct()
+        .withColumn("arm", arm)
+        .agg(
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+        .select($"n_a", $"n_b", ($"n_a" + $"n_b").as("n_users"),
+          round((($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast(DoubleType) /
+            ($"n_a" + $"n_b"), 6).as("chi2"))
+        .withColumn("srm_flag", $"chi2" > 3.841)
+    },
+    Some("""
+      WITH arms AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 2
+          AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+      ), c AS (
+        SELECT
+          CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM arms
+      )
+      SELECT n_a, n_b, n_a + n_b AS n_users,
+        ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+        ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) > 3.841
+          AS srm_flag
+      FROM c
+    """.stripMargin.trim))
+
+  /** REVENUE BRIDGE (price/volume decomposition) per market segment,
+    * 1997 vs 1996 (SURVEY §2 I-oct) — the FP&A waterfall that explains
+    * WHERE a revenue delta came from: volume effect = Δorders × prior
+    * avg order value, price/mix effect = the remainder; the two sum to
+    * the delta EXACTLY by construction, so the bridge always reconciles
+    * (the property that makes it an audit artifact, not an estimate).
+    *
+    * Scale notes (100 TB): one fact pass producing per-(segment, year)
+    * exact decimal revenue + counts (map-side combinable), bridge
+    * algebra on the 5-row segment table; decimal→double casts all pass
+    * through width ≤ 18 (the int64 discipline).
+    */
+  val aggRevenueBridge = Q(
+    "agg_revenue_bridge",
+    (spark, dir) => {
+      import spark.implicits._
+      val base = Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)
+          .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+        .withColumn("yr", year($"o_orderdate"))
+        .where($"yr".isin(1996, 1997))
+        .groupBy($"c_mktsegment")
+        .agg(
+          sum(when($"yr" === 1996, 1L).otherwise(0L)).as("n1"),
+          sum(when($"yr" === 1997, 1L).otherwise(0L)).as("n2"),
+          coalesce(sum(when($"yr" === 1996, dec($"o_totalprice"))), lit(0))
+            .cast(DecimalType(18, 2)).as("rev1"),
+          coalesce(sum(when($"yr" === 1997, dec($"o_totalprice"))), lit(0))
+            .cast(DecimalType(18, 2)).as("rev2"))
+      base
+        .withColumn("avg1", round($"rev1".cast(DoubleType) / $"n1", 6))
+        .withColumn("delta", round($"rev2".cast(DoubleType) - $"rev1".cast(DoubleType), 2))
+        .withColumn("volume_effect", round(($"n2" - $"n1") * $"avg1", 2))
+        .withColumn("price_mix_effect", round($"delta" - $"volume_effect", 2))
+        .select($"c_mktsegment", $"n1", $"n2",
+          $"rev1".cast(DoubleType).as("rev1"),
+          $"rev2".cast(DoubleType).as("rev2"),
+          $"delta", $"volume_effect", $"price_mix_effect")
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_mktsegment,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1996
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS rev1,
+          CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = 1997
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS rev2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY c_mktsegment
+      )
+      SELECT c_mktsegment, n1, n2,
+        CAST(rev1 AS DOUBLE) AS rev1,
+        CAST(rev2 AS DOUBLE) AS rev2,
+        ROUND(CAST(rev2 AS DOUBLE) - CAST(rev1 AS DOUBLE), 2) AS delta,
+        ROUND((n2 - n1) * ROUND(CAST(rev1 AS DOUBLE) / n1, 6), 2) AS volume_effect,
+        ROUND(ROUND(CAST(rev2 AS DOUBLE) - CAST(rev1 AS DOUBLE), 2)
+          - ROUND((n2 - n1) * ROUND(CAST(rev1 AS DOUBLE) / n1, 6), 2), 2)
+          AS price_mix_effect
+      FROM base
+      ORDER BY c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    aggAbSrmCheck, aggRevenueBridge,
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,
     aggPercentilesExact, aggPercentilesApprox, aggStringAgg, aggCorrCovar,
