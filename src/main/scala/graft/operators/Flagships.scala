@@ -872,38 +872,53 @@ object Flagships extends QueryModule {
         .coalesce(1)
         .transform(graft.Checkpoints.cut)
       val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
-      val nTotal = nodes.agg(count(lit(1)).as("nn"))
+      val nTotal = graft.Checkpoints.cut(
+        nodes.agg(count(lit(1)).as("nn")).coalesce(1))
       val srcNodes = graft.Checkpoints.cut(
         edges.select($"src".as("node")).distinct().coalesce(1))
+      // Self-loops with ratio 0 make every node a contribution RECEIVER
+      // (the zero terms change no sum — exact decimal 0): each round
+      // then references the previous iterate exactly ONCE, so all 8
+      // rounds unroll into one linear-lineage plan with zero per-round
+      // checkpoint jobs and zero separate dangling-mass aggregations
+      // (the r8 rewrite of the r7 cut-per-round loop: dangling mass is
+      // an unpartitioned window over the 25-row iterate, carried to the
+      // receivers on the join and recovered with a constant max()).
+      val edgesAug = graft.Checkpoints.cut(
+        edges.select($"src", $"dst", $"ratio")
+          .unionAll(nodes.select($"node".as("src"), $"node".as("dst"),
+            lit(0.0).as("ratio")))
+          .coalesce(1))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       var pr = nodes.select($"node").crossJoin(broadcast(nTotal))
         .select($"node", (lit(1.0) / $"nn").as("pr"))
-      for (_ <- 1 to 8) {
+      for (i <- 1 to 8) {
         // dangling-node mass (no out-edges) redistributes uniformly —
         // the standard fix that conserves probability mass exactly
-        val dm = pr.join(srcNodes, Seq("node"), "left_anti")
-          .agg(coalesce(
-            sum($"pr".cast(org.apache.spark.sql.types.DecimalType(28, 9))).cast(DoubleType),
-            lit(0.0)).as("dm"))
-        val contrib = edges
-          .join(pr.select($"node".as("src"), $"pr".as("prs")), "src")
-          .select($"dst".as("node"), round($"prs" * $"ratio", 9).as("c"))
-        pr = nodes.select($"node")
-          .join(contrib.groupBy($"node")
-            .agg(sum($"c".cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s")),
+        val prAug = pr
+          .join(broadcast(srcNodes.select($"node", lit(true).as("has_out"))),
             Seq("node"), "left")
+          .withColumn("dm",
+            coalesce(
+              sum(when($"has_out".isNull, $"pr")
+                .cast(org.apache.spark.sql.types.DecimalType(28, 9))).over(wAll)
+                .cast(DoubleType),
+              lit(0.0)))
+        pr = edgesAug
+          .join(prAug.select($"node".as("src"), $"pr".as("prs"), $"dm"), "src")
+          .groupBy($"dst")
+          .agg(
+            sum(round($"prs" * $"ratio", 9)
+              .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s"),
+            max($"dm").as("dm"))
           .crossJoin(broadcast(nTotal))
-          .crossJoin(broadcast(dm))
-          .select($"node",
+          .select($"dst".as("node"),
             round(lit(0.15) / $"nn"
-              + lit(0.85) * (coalesce($"s".cast(DoubleType), lit(0.0)) + $"dm" / $"nn"),
+              + lit(0.85) * ($"s".cast(DoubleType) + $"dm" / $"nn"),
               9).as("pr"))
-        // pr appears TWICE in the next round's plan (dangling mass +
-        // contributions), so the logical plan doubles per round without
-        // an eager cut here; the frame is node-sized so the checkpoint
-        // job is cheap. (Measured: cutting only every 4th round is
-        // SLOWER — Catalyst re-optimizing 16 copies of the join subtree
-        // costs more than 8 tiny checkpoint jobs.)
-        pr = graft.Checkpoints.cut(pr.coalesce(1))
+        // one mid-point cut: halves the depth Catalyst re-optimizes for
+        // the window-over-join chain at the cost of a single tiny job
+        if (i == 4) pr = graft.Checkpoints.cut(pr.coalesce(1))
       }
       pr.join(broadcast(nodes), "node")
         .select($"node".as("n_nationkey"), $"n_name", round($"pr", 6).as("pagerank"))
