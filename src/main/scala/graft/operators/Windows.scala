@@ -1302,8 +1302,88 @@ object Windows extends QueryModule {
       ORDER BY mi
     """.stripMargin.trim))
 
+  /** BOLLINGER BANDS on per-nation monthly revenue (SURVEY §2 I-oct) —
+    * the volatility envelope (6-month moving mean ± 2 population σ)
+    * that turns "is this month unusual?" into a per-series banded test;
+    * breakout flag on either side. With RSI (momentum), drawdown
+    * (risk), Hurst (persistence) and CUSUM (level shifts) this closes
+    * the technical-indicator family.
+    *
+    * Scale notes (100 TB): one fact month agg, then ONE per-nation
+    * frame window pass over the bounded monthly table. σ comes from
+    * 6 dp-rounded deviations squared into 12 dp decimal frame sums (the
+    * Hurst recipe) — the int128→double ulp then passes through √ and a
+    * 6 dp round, shrinking it far below rounding granularity; the mean
+    * rides an int64-width decimal cast.
+    */
+  val winBollingerBands = Q(
+    "win_bollinger_bands",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey",
+          (year($"l_shipdate") * 12 + month($"l_shipdate")).as("mi"))
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))
+          .cast(DecimalType(18, 4)).as("rev"))
+      val wf = Window.partitionBy($"s_nationkey").orderBy($"mi").rowsBetween(-5, 0)
+      monthly
+        .withColumn("nf", count(lit(1)).over(wf))
+        .withColumn("m",
+          round(sum($"rev").over(wf).cast(DecimalType(18, 4)).cast(DoubleType) / 6, 6))
+        .withColumn("dv", round($"rev".cast(DoubleType) - $"m", 6))
+        .withColumn("sd",
+          round(sqrt(sum(round($"dv" * $"dv", 12).cast(DecimalType(38, 12)))
+            .over(wf).cast(DoubleType) / 6), 6))
+        .where($"nf" === 6)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"mi",
+          $"rev".cast(DoubleType).as("rev"),
+          $"m", $"sd",
+          round($"m" + lit(2.0) * $"sd", 6).as("upper"),
+          round($"m" - lit(2.0) * $"sd", 6).as("lower"),
+          ($"rev".cast(DoubleType) > round($"m" + lit(2.0) * $"sd", 6) ||
+            $"rev".cast(DoubleType) < round($"m" - lit(2.0) * $"sd", 6)).as("breakout"))
+        .orderBy($"n_name", $"mi")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT s_nationkey,
+          year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ), a AS (
+        SELECT s_nationkey, mi, rev,
+          COUNT(*) OVER wf AS nf,
+          ROUND(CAST(CAST(SUM(rev) OVER wf AS DECIMAL(18,4)) AS DOUBLE) / 6, 6) AS m
+        FROM monthly
+        WINDOW wf AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ), b AS (
+        SELECT s_nationkey, mi, rev, nf, m,
+          ROUND(SQRT(CAST(SUM(CAST(ROUND(ROUND(CAST(rev AS DOUBLE) - m, 6)
+              * ROUND(CAST(rev AS DOUBLE) - m, 6), 12) AS DECIMAL(38,12)))
+            OVER wf AS DOUBLE) / 6), 6) AS sd
+        FROM a
+        WINDOW wf AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      )
+      SELECT n_name, mi, CAST(rev AS DOUBLE) AS rev, m, sd,
+        ROUND(m + 2 * sd, 6) AS upper,
+        ROUND(m - 2 * sd, 6) AS lower,
+        (CAST(rev AS DOUBLE) > ROUND(m + 2 * sd, 6)
+          OR CAST(rev AS DOUBLE) < ROUND(m - 2 * sd, 6)) AS breakout
+      FROM b JOIN nation ON s_nationkey = n_nationkey
+      WHERE nf = 6
+      ORDER BY n_name, mi
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
-    winRsiMomentum, winSeasonalDecompose,
+    winRsiMomentum, winSeasonalDecompose, winBollingerBands,
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
