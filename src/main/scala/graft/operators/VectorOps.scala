@@ -1970,26 +1970,42 @@ object VectorOps extends QueryModule {
     "vec_pca_power_iteration",
     (spark, dir) => {
       import spark.implicits._
-      // Join-free Gram: two CHAINED posexplode generates emit each row's
-      // d² outer-product cells inside whole-stage codegen (a lambda-HOF
-      // formulation evaluates interpreted and measured ~10× slower; a
-      // positional self-join computes the same cells but shuffles the
-      // full n·d² expansion). The hash aggregate combines map-side into
-      // 4096 cells per partition, so the shuffle carries d² rows per
-      // partition regardless of corpus size — the declarative form of
-      // per-partition outer-product accumulation. The EXPLICIT-count
-      // repartition before the explode is load-bearing: AQE sizes the
-      // exchange on pre-explode bytes and would coalesce this tiny input
-      // to one partition, serializing the d² expansion (measured 9×
-      // slower); a user-specified partition count is exempt from AQE
-      // coalescing, and at cluster scale the input arrives pre-split.
-      val gram = Tables.embeddings(spark, dir)
+      // Per-partition Gram accumulation (the MLlib computeGramianMatrix
+      // pattern, r8 — replaces the r7 chained-posexplode formulation
+      // measured ~2× slower at sf0.1): each partition folds its vectors
+      // into ONE local d×d double array in tight loops, so the shuffle
+      // carries (partitions × d²) partial cells instead of streaming
+      // n·d² generated rows through a hash aggregate — the genuinely
+      // per-partition-imperative case the mapPartitions escape hatch
+      // exists for. Determinism: sortWithinPartitions(vec_id) pins the
+      // in-partition accumulation order (hash shuffle arrival order is
+      // not stable), partials round at 12 dp, and the cross-partition
+      // combine is an exact decimal sum — order-free.
+      val partials = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         .repartition(spark.sparkContext.defaultParallelism, $"vec_id")
-        .select($"embedding", posexplode($"embedding").as(Seq("i", "x")))
-        .select($"i", $"x", posexplode($"embedding").as(Seq("j", "y")))
+        .sortWithinPartitions($"vec_id")
+        .select($"emb").as[Seq[Double]]
+        .mapPartitions { it =>
+          var acc: Array[Double] = null
+          var d = 0
+          it.foreach { v =>
+            if (acc == null) { d = v.length; acc = new Array[Double](d * d) }
+            var i = 0
+            while (i < d) {
+              val xi = v(i)
+              var j = 0
+              while (j < d) { acc(i * d + j) += xi * v(j); j += 1 }
+              i += 1
+            }
+          }
+          if (acc == null) Iterator.empty
+          else Iterator.range(0, d * d).map(k => (k / d, k % d, acc(k)))
+        }
+        .toDF("i", "j", "p")
+      val gram = partials
         .groupBy($"i", $"j")
-        .agg(sum(($"x".cast(DoubleType) * $"y".cast(DoubleType))
-          .cast(DecimalType(38, 12))).as("gs"))
+        .agg(sum(round($"p", 12).cast(DecimalType(38, 12))).as("gs"))
         .select($"i", $"j", $"gs".cast(DoubleType).as("g"))
         .coalesce(1)
         .transform(graft.Checkpoints.cut)
