@@ -49,7 +49,8 @@ object Bench {
     val sharedTextS = operators.TextOps.prepareSharedStages(spark, sfDir)
     val sharedVecS = operators.VectorOps.prepareSharedStages(spark, sfDir)
     val sharedGraphS = operators.Flagships.prepareSharedStages(spark, sfDir)
-    val sharedStageS = sharedTextS + sharedVecS + sharedGraphS
+    val sharedWinS = operators.Windows.prepareSharedStages(spark, sfDir)
+    val sharedStageS = sharedTextS + sharedVecS + sharedGraphS + sharedWinS
     // (name, seconds, succeeded) — a failed query records its
     // elapsed-until-throw time AND lands in the errors list, so a crash
     // can never masquerade as a fast clean run (ADVICE round 3)
@@ -77,10 +78,11 @@ object Bench {
       "\",\"shared_stage_s\":" + sharedStageS +
       ",\"shared_text_s\":" + sharedTextS +
       ",\"shared_vec_s\":" + sharedVecS +
-      ",\"shared_graph_s\":" + sharedGraphS + ",\"queries\":{", ",", "}}")
+      ",\"shared_graph_s\":" + sharedGraphS +
+      ",\"shared_win_s\":" + sharedWinS + ",\"queries\":{", ",", "}}")
     Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     // compact stdout line: slowest queries first, greedy until MaxLine
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"shared_text_s":$sharedTextS%.3f,"shared_vec_s":$sharedVecS%.3f,"shared_graph_s":$sharedGraphS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"shared_text_s":$sharedTextS%.3f,"shared_vec_s":$sharedVecS%.3f,"shared_graph_s":$sharedGraphS%.3f,"shared_win_s":$sharedWinS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
       f""""$n":${if (ok) "" else "-"}$v%.3f"""
     }
