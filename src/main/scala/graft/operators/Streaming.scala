@@ -334,9 +334,43 @@ object Streaming extends QueryModule {
       ORDER BY user_id, session_seq
     """.stripMargin.trim))
 
+  /** Per-event trailing-3 behavior trail via transformWithState
+    * LIST state (SURVEY §2 I-oct) — the "last N actions" feature a
+    * ranking/abuse model consumes per event, here as the third
+    * arbitrary-state-v2 shape next to the ValueState counter and the
+    * event-time-timer sessionizer: the processor keeps a ≤2-element
+    * ListState buffer per user and every event emits the 3-window trail
+    * ending at itself (graft.streaming.StatefulOps.Last3TrailProcessor;
+    * StreamingSpec proves stream ≡ this batch declaration). The batch
+    * equivalent is a plain 3-row frame window.
+    *
+    * Scale notes (100 TB/day): state is ≤2 small strings per user —
+    * O(users), partitioned by user_id; the batch form is one user-keyed
+    * window shuffle.
+    */
+  val streamTwsLast3Trail = Q(
+    "stream_tws_last3_trail",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id",
+          array_join(collect_list($"event_type").over(w), ">").as("trail"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        string_agg(event_type, '>') OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail
+      FROM events
+      ORDER BY event_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
-    streamDistinctUsers, streamSessionTimer)
+    streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail)
 }

@@ -189,6 +189,53 @@ object StatefulOps {
       } else Iterator.empty
   }
 
+  /** Per-event trailing-3 behavior trail (the `stream_tws_last3_trail`
+    * output): the user's last ≤3 event types joined with '>'. */
+  case class Trail(event_id: Long, user_id: Long, trail: String)
+
+  /** LIST-state processor — the third Spark-4 arbitrary-state shape the
+    * engine exercises (ValueState: counters/sessions; timers:
+    * inactivity; ListState here: a bounded trailing buffer — the
+    * feature-engineering primitive behind "last N actions" model
+    * inputs). Keeps at most the last 2 types per user; each event emits
+    * the 3-window trail ending at itself. Run-to-completion this equals
+    * the batch 3-row frame window, which is the declared oracle.
+    */
+  class Last3TrailProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Trail] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode => OM, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var recent: ListState[String] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[String](
+        "recent_types", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Trail] = {
+      var buf: List[String] = if (recent.exists()) recent.get().toList else Nil
+      val out = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+        buf = (buf :+ e.event_type).takeRight(3)
+        Trail(e.event_id, uid, buf.mkString(">"))
+      }
+      // persist only the last 2 — the next event completes its own window
+      recent.put(buf.takeRight(2).toArray)
+      out.iterator
+    }
+  }
+
+  /** Apply the trailing-3 processor to a (streaming) typed event dataset. */
+  def last3TrailTws(spark: SparkSession, events: Dataset[Event]): Dataset[Trail] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc = Encoders.product[Trail]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new Last3TrailProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Apply the event-time-timer sessionizer to a (streaming) typed event
     * dataset. The 10-minute watermark bounds both late data and timer
     * latency; state is (one open session + one ordinal) per user,

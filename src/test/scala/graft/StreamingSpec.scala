@@ -191,6 +191,35 @@ class StreamingSpec extends SparkSpecBase {
       "timer-emitted session summaries differ from the batch gaps-and-islands formulation")
   }
 
+  test("transformWithState ListState: trailing-3 trails equal declared batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[StatefulOps.Event]
+      val q = StatefulOps
+        .last3TrailTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("tws_trail").outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_tws_trail_${System.nanoTime()}")
+        .start()
+      try {
+        evs.map(e => StatefulOps.Event(e.event_id, e.ts, e.user_id, e.event_type))
+          .grouped(evs.size / 4 + 1)
+          .foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val streamed = spark.table("tws_trail")
+    val batch = operators.Streaming.streamTwsLast3Trail.fn(spark, sfDir)
+    assert(collectSorted(streamed) == collectSorted(batch),
+      "ListState trailing buffer diverged from the batch 3-row frame window")
+  }
+
   test("stream-stream interval join: two MemoryStreams equal batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
