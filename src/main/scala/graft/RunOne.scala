@@ -24,11 +24,14 @@ object RunOne {
     // same warmup the bench pays, so numbers are comparable
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"RUNONE $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    // comma-separated names share one JVM so relative numbers are comparable
+    for (nm <- name.split(',')) {
+      val fn = SparkEntry.queries(nm)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"RUNONE $nm rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      }
     }
     spark.stop()
   }

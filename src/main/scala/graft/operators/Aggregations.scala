@@ -1591,30 +1591,36 @@ object Aggregations extends QueryModule {
     "agg_market_basket_lift",
     (spark, dir) => {
       import spark.implicits._
-      // ONE shuffle total: collect each order's distinct brands into a
-      // sorted set (shuffle keyed on l_orderkey), then emit pairs and
-      // singles by exploding the ≤|brands|-sized array row-locally —
-      // both downstream counts map-side combine into ≤ brands² cells.
-      // (A pair self-join on l_orderkey computes the same counts but
-      // re-shuffles the order-brand relation twice.)
-      val ob = Tables.lineitem(spark, dir)
+      // ONE data-scale pipeline total (r8 — the r7 shape re-ran the
+      // collect_set stage once per consumer): each order's sorted
+      // distinct-brand set is exploded row-locally into an order MARKER
+      // (null,null), singles (a,null) and ordered pairs (a,b), so a
+      // single count aggregation delivers n_orders, per-brand counts and
+      // pair counts in ≤ 1+brands+brands² cells. That bounded cell table
+      // is lineage-cut; total/singles/pairs below are filters over it —
+      // the fact table is scanned and shuffled exactly once.
+      val cells = Tables.lineitem(spark, dir)
         .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
           $"l_partkey" === $"p_partkey")
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"p_brand")).as("brands"))
-      val tot = ob.agg(count(lit(1)).as("n_orders"))
-      val cb = ob.select(explode($"brands").as("p_brand"))
-        .groupBy($"p_brand").agg(count(lit(1)).as("c"))
-      val pairs = ob
         .select(explode(expr(
-          """flatten(transform(brands, (a, i) ->
-            |  transform(slice(brands, i + 2, size(brands)), b ->
-            |    struct(a as brand_a, b as brand_b))))""".stripMargin)).as("pr"))
+          """concat(
+            |  array(struct(CAST(NULL AS STRING) AS brand_a, CAST(NULL AS STRING) AS brand_b)),
+            |  transform(brands, a -> struct(a AS brand_a, CAST(NULL AS STRING) AS brand_b)),
+            |  flatten(transform(brands, (a, i) ->
+            |    transform(slice(brands, i + 2, size(brands)), b ->
+            |      struct(a AS brand_a, b AS brand_b)))))""".stripMargin)).as("pr"))
         .groupBy($"pr.brand_a".as("brand_a"), $"pr.brand_b".as("brand_b"))
-        .agg(count(lit(1)).as("c_ab"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.Checkpoints.cut)
+      val tot = cells.where($"brand_a".isNull).select($"c".as("n_orders"))
+      val cb = cells.where($"brand_a".isNotNull && $"brand_b".isNull)
+      val pairs = cells.where($"brand_b".isNotNull)
+        .select($"brand_a", $"brand_b", $"c".as("c_ab"))
       pairs
-        .join(broadcast(cb.select($"p_brand".as("brand_a"), $"c".as("c_a"))), "brand_a")
-        .join(broadcast(cb.select($"p_brand".as("brand_b"), $"c".as("c_b"))), "brand_b")
+        .join(broadcast(cb.select($"brand_a", $"c".as("c_a"))), "brand_a")
+        .join(broadcast(cb.select($"brand_a".as("brand_b"), $"c".as("c_b"))), "brand_b")
         .crossJoin(broadcast(tot))
         .select(
           $"brand_a", $"brand_b", $"c_ab",

@@ -2003,58 +2003,60 @@ object VectorOps extends QueryModule {
           else Iterator.range(0, d * d).map(k => (k / d, k % d, acc(k)))
         }
         .toDF("i", "j", "p")
-      val gram = partials
+      // Driver-local d×d eigensolve (r8, the MLlib RowMatrix
+      // computePrincipalComponents split): the DATA-scale pass above
+      // reduces 100 TB of vectors to a d² = 4096-cell Gram — 32 KB —
+      // which is collected and power-iterated locally. The r7 in-plan
+      // 8-round unroll spent ~3 s of pure scheduler/codegen overhead
+      // driving 4096-row joins; the local solve is the same numbers
+      // (identical declared numerics: 12 dp HALF_UP term rounding, exact
+      // decimal sums, 9 dp normalization) at microsecond cost, and its
+      // driver footprint is d²-bounded — INDEPENDENT of corpus size.
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      // JBD.valueOf(double) is Double.toString-based — the same entry
+      // point Spark's Round expression uses on DoubleType, so the local
+      // 12 dp HALF_UP terms equal what round(col, 12) produced in-plan
+      def rnd(x: Double, s: Int): JBD =
+        JBD.valueOf(x).setScale(s, RoundingMode.HALF_UP)
+      val cells = partials
         .groupBy($"i", $"j")
         .agg(sum(round($"p", 12).cast(DecimalType(38, 12))).as("gs"))
         .select($"i", $"j", $"gs".cast(DoubleType).as("g"))
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
-      // dimensionality from the DATA (ADVICE r6 #3): the gram table's
-      // distinct j IS 0..d−1, so a changed embedding width flows through
-      // instead of silently truncating at a hard-coded 64; the uniform
-      // start is 1/√d (exact 0.125 at d=64)
-      val dims = gram.select($"j").distinct()
-      var v = dims.crossJoin(broadcast(dims.agg(count(lit(1)).as("d"))))
-        .select($"j", (lit(1.0) / sqrt($"d")).as("vj"))
-      // 8 power rounds UNROLLED into one linear-lineage plan (r7): the
-      // norm is an unpartitioned window over the d-row iterate instead
-      // of a second aggregate reference, so each round appears exactly
-      // once in the tree and no per-round checkpoint jobs are needed;
-      // only the CONVERGED vector is checkpointed (it feeds the
-      // Rayleigh/trace/top-5 branches three times)
-      val wAll = Window.partitionBy()
+        .collect()
+      val d = cells.iterator.map(_.getInt(1)).max + 1
+      val g = Array.ofDim[Double](d, d)
+      cells.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
       for (_ <- 1 to 8) {
-        v = gram.join(broadcast(v), "j")
-          .groupBy($"i")
-          .agg(sum(round($"g" * $"vj", 12).cast(DecimalType(38, 12))).as("s"))
-          .select($"i".as("j"), $"s".cast(DoubleType).as("wi"))
-          .withColumn("nrm",
-            sqrt(sum(round($"wi" * $"wi", 12).cast(DecimalType(38, 12)))
-              .over(wAll).cast(DoubleType)))
-          .select($"j", round($"wi" / $"nrm", 9).as("vj"))
+        val w = Array.tabulate(d) { i =>
+          (0 until d).foldLeft(JBD.ZERO)((a, j) => a.add(rnd(g(i)(j) * v(j), 12)))
+            .doubleValue()
+        }
+        val nrm = math.sqrt(
+          w.foldLeft(JBD.ZERO)((a, x) => a.add(rnd(x * x, 12))).doubleValue())
+        v = w.map(x => rnd(x / nrm, 9).doubleValue())
       }
-      v = graft.Checkpoints.cut(v.coalesce(1))
       // Rayleigh quotient λ = vᵀGv on the (unit) converged vector, and
       // trace(G) = Σ eigenvalues for the explained-variance share
-      val gv = gram.join(broadcast(v), "j")
-        .groupBy($"i")
-        .agg(sum(round($"g" * $"vj", 12).cast(DecimalType(38, 12))).as("s"))
-        .select($"i", $"s".cast(DoubleType).as("gvi"))
-      val lam = gv
-        .join(broadcast(v.select($"j".as("i"), $"vj")), "i")
-        .agg(sum(round($"gvi" * $"vj", 12).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("lambda"))
-      val trace = gram.where($"i" === $"j")
-        .agg(sum(round($"g", 12).cast(DecimalType(38, 12))).cast(DoubleType).as("tr"))
-      val wTop = Window.orderBy(abs($"loading").desc, $"dim")
-      v.select($"j".as("dim"), round($"vj", 4).as("loading"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter($"rank" <= 5)
-        .crossJoin(broadcast(lam))
-        .crossJoin(broadcast(trace))
-        .select($"rank", $"dim", $"loading",
-          round($"lambda", 4).as("eigenvalue"),
-          round($"lambda" / $"tr", 6).as("explained_share"))
+      val gv = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(JBD.ZERO)((a, j) => a.add(rnd(g(i)(j) * v(j), 12)))
+          .doubleValue()
+      }
+      val lambda = (0 until d).foldLeft(JBD.ZERO)((a, i) => a.add(rnd(gv(i) * v(i), 12)))
+        .doubleValue()
+      val trace = (0 until d).foldLeft(JBD.ZERO)((a, i) => a.add(rnd(g(i)(i), 12)))
+        .doubleValue()
+      val top = v.zipWithIndex
+        .map { case (vj, dim) => (dim, rnd(vj, 4).doubleValue()) }
+        .sortBy { case (dim, l) => (-math.abs(l), dim) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((dim, loading), k) =>
+          (k + 1, dim, loading,
+            rnd(lambda, 4).doubleValue(), rnd(lambda / trace, 6).doubleValue())
+        }
+      top.toSeq
+        .toDF("rank", "dim", "loading", "eigenvalue", "explained_share")
         .orderBy($"rank")
     },
     None)
