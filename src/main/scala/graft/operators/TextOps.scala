@@ -2045,8 +2045,66 @@ object TextOps extends QueryModule {
       ORDER BY c.doc_id
     """.stripMargin.trim))
 
+  /** Registry UPSERT — the daily-ingest cycle's write half (SURVEY §2
+    * I-oct): after `dedup_incremental_registry` scores batch 7 against
+    * history, [[ShingleRegistry.ensureUpserted]] appends the batch's
+    * NOVEL shingles (anti-join survivors) into the bucketed registry
+    * with `first_batch = 7`; the declared result audits the post-upsert
+    * generation — shingle count and share per first-shipping batch.
+    * Fully oracled: the post-upsert registry is min-batch-over-0..7 per
+    * shingle, which DuckDB re-derives from scratch.
+    *
+    * Scale notes (100 TB): the upsert scans ONLY the new batch and
+    * appends per-bucket files — history is never read beyond the
+    * co-partitioned anti-join side nor ever rewritten. The audit below
+    * is a groupBy over the bucketed table with a broadcast total.
+    */
+  val dedupRegistryUpsert = Q(
+    "dedup_registry_upsert",
+    (spark, dir) => {
+      import spark.implicits._
+      val reg2 = ShingleRegistry.ensureUpserted(spark, dir)
+      val counts = reg2.groupBy($"first_batch").agg(count(lit(1)).as("n_shingles"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum($"n_shingles").as("total"))))
+        .select($"first_batch", $"n_shingles",
+          round($"n_shingles".cast(DoubleType) / $"total", 6).as("share"))
+        .orderBy($"first_batch")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM documents
+      ), reg2 AS (
+        SELECT s.shingle, CAST(MIN(b.batch) AS BIGINT) AS first_batch
+        FROM sh s JOIN b USING (doc_id)
+        GROUP BY 1
+      ), counts AS (
+        SELECT first_batch, COUNT(*) AS n_shingles FROM reg2 GROUP BY 1
+      )
+      SELECT first_batch, n_shingles,
+        ROUND(CAST(n_shingles AS DOUBLE) / SUM(n_shingles) OVER (), 6) AS share
+      FROM counts
+      ORDER BY first_batch
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
-    dedupIncrementalRegistry,
+    dedupIncrementalRegistry, dedupRegistryUpsert,
     textZipfSlope,
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,

@@ -471,4 +471,36 @@ class TextOpsSpec extends SparkSpecBase {
       assert(math.abs(f - inter.toDouble / sets(a).size) < 1e-6, s"$a->$b share $f")
     }
   }
+
+  test("registry upsert: history frozen, batch-7 rows novel, append adds bucket files") {
+    import spark.implicits._
+    val v1 = operators.ShingleRegistry.ensure(spark, sfDir)
+    val v2 = operators.ShingleRegistry.ensureUpserted(spark, sfDir)
+    val v1Rows = v1.as[(String, Long)].collect().toMap
+    val v2Rows = v2.as[(String, Long)].collect().toMap
+    // every historical row survives the upsert UNCHANGED (append, not
+    // merge-rewrite: first_batch of an already-seen shingle never moves)
+    v1Rows.foreach { case (s, b) =>
+      assert(v2Rows.get(s).contains(b), s"history row ($s,$b) changed to ${v2Rows.get(s)}")
+    }
+    // every appended row is batch 7 and NOVEL vs history
+    val added = v2Rows.view.filterKeys(!v1Rows.contains(_)).toMap
+    assert(added.nonEmpty, "batch 7 contributed no novel shingles — fixture vacuous")
+    assert(added.values.forall(_ == 7L), "appended rows must carry first_batch=7")
+    // the appended generation reuses v1's shingle bucketing: novel rows
+    // arrive as ADDITIONAL per-bucket files, never a history rewrite
+    def parquetFiles(table: String): Int = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      val base = if (w.startsWith("file:")) new java.net.URI(w).getPath else w
+      Option(new java.io.File(base, table).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(operators.ShingleRegistry.upsertedTable(sfDir)) >
+           parquetFiles(operators.ShingleRegistry.registryTable(sfDir)),
+      "upsert must append files beyond the generation clone")
+    // and the bucketed scan still serves: a single-shingle probe prunes
+    val one = added.keysIterator.next()
+    val pruned = v2.where($"shingle" === one)
+    assert(pruned.count() == 1L)
+  }
 }
