@@ -133,4 +133,93 @@ object IvfIndex {
     }
     (spark.table(idx), spark.table(cb))
   }
+
+  def pqCodesTable(dir: String): String = s"graft_pq_codes_${tag(dir)}"
+  def pqCodebookTable(dir: String): String = s"graft_pq_codebook_${tag(dir)}"
+
+  /** Find-or-build the persisted PQ artifacts on top of [[ensure]] — the
+    * FAISS-style IVF-PQ index laid out as tables:
+    *
+    *  - `graft_pq_codes_<corpus>`: (vec_id, cell, codes ARRAY<BIGINT>) —
+    *    4 packed subspace codes per vector, BUCKETED by cell like the IVF
+    *    index so probed-cell scans read it with zero Exchange and literal
+    *    cell predicates prune buckets; ~64× smaller than the vectors.
+    *  - `graft_pq_codebook_<corpus>`: (sub, cid, cv) — 4×4 subspace
+    *    centroids (`vec_pq_encode`'s seed rule: slices of the 4 lowest
+    *    vec_ids), kilobytes, broadcast at query time to build each
+    *    query's LUT.
+    *
+    * Same freshness contract as the IVF tables: (path, size, mtime)
+    * fingerprint beside the data; a new JVM over current artifacts
+    * re-registers catalog metadata only. The encode reads the PERSISTED
+    * index (vectors + cells already co-located per bucket) — the corpus
+    * parquet is never re-touched.
+    */
+  def ensurePq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val codesT = pqCodesTable(dir)
+    val cbT = pqCodebookTable(dir)
+    val fp = fingerprint(dir)
+    val wh = warehouseDir(spark)
+    val codesLoc = new java.io.File(wh, codesT)
+    val cbLoc = new java.io.File(wh, cbT)
+    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
+    val onDisk = metaFile.isFile && codesLoc.isDirectory && cbLoc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    val inCatalog = spark.catalog.tableExists(codesT) && spark.catalog.tableExists(cbT)
+    if (onDisk && !inCatalog) {
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      spark.sql(s"DROP TABLE IF EXISTS $cbT")
+      spark.sql(
+        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+           |LOCATION '${codesLoc.toURI}'""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cbT (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
+           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val (idx, _) = ensure(spark, dir)
+      val subs = idx
+        .select(col("vec_id"), col("cell"),
+          explode(array((0 to 3).map(lit): _*)).as("sub"), col("emb"))
+        .select(col("vec_id"), col("cell"), col("sub"),
+          expr("slice(emb, sub*16+1, 16)").as("v"))
+      val cents = subs.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+      val d2 = round(
+        GraftFunctions.dot(col("v"), col("v"))
+          - lit(2.0) * GraftFunctions.dot(col("v"), col("cv"))
+          + GraftFunctions.dot(col("cv"), col("cv")), 6)
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("cid"))
+      val codes = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(sc, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      spark.sql(s"DROP TABLE IF EXISTS $cbT")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(codesLoc)
+      rmTree(cbLoc)
+      codes
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", codesLoc.getAbsolutePath)
+        .saveAsTable(codesT)
+      cents
+        .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
+        .coalesce(1)
+        .write
+        .option("path", cbLoc.getAbsolutePath)
+        .saveAsTable(cbT)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    (spark.table(codesT), spark.table(cbT))
+  }
 }

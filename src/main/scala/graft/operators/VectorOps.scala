@@ -76,10 +76,11 @@ object VectorOps extends QueryModule {
     // vec_twonn_intrinsic_dim — clock its build here (VERDICT r5 #1:
     // shared stages get their own line, not whichever query runs first)
     cachedKnn5(spark, dir).count()
-    // persisted IVF index: first bench run on a corpus pays the build
-    // here (its own shared-stage line item, not vec_ann_ivf_serve's
-    // clock); subsequent sessions re-register metadata only
+    // persisted IVF index + PQ codes/codebook: first bench run on a
+    // corpus pays the builds here (their own shared-stage line item, not
+    // the serve rows' clocks); subsequent sessions re-register metadata
     IvfIndex.ensure(spark, dir)
+    IvfIndex.ensurePq(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -1529,8 +1530,130 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** ANN serve from the PERSISTED IVF-PQ index (SURVEY §2 I-oct) — the
+    * full FAISS-style production path on disk: [[IvfIndex.ensurePq]]
+    * lays the corpus out as a cell-bucketed CODES table (4 packed
+    * subspace codes per vector, ~64× smaller than the vectors) plus a
+    * kilobyte PQ codebook, next to the IVF codebook; this query answers
+    * 50 probes (nprobe=3, k=3) reading ONLY persisted artifacts — the
+    * scan touches neither most of the corpus (probed-cell filter) NOR
+    * any full vector (ADC: 4 LUT lookups per candidate). Fully oracled
+    * like `vec_ann_ivf_serve`: every step rounds at 6 dp with id
+    * tiebreaks and the ADC sum is a 4-term decimal add, so DuckDB
+    * re-derives codebooks, assignment, codes, LUT and top-k from
+    * scratch and must match the served answer — proving the persisted
+    * artifacts faithfully capture the in-plan build.
+    *
+    * Scale notes (100 TB): probes and LUT broadcast; the codes side is
+    * a bucketed scan with NO Exchange and no full-width vector column;
+    * per-query work is ~nprobe/nlist of an already-64×-smaller table.
+    * The candidate aggregation is (q, vec)-keyed over ≤ queries ×
+    * probed-cell rows.
+    */
+  val vecAnnIvfpqServe = Q(
+    "vec_ann_ivfpq_serve",
+    (spark, dir) => {
+      import spark.implicits._
+      val (_, ivfCb) = IvfIndex.ensure(spark, dir)
+      val (codes, pqCb) = IvfIndex.ensurePq(spark, dir)
+      val q = withNorm(spark, dir).filter($"vec_id" < 50)
+      // nprobe=3 nearest cells per query via the persisted IVF codebook
+      val wp = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+      val probes = q
+        .crossJoin(broadcast(ivfCb))
+        .withColumn("csim",
+          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
+        .withColumn("cr", row_number().over(wp))
+        .filter($"cr" <= 3)
+        .select($"vec_id".as("q_id"), $"cell")
+      // per-query LUT: squared distance of each query slice to every
+      // persisted PQ centroid (queries × 16 rows, broadcast)
+      val lut = q
+        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
+        .select($"vec_id", $"sub".cast("long").as("sub"),
+          expr("slice(emb, sub*16+1, 16)").as("v"))
+        .join(broadcast(pqCb), Seq("sub"))
+        .withColumn("qd2", round(
+          GraftFunctions.dot($"v", $"v")
+            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+            + GraftFunctions.dot($"cv", $"cv"), 6))
+        .select($"vec_id".as("q_id"), $"sub", $"cid", $"qd2")
+      val wTop = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      codes
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", posexplode($"codes").as(Seq("sub", "cid")))
+        .select($"q_id", $"vec_id", $"sub".cast("long").as("sub"), $"cid")
+        .join(broadcast(lut), Seq("q_id", "sub", "cid"))
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .withColumn("adist", $"ad".cast(DoubleType))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"adist", $"rn".cast("long").as("rn"))
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 50)
+        WHERE cr <= 3
+      ), s AS (
+        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
+        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
+      ), c AS (
+        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
+      ), d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM s JOIN c ON s.sub = c.sub
+      ), codes AS (
+        SELECT d.vec_id, a.cell, d.sub, d.cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM d) d
+        JOIN assigned a USING (vec_id)
+        WHERE d.rn = 1
+      ), lut AS (
+        SELECT vec_id AS q_id, sub, cid, d2 AS qd2 FROM d WHERE vec_id < 50
+      ), adists AS (
+        SELECT p.q_id, k.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM codes k
+        JOIN probes p USING (cell)
+        JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id
+        GROUP BY p.q_id, k.vec_id
+      )
+      SELECT q_id, vec_id, adist, rn FROM (
+        SELECT q_id, vec_id, adist,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM adists)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
-    vecAnnIvfServe,
+    vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,
     vecStandardizeDims, vecMipsTopk, vecMatryoshkaEnergy, vecKnnGraphStats,

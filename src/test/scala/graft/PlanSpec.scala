@@ -685,6 +685,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("vec_ann_ivfpq_serve: codes-only scan, no full vectors, no cell shuffle") {
+    val df = operators.VectorOps.vecAnnIvfpqServe.fn(spark, sfDir)
+    val p = planString(df)
+    // the corpus side must be the persisted CODES table + PQ/IVF
+    // codebooks — never the full-vector index table (ADC's whole point:
+    // no full-vector arithmetic touches the scan)
+    assert(p.contains(operators.IvfIndex.pqCodesTable(sfDir)),
+      s"serve plan does not read the persisted codes table:\n$p")
+    assert(p.contains(operators.IvfIndex.pqCodebookTable(sfDir)),
+      s"serve plan does not read the persisted PQ codebook:\n$p")
+    assert(!p.contains(operators.IvfIndex.indexTable(sfDir)),
+      s"serve plan reads the full-vector index table:\n$p")
+    // probes/LUT broadcast against the bucketed codes scan: no cell
+    // shuffle, no sort-merge join anywhere
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the serve path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast-only serve path:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe/LUT sides must broadcast:\n$p")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
