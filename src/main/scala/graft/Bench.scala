@@ -19,7 +19,20 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val MaxLine = 1500 // leaves ≥400 chars of tail for sbt's epilogue
 
+  /** Cumulative hypervisor steal seconds from /proc/stat (field 8, USER_HZ
+    * ticks) — the round-8 variance audit's answer: the 1.2–1.4× flat bench
+    * excursions had NO in-guest process, because the thief is the host
+    * (this box is a VM). The start→end delta attributes exactly how many
+    * CPU-seconds an external tenant took during the run.
+    */
+  private def stealS: Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      cpu.trim.split("\\s+").drop(1).lift(7).map(_.toDouble / 100).getOrElse(0.0)
+    } catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
+    val steal0 = stealS
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -64,6 +77,15 @@ object Bench {
     // shared stage seconds COUNT toward the total (the work is real; it
     // is just attributed to its own line instead of a random family query)
     val total = results.map(_._2).sum + sharedStageS
+    // variance audit (round-8 excursions had no attributable process):
+    // cumulative JVM GC seconds and the host 1-min load average let a
+    // reader separate GC pressure / external load from engine regressions
+    import scala.jdk.CollectionConverters._
+    val gcS = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    val loadAvg = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val stealDeltaS = stealS - steal0
     // the errors list is itself budgeted: a mass-failure run (data dir
     // missing) would otherwise blow the head past the tail window and
     // reproduce the very truncation failure this line format exists to
@@ -75,14 +97,16 @@ object Bench {
       "\"" + n + "\":" + (if (ok) v else -v)
     }.mkString("{\"metric\":\"total\",\"value\":" + total +
       ",\"unit\":\"sec\",\"sf\":\"" + sfDir +
-      "\",\"shared_stage_s\":" + sharedStageS +
+      "\",\"gc_s\":" + gcS + ",\"load_avg\":" + loadAvg +
+      ",\"steal_s\":" + stealDeltaS +
+      ",\"shared_stage_s\":" + sharedStageS +
       ",\"shared_text_s\":" + sharedTextS +
       ",\"shared_vec_s\":" + sharedVecS +
       ",\"shared_graph_s\":" + sharedGraphS +
       ",\"shared_win_s\":" + sharedWinS + ",\"queries\":{", ",", "}}")
     Files.writeString(Paths.get("BENCH_FULL.json"), full + "\n")
     // compact stdout line: slowest queries first, greedy until MaxLine
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"shared_stage_s":$sharedStageS%.3f,"shared_text_s":$sharedTextS%.3f,"shared_vec_s":$sharedVecS%.3f,"shared_graph_s":$sharedGraphS%.3f,"shared_win_s":$sharedWinS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${failed.size},"gc_s":$gcS%.1f,"load_avg":$loadAvg%.2f,"steal_s":$stealDeltaS%.1f,"shared_stage_s":$sharedStageS%.3f,"shared_text_s":$sharedTextS%.3f,"shared_vec_s":$sharedVecS%.3f,"shared_graph_s":$sharedGraphS%.3f,"shared_win_s":$sharedWinS%.3f,"errors":[${errors.mkString(",")}],"full":"BENCH_FULL.json","queries":{"""
     val entries = results.sortBy(-_._2).map { case (n, v, ok) =>
       f""""$n":${if (ok) "" else "-"}$v%.3f"""
     }

@@ -55,15 +55,17 @@ object StatefulOps {
     * RocksDB-backed. StreamingRobustnessSpec proves it emits the same
     * rows as the flatMapGroupsWithState implementation.
     */
-  class SinceSignupProcessor
+  class SinceSignupProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SinceSignup] {
-    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+
+    def this() = this(org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     @transient private var counter: ValueState[Long] = _
 
     override def init(outputMode: OM, timeMode: TimeMode): Unit =
       counter = getHandle.getValueState[Long](
-        "since_signup", Encoders.scalaLong, TTLConfig.NONE)
+        "since_signup", Encoders.scalaLong, ttl)
 
     override def handleInputRows(
         userId: Long,
@@ -89,6 +91,28 @@ object StatefulOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new SinceSignupProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** TTL variant — the state-hygiene configuration a production deployment
+    * runs with (unbounded keyspaces: every user ever seen would otherwise
+    * live in the store forever; TTL evicts keys quiet longer than the
+    * retention window, bounding the store to ACTIVE users). TTL is
+    * processing-time-based in Spark, so this variant runs in
+    * `TimeMode.ProcessingTime`; semantics on expiry are "state absent" —
+    * the counter restarts, exactly as if the user were new.
+    * StreamingRobustnessSpec proves both directions deterministically
+    * (expired ⇒ restart; long TTL ⇒ identical to TTL-less run).
+    */
+  def eventsSinceSignupTwsTtl(spark: SparkSession, events: Dataset[Event],
+      ttlMs: Long): Dataset[SinceSignup] = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    implicit val outEnc = Encoders.product[SinceSignup]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SinceSignupProcessor(TTLConfig(java.time.Duration.ofMillis(ttlMs))),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Per-user session summary row (the `stream_session_timer` output):

@@ -193,6 +193,73 @@ class StreamingRobustnessSpec extends SparkSpecBase {
       s"restart diverged: extra=${(streamed diff batch).take(3)} missing=${(batch diff streamed).take(3)}")
   }
 
+  test("value-state TTL: quiet key expires and restarts; long TTL preserves state") {
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    // Deterministic in both directions without a fake clock: the SHORT
+    // side sleeps 20× the TTL between runs (expiry has certainly passed
+    // when run 2 reads the state), the LONG side's 1 h TTL cannot elapse
+    // within a test. Event TIMES are fixed — only the processing-time
+    // gap differs — so any output difference is TTL.
+    //
+    // Harness shape (learned the hard way): transformWithState in
+    // TimeMode.ProcessingTime requests another batch after EVERY batch
+    // (TTL/timer advancement), so processAllAvailable never drains and
+    // even Trigger.AvailableNow keeps cycling — and the memory sink
+    // cannot recover a checkpoint. So each run is a separate
+    // AvailableNow query over the SAME checkpoint with a foreachBatch
+    // sink (checkpoint-recoverable), polled until the expected rows
+    // land, then stopped; rows dedupe by event_id (foreachBatch is
+    // at-least-once across recoveries).
+    def ev(id: Long, tsMs: Long) =
+      StatefulOps.Event(id, new Timestamp(tsMs), 7L, "view")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(name: String, ttlMs: Long, sleepMs: Long): Seq[(Long, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val ms = MemoryStream[StatefulOps.Event]
+      val ckpt = s"/tmp/graft_scratch/ckpt_${name}_${System.nanoTime()}"
+      def once(batch: Seq[StatefulOps.Event], expect: Int): Unit = {
+        ms.addData(batch)
+        val q = StatefulOps.eventsSinceSignupTwsTtl(spark, ms.toDS(), ttlMs)
+          .writeStream
+          .foreachBatch { (ds: Dataset[StatefulOps.SinceSignup], _: Long) =>
+            ds.collect().foreach(r => buf.put(r.event_id, r.events_since_signup))
+          }
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (buf.size < expect && System.nanoTime() < deadline) Thread.sleep(50)
+        } finally q.stop()
+        assert(buf.size >= expect, s"$name: expected $expect rows, got $buf")
+      }
+      once(Seq(ev(1, 1000000L), ev(2, 1001000L)), 2)
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      once(Seq(ev(3, 1002000L)), 3)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.sortBy(_._1)
+    }
+    try {
+      // 100 ms TTL + 2 s quiet gap: the counter written by run 1 is
+      // expired when run 2 reads it — user 7 counts as NEW (restart at 1)
+      assert(run("tws_ttl_short", ttlMs = 100, sleepMs = 2000) ==
+        Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+      // 1 h TTL, same events and checkpoint dance: state survives the
+      // restart — the counter continues, identical to the TTL-less run
+      assert(run("tws_ttl_long", ttlMs = 3600000, sleepMs = 0) ==
+        Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState processor matches flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
