@@ -1295,6 +1295,100 @@ object Flagships extends QueryModule {
       LIMIT 10
     """.stripMargin.trim))
 
+  /** Jaccard neighbor-overlap link prediction (SURVEY §2 I-oct) — the
+    * degree-normalized companion to [[graphAdamicAdar]]: for every
+    * NON-edge pair of the top-50 trade backbone, |Γa∩Γb| / |Γa∪Γb| with
+    * the union expanded as deg(a)+deg(b)−common, so the whole score is
+    * EXACT integer arithmetic until one final 6 dp divide — no log
+    * weighting, no float accumulation anywhere. AA ranks by how RARE
+    * the shared partners are; Jaccard by how EXCLUSIVE the overlap is —
+    * the two standard link predictors a graph-feature pipeline emits
+    * side by side.
+    *
+    * Scale notes: rides the SAME memoized fact-scale edge stage as the
+    * rest of the graph family; everything after the backbone thinning
+    * (≤ nation²/2 rows) is bounded-table algebra — the self-join,
+    * anti-join and degree joins all run on ≤ 100-row frames.
+    */
+  lazy val graphJaccardNeighbors = Q(
+    "graph_jaccard_neighbors",
+    (spark, dir) => {
+      import spark.implicits._
+      val und = nationTradeEdges(spark, dir)
+        .where($"src" =!= $"dst")
+        .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .agg(sum($"wgt").as("wgt"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"wgt".desc, $"a", $"b")))
+        .where($"rk" <= 50)
+        .select($"a", $"b")
+      val nb = und.select($"a".as("u"), $"b".as("w"))
+        .unionAll(und.select($"b".as("u"), $"a".as("w")))
+      val degc = nb.groupBy($"u".as("ud")).agg(count(lit(1)).as("deg"))
+      val common = nb.select($"u".as("pa"), $"w")
+        .join(nb.select($"u".as("pb"), $"w"), "w")
+        .where($"pa" < $"pb")
+        .join(und, $"pa" === $"a" && $"pb" === $"b", "left_anti")
+        .groupBy($"pa", $"pb")
+        .agg(count(lit(1)).as("common_neighbors"))
+      common
+        .join(broadcast(degc.select($"ud".as("pa"), $"deg".as("deg_a"))), "pa")
+        .join(broadcast(degc.select($"ud".as("pb"), $"deg".as("deg_b"))), "pb")
+        .select($"pa", $"pb", $"common_neighbors",
+          ($"deg_a" + $"deg_b" - $"common_neighbors").as("union_neighbors"),
+          round($"common_neighbors".cast(DoubleType) /
+            ($"deg_a" + $"deg_b" - $"common_neighbors"), 6).as("jaccard"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey".as("pa"), $"n_name".as("a_name"))), "pa")
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey".as("pb"), $"n_name".as("b_name"))), "pb")
+        .orderBy($"jaccard".desc, $"a_name", $"b_name")
+        .limit(10)
+        .select($"a_name", $"b_name", $"common_neighbors",
+          $"union_neighbors", $"jaccard")
+    },
+    Some("""
+      WITH und AS (
+        SELECT a, b FROM (
+          SELECT a, b, ROW_NUMBER() OVER (ORDER BY wgt DESC, a, b) AS rk
+          FROM (
+            SELECT LEAST(s_nationkey, c_nationkey) AS a,
+              GREATEST(s_nationkey, c_nationkey) AS b,
+              SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2))
+        WHERE rk <= 50
+      ), nb AS (
+        SELECT a AS u, b AS w FROM und
+        UNION ALL SELECT b AS u, a AS w FROM und
+      ), degc AS (
+        SELECT u AS ud, COUNT(*) AS deg FROM nb GROUP BY 1
+      ), common AS (
+        SELECT x.u AS pa, y.u AS pb, COUNT(*) AS common_neighbors
+        FROM nb x JOIN nb y ON x.w = y.w AND x.u < y.u
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = x.u AND b = y.u)
+        GROUP BY 1, 2
+      )
+      SELECT na.n_name AS a_name, nbn.n_name AS b_name,
+        common_neighbors,
+        da.deg + db.deg - common_neighbors AS union_neighbors,
+        ROUND(CAST(common_neighbors AS DOUBLE)
+              / (da.deg + db.deg - common_neighbors), 6) AS jaccard
+      FROM common
+      JOIN degc da ON pa = da.ud
+      JOIN degc db ON pb = db.ud
+      JOIN nation na ON pa = na.n_nationkey
+      JOIN nation nbn ON pb = nbn.n_nationkey
+      ORDER BY jaccard DESC, a_name, b_name
+      LIMIT 10
+    """.stripMargin.trim))
+
   /** Degree assortativity of the nation trade graph (SURVEY §2 I-sept)
     * — Newman's r: the Pearson correlation of the degrees at the two
     * ends of every undirected edge (both orientations, the standard
@@ -1504,5 +1598,5 @@ object Flagships extends QueryModule {
     tpchQ17SmallqtyRevenue, tpchQ19DisjunctiveBrand, tpchQ22IdleBalance,
     tpchQ14PromoRatio, tpchQ6ForecastRevenue, tpchQ8MarketShare,
     tpchQ15TopSupplier, graphPagerankTrade, graphLabelPropagation,
-    graphKcoreTrade, graphAdamicAdar, graphAssortativity)
+    graphKcoreTrade, graphAdamicAdar, graphJaccardNeighbors, graphAssortativity)
 }
