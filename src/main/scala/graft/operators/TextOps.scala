@@ -883,14 +883,16 @@ object TextOps extends QueryModule {
         .agg(count(lit(1)).as("df"))
         .filter($"df" >= 5)
         .select($"shingle")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-      val hits = sh.join(broadcast(common), "shingle")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_common"))
-      sizes.join(hits, Seq("doc_id"), "left")
+      // ONE doc_id aggregation (r8 — previously sizes + hits aggregated
+      // separately and merge-joined): the broadcast common set marks
+      // each shingle row, and count(hit) inside the same partial agg
+      // delivers both totals per document in a single shuffle
+      sh.join(broadcast(common.withColumn("hit", lit(1))), Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_common"))
         .select(
-          $"doc_id", $"n_shingles",
-          coalesce($"n_common", lit(0L)).as("n_common"),
-          (coalesce($"n_common", lit(0L)).cast(DoubleType) / $"n_shingles")
+          $"doc_id", $"n_shingles", $"n_common",
+          ($"n_common".cast(DoubleType) / $"n_shingles")
             .cast(DecimalType(18, 6)).as("boilerplate_share"))
         .orderBy($"boilerplate_share".desc, $"doc_id")
         .limit(40)
@@ -3413,17 +3415,30 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val ss = shingles(docs)
+      // ONE shingle-keyed shuffle total (r8 — the r7 shape distinct-ed
+      // (source, shingle) then self-joined on shingle, re-exchanging the
+      // big relation twice): collect each shingle's source set (bounded
+      // by #sources), emit singles + directed pairs row-locally, and a
+      // single bounded count agg yields per-source sizes AND shared
+      // counts; the ≤ sources² cell table is lineage-cut. A hot shingle
+      // costs its (≤ sources²) local fan-out, never a join blowup.
+      val cells = shingles(docs)
         .join(docs.select($"doc_id", $"source"), "doc_id")
-        .select($"source", $"shingle").distinct()
-      val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
-      val inter = ss.select($"source".as("a_source"), $"shingle")
-        .join(ss.select($"source".as("b_source"), $"shingle"), "shingle")
-        .where($"a_source" =!= $"b_source")
-        .groupBy($"a_source", $"b_source")
-        .agg(count(lit(1)).as("n_shared"))
-      inter
-        .join(broadcast(sizes.select($"source".as("a_source"), $"n_shingles")), "a_source")
+        .groupBy($"shingle").agg(collect_set($"source").as("srcs"))
+        .select(explode(expr(
+          """concat(
+            |  transform(srcs, a -> struct(a AS a_source, CAST(NULL AS STRING) AS b_source)),
+            |  flatten(transform(srcs, a ->
+            |    transform(filter(srcs, b -> b != a), b ->
+            |      struct(a AS a_source, b AS b_source)))))""".stripMargin)).as("pr"))
+        .groupBy($"pr.a_source".as("a_source"), $"pr.b_source".as("b_source"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.Checkpoints.cut)
+      val sizes = cells.where($"b_source".isNull)
+        .select($"a_source", $"c".as("n_shingles"))
+      cells.where($"b_source".isNotNull)
+        .select($"a_source", $"b_source", $"c".as("n_shared"))
+        .join(broadcast(sizes), "a_source")
         .select($"a_source", $"b_source", $"n_shared",
           round($"n_shared".cast(DoubleType) / $"n_shingles", 6).as("overlap_frac"))
         .orderBy($"overlap_frac".desc, $"a_source", $"b_source")
