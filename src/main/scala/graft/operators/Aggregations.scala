@@ -2860,7 +2860,88 @@ object Aggregations extends QueryModule {
       ORDER BY c_mktsegment
     """.stripMargin.trim))
 
+  /** Trimmed and winsorized means per market segment (SURVEY §2 I-non)
+    * — the ROBUST location estimators an analytics layer reports beside
+    * the raw mean when outliers are expected (trimmed DROPS the tails,
+    * winsorized CLAMPS them to the cut values — reading all three tells
+    * you at a glance whether the tails drive the average): per segment,
+    * 10 % symmetric cut k = ⌊n/10⌋ on account balance ranked with a
+    * custkey tiebreak; trimmed mean over ranks (k, n−k]; winsorized
+    * mean = (trimmed sum + k·low_cut + k·high_cut)/n where the cut
+    * values are the min/max INSIDE the kept range — integer-exact rank
+    * selection, exact decimal sums, ONE double divide each at 6 dp.
+    *
+    * Scale notes (100 TB): the rank window rides one segment-keyed
+    * shuffle (bounded key count, linear in rows); everything after is a
+    * map-side-combinable conditional aggregation on the same pass. A
+    * skew-proof variant would select the cut values via the
+    * `win_rank_global_scalable` frequency-table recipe; at any realistic
+    * segment cardinality the per-key sort is the plan AQE picks anyway.
+    */
+  val aggTrimmedWinsorized = Q(
+    "agg_trimmed_winsorized",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"bal", $"c_custkey")
+      val ranked = Tables.customer(spark, dir)
+        .select($"c_mktsegment", $"c_custkey", dec($"c_acctbal").as("bal"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"c_mktsegment")))
+        .withColumn("k", expr("n div 10"))
+      val kept = $"rn" > $"k" && $"rn" <= ($"n" - $"k")
+      ranked
+        .groupBy($"c_mktsegment")
+        .agg(
+          first($"n").as("n"),
+          first($"k").as("k"),
+          sum($"bal").as("raw_sum"),
+          sum(when(kept, $"bal")).as("trim_sum"),
+          min(when(kept, $"bal")).as("low_cut"),
+          max(when(kept, $"bal")).as("high_cut"))
+        .select(
+          $"c_mktsegment", $"n", $"k",
+          round($"raw_sum".cast(DecimalType(18, 2)).cast(DoubleType) / $"n", 6)
+            .as("raw_mean"),
+          round($"trim_sum".cast(DecimalType(18, 2)).cast(DoubleType) /
+            ($"n" - lit(2) * $"k"), 6).as("trimmed_mean"),
+          round(($"trim_sum" + $"k" * $"low_cut" + $"k" * $"high_cut")
+            .cast(DecimalType(18, 2)).cast(DoubleType) / $"n", 6).as("winsor_mean"),
+          $"low_cut".cast(DoubleType).as("low_cut"),
+          $"high_cut".cast(DoubleType).as("high_cut"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS rn,
+          COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+      ), cut AS (
+        SELECT c_mktsegment, bal, rn, n, n // 10 AS k FROM ranked
+      ), aggd AS (
+        SELECT c_mktsegment,
+          MAX(n) AS n, MAX(k) AS k,
+          SUM(bal) AS raw_sum,
+          SUM(CASE WHEN rn > k AND rn <= n - k THEN bal END) AS trim_sum,
+          MIN(CASE WHEN rn > k AND rn <= n - k THEN bal END) AS low_cut,
+          MAX(CASE WHEN rn > k AND rn <= n - k THEN bal END) AS high_cut
+        FROM cut GROUP BY 1
+      )
+      SELECT c_mktsegment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        ROUND(CAST(CAST(raw_sum AS DECIMAL(18,2)) AS DOUBLE) / n, 6) AS raw_mean,
+        ROUND(CAST(CAST(trim_sum AS DECIMAL(18,2)) AS DOUBLE) / (n - 2 * k), 6)
+          AS trimmed_mean,
+        ROUND(CAST(CAST(trim_sum + k * low_cut + k * high_cut AS DECIMAL(18,2))
+          AS DOUBLE) / n, 6) AS winsor_mean,
+        CAST(low_cut AS DOUBLE) AS low_cut,
+        CAST(high_cut AS DOUBLE) AS high_cut
+      FROM aggd
+      ORDER BY c_mktsegment
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    aggTrimmedWinsorized,
     aggAbSrmCheck, aggRevenueBridge,
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,
     aggCube, aggGroupingSets, aggFiltered, aggPivot, aggApproxHll,

@@ -2105,7 +2105,101 @@ object TextOps extends QueryModule {
       ORDER BY first_batch
     """.stripMargin.trim))
 
+  /** PMI / NPMI word co-occurrence (SURVEY §2 I-non) — the association
+    * measure behind collocation mining and embedding objectives
+    * (word2vec's SGNS factorizes a shifted-PMI matrix): for every pair
+    * of top-vocabulary words, pointwise mutual information of their
+    * DOCUMENT co-occurrence, ln(c_ab·N / (c_a·c_b)), normalized to
+    * [−1, 1] as npmi = pmi / ln(N/c_ab) so scores are comparable
+    * across corpus sizes. Completes the association family: lift
+    * (`agg_market_basket_lift`) is the RATIO form on baskets, PMI is
+    * its LOG form on text, JS/MI measure whole-distribution affinity.
+    *
+    * Scale notes (100 TB): the real-pipeline vocabulary cut comes
+    * first — top-100 tokens by document frequency (bounded, broadcast)
+    * — so the per-doc pair fan-out is ≤ |vocab∩doc|², never
+    * tokens²; pairs explode ROW-LOCALLY from each doc's sorted
+    * vocab-token set (the market-basket recipe: no pair self-join,
+    * one doc-keyed shuffle) into a ≤ vocab² cell table that is
+    * lineage-cut before the bounded PMI algebra. ln appears only on
+    * exact integer operands, rounded at 6 dp (the MI discipline with
+    * 6 dp headroom instead of 12).
+    */
+  val textPmiCooccurrence = Q(
+    "text_pmi_cooccurrence",
+    (spark, dir) => {
+      import spark.implicits._
+      val dt = tokens(Tables.documents(spark, dir))
+        .select($"doc_id", $"tok").distinct()
+      val vocab = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"tok").limit(100)
+        .select($"tok")
+      val cells = dt
+        .join(broadcast(vocab), "tok")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_set($"tok")).as("toks"))
+        .select(explode(expr(
+          """concat(
+            |  transform(toks, a -> struct(a AS tok_a, CAST(NULL AS STRING) AS tok_b)),
+            |  flatten(transform(toks, (a, i) ->
+            |    transform(slice(toks, i + 2, size(toks)), b ->
+            |      struct(a AS tok_a, b AS tok_b)))))""".stripMargin)).as("pr"))
+        .groupBy($"pr.tok_a".as("tok_a"), $"pr.tok_b".as("tok_b"))
+        .agg(count(lit(1)).as("c"))
+        .transform(graft.Checkpoints.cut)
+      val tot = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+      val singles = cells.where($"tok_b".isNull)
+      val pairs = cells.where($"tok_b".isNotNull)
+        .select($"tok_a", $"tok_b", $"c".as("c_ab"))
+      pairs
+        .join(broadcast(singles.select($"tok_a", $"c".as("c_a"))), "tok_a")
+        .join(broadcast(singles.select($"tok_a".as("tok_b"), $"c".as("c_b"))), "tok_b")
+        .crossJoin(broadcast(tot))
+        .select(
+          $"tok_a", $"tok_b", $"c_ab", $"c_a", $"c_b",
+          round(log($"c_ab".cast(DoubleType) * $"n" /
+            ($"c_a".cast(DoubleType) * $"c_b")), 6).as("pmi"),
+          when($"c_ab" === $"n", lit(1.0d)).otherwise(
+            round(log($"c_ab".cast(DoubleType) * $"n" /
+              ($"c_a".cast(DoubleType) * $"c_b")) /
+              log($"n".cast(DoubleType) / $"c_ab"), 6)).as("npmi"))
+        .orderBy($"npmi".desc, $"tok_a", $"tok_b")
+        .limit(20)
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+        WHERE tok <> ''
+      ), vocab AS (
+        SELECT tok FROM (
+          SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1
+          ORDER BY df DESC, tok LIMIT 100)
+      ), dv AS (
+        SELECT doc_id, tok FROM dt WHERE tok IN (SELECT tok FROM vocab)
+      ), tot AS (
+        SELECT COUNT(*) AS n FROM documents
+      ), singles AS (
+        SELECT tok, COUNT(*) AS c FROM dv GROUP BY 1
+      ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+      )
+      SELECT tok_a, tok_b, c_ab, sa.c AS c_a, sb.c AS c_b,
+        ROUND(LN(CAST(c_ab AS DOUBLE) * n / (CAST(sa.c AS DOUBLE) * sb.c)), 6) AS pmi,
+        CASE WHEN c_ab = n THEN 1.0
+          ELSE ROUND(LN(CAST(c_ab AS DOUBLE) * n / (CAST(sa.c AS DOUBLE) * sb.c))
+               / LN(CAST(n AS DOUBLE) / c_ab), 6) END AS npmi
+      FROM pairs
+      JOIN singles sa ON sa.tok = tok_a
+      JOIN singles sb ON sb.tok = tok_b, tot
+      ORDER BY npmi DESC, tok_a, tok_b LIMIT 20
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    textPmiCooccurrence,
     dedupIncrementalRegistry, dedupRegistryUpsert,
     textZipfSlope,
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,

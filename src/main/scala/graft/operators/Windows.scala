@@ -1401,8 +1401,192 @@ object Windows extends QueryModule {
       ORDER BY n_name, mi
     """.stripMargin.trim))
 
+  /** MACD momentum crossover (SURVEY §2 I-non) — the moving-average
+    * convergence/divergence indicator in its SMA (Cutler-style)
+    * formulation, the same exactness trade the RSI row makes: recursive
+    * EMA smoothing would compound float error per step, so fast/slow
+    * are exact 3- and 9-month frame means. Per supplier nation's
+    * monthly revenue: macd = SMA3 − SMA9, signal = SMA3 of macd,
+    * histogram = macd − signal, and `cross_up` marks the buy-signal
+    * months where the histogram crosses from negative to non-negative
+    * — the state change a momentum monitor actually alerts on (RSI
+    * reports the LEVEL of momentum; this row reports its TURNS).
+    *
+    * Scale notes (100 TB): rides the ONE shared memoized monthly
+    * aggregation (fact-scale, map-side combinable), then two ordered
+    * window passes over the bounded monthly table on a single
+    * nation-keyed shuffle. Frame sums are exact decimals; doubles
+    * appear only in the /3 and /9 scalar divisions on identical
+    * operands, each rounded at 6 dp before reuse.
+    */
+  val winMacdCrossover = Q(
+    "win_macd_crossover",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = nationMonthlyRevenue(spark, dir)
+        .select($"s_nationkey", $"mi", $"rev".cast(DecimalType(18, 4)).as("rev"))
+      val wOrd = Window.partitionBy($"s_nationkey").orderBy($"mi")
+      val w3 = wOrd.rowsBetween(-2, 0)
+      val w9 = wOrd.rowsBetween(-8, 0)
+      val withMacd = monthly
+        .withColumn("n9", count(lit(1)).over(w9))
+        .withColumn("fast",
+          round(sum($"rev").over(w3).cast(DecimalType(18, 4)).cast(DoubleType) / 3, 6))
+        .withColumn("slow",
+          round(sum($"rev").over(w9).cast(DecimalType(18, 4)).cast(DoubleType) / 9, 6))
+        .where($"n9" === 9)
+        .withColumn("macd", round($"fast" - $"slow", 6))
+      val wSig = Window.partitionBy($"s_nationkey").orderBy($"mi").rowsBetween(-2, 0)
+      withMacd
+        .withColumn("n_sig", count(lit(1)).over(wSig))
+        .withColumn("signal",
+          round(sum($"macd".cast(DecimalType(18, 6))).over(wSig)
+            .cast(DecimalType(18, 6)).cast(DoubleType) / 3, 6))
+        .where($"n_sig" === 3)
+        .withColumn("hist", round($"macd" - $"signal", 6))
+        .withColumn("cross_up",
+          lag($"macd" - $"signal", 1).over(Window.partitionBy($"s_nationkey").orderBy($"mi")) < 0.0
+            && ($"macd" - $"signal") >= 0.0)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"mi", $"fast", $"slow", $"macd", $"signal", $"hist",
+          coalesce($"cross_up", lit(false)).as("cross_up"))
+        .orderBy($"n_name", $"mi")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT s_nationkey,
+          year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ), a AS (
+        SELECT s_nationkey, mi,
+          COUNT(*) OVER w9 AS n9,
+          ROUND(CAST(CAST(SUM(rev) OVER w3 AS DECIMAL(18,4)) AS DOUBLE) / 3, 6) AS fast,
+          ROUND(CAST(CAST(SUM(rev) OVER w9 AS DECIMAL(18,4)) AS DOUBLE) / 9, 6) AS slow
+        FROM monthly
+        WINDOW w3 AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+               w9 AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+      ), b AS (
+        SELECT s_nationkey, mi, fast, slow, ROUND(fast - slow, 6) AS macd
+        FROM a WHERE n9 = 9
+      ), c AS (
+        SELECT s_nationkey, mi, fast, slow, macd,
+          COUNT(*) OVER ws AS n_sig,
+          ROUND(CAST(CAST(SUM(CAST(macd AS DECIMAL(18,6))) OVER ws
+            AS DECIMAL(18,6)) AS DOUBLE) / 3, 6) AS signal
+        FROM b
+        WINDOW ws AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ), d AS (
+        SELECT s_nationkey, mi, fast, slow, macd, signal,
+          ROUND(macd - signal, 6) AS hist,
+          COALESCE(LAG(macd - signal, 1) OVER (PARTITION BY s_nationkey ORDER BY mi) < 0
+            AND (macd - signal) >= 0, FALSE) AS cross_up
+        FROM c WHERE n_sig = 3
+      )
+      SELECT n_name, mi, fast, slow, macd, signal, hist, cross_up
+      FROM d JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_name, mi
+    """.stripMargin.trim))
+
+  /** Stochastic oscillator %K/%D (SURVEY §2 I-non) — where the series
+    * sits INSIDE its own recent range: %K = 100·(rev − min₆)/(max₆ −
+    * min₆) over each supplier nation's trailing 6 months, %D = 3-month
+    * SMA of %K, with the classic overbought (>80) / oversold (<20)
+    * state flags. Completes the band family: Bollinger asks "how far
+    * from the mean in σ units", the stochastic asks "where between the
+    * recent extremes" — a range-position signal that is robust to
+    * volatility regime changes because the denominator IS the range.
+    *
+    * Scale notes (100 TB): same shape as Bollinger — the shared
+    * memoized monthly aggregation, then one nation-keyed window pass.
+    * min/max frames are exact decimal comparisons; the %K divide is the
+    * only double op, on identical operands both engines round at 6 dp;
+    * %D re-sums 6 dp-exact %K values as decimals with one final /3.
+    */
+  val winStochasticOscillator = Q(
+    "win_stochastic_oscillator",
+    (spark, dir) => {
+      import spark.implicits._
+      val monthly = nationMonthlyRevenue(spark, dir)
+        .select($"s_nationkey", $"mi", $"rev".cast(DecimalType(18, 4)).as("rev"))
+      val wf = Window.partitionBy($"s_nationkey").orderBy($"mi").rowsBetween(-5, 0)
+      val withK = monthly
+        .withColumn("nf", count(lit(1)).over(wf))
+        .withColumn("lo", min($"rev").over(wf))
+        .withColumn("hi", max($"rev").over(wf))
+        .where($"nf" === 6)
+        .withColumn("pct_k",
+          round(lit(100.0) * ($"rev" - $"lo").cast(DecimalType(18, 4)).cast(DoubleType) /
+            nullif(($"hi" - $"lo").cast(DecimalType(18, 4)).cast(DoubleType), lit(0.0d)), 6))
+      val wd = Window.partitionBy($"s_nationkey").orderBy($"mi").rowsBetween(-2, 0)
+      withK
+        .withColumn("n_d", count($"pct_k").over(wd))
+        .withColumn("pct_d",
+          round(sum($"pct_k".cast(DecimalType(18, 6))).over(wd)
+            .cast(DecimalType(18, 6)).cast(DoubleType) / 3, 6))
+        .where($"n_d" === 3)
+        .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+        .select($"n_name", $"mi",
+          $"rev".cast(DoubleType).as("rev"),
+          $"lo".cast(DoubleType).as("range_low"),
+          $"hi".cast(DoubleType).as("range_high"),
+          $"pct_k", $"pct_d",
+          ($"pct_k" > 80.0).as("overbought"),
+          ($"pct_k" < 20.0).as("oversold"))
+        .orderBy($"n_name", $"mi")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT s_nationkey,
+          year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+      ), a AS (
+        SELECT s_nationkey, mi, rev,
+          COUNT(*) OVER wf AS nf,
+          MIN(rev) OVER wf AS lo,
+          MAX(rev) OVER wf AS hi
+        FROM monthly
+        WINDOW wf AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ), k AS (
+        SELECT s_nationkey, mi, rev, lo, hi,
+          ROUND(100.0 * CAST(CAST(rev - lo AS DECIMAL(18,4)) AS DOUBLE)
+            / NULLIF(CAST(CAST(hi - lo AS DECIMAL(18,4)) AS DOUBLE), 0), 6) AS pct_k
+        FROM a WHERE nf = 6
+      ), d AS (
+        SELECT s_nationkey, mi, rev, lo, hi, pct_k,
+          COUNT(pct_k) OVER wd AS n_d,
+          ROUND(CAST(CAST(SUM(CAST(pct_k AS DECIMAL(18,6))) OVER wd
+            AS DECIMAL(18,6)) AS DOUBLE) / 3, 6) AS pct_d
+        FROM k
+        WINDOW wd AS (PARTITION BY s_nationkey ORDER BY mi
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      )
+      SELECT n_name, mi,
+        CAST(rev AS DOUBLE) AS rev,
+        CAST(lo AS DOUBLE) AS range_low,
+        CAST(hi AS DOUBLE) AS range_high,
+        pct_k, pct_d,
+        (pct_k > 80.0) AS overbought,
+        (pct_k < 20.0) AS oversold
+      FROM d JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_d = 3
+      ORDER BY n_name, mi
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     winRsiMomentum, winSeasonalDecompose, winBollingerBands,
+    winMacdCrossover, winStochasticOscillator,
     winTopkPerGroup, winRankFamily, winLagLead, winMovingRowsFrame,
     winRangeFrame, winCumulative, winFirstLastValue,
     winRankGlobalScalable, winRangeFrameScalable, winIgnoreNulls,
