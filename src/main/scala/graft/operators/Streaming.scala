@@ -368,9 +368,70 @@ object Streaming extends QueryModule {
       ORDER BY event_id
     """.stripMargin.trim))
 
+  /** Idempotent foreachBatch FILE SINK (SURVEY §2 I-non) — the
+    * streaming family's missing durability row: every other stream row
+    * proves transform semantics into a memory sink; this one proves the
+    * SINK discipline a production pipeline actually needs — a parquet
+    * sink driven from `foreachBatch` that stays exactly-once when a
+    * batch is REPLAYED (sink retry after a failure between write and
+    * epoch commit, the at-least-once delivery contract foreachBatch
+    * gives). The shared [[StreamTransforms.idempotentWindowWrite]]
+    * writes with dynamic partition overwrite keyed by the aggregate's
+    * OWN key (window hour, event type), so any delivery — first write,
+    * update-mode re-emit, replay — rewrites exactly the cells it
+    * carries, last-write-wins per cell. The declared run writes the
+    * full hourly history, REPLAYS one day's slice, and returns the
+    * read-back daily rollup — any duplication from the replay would
+    * double that day's row/event counts against the oracle.
+    * StreamingSpec drives the same writer from a real foreachBatch
+    * over MemoryStream in update mode with a forced double delivery.
+    *
+    * Scale notes (100 TB): dynamic overwrite touches only the
+    * partitions present in the incoming batch (a microbatch spans the
+    * few windows it advanced), never the table; the read-back rollup
+    * is a bounded agg. State lives in the FILES, not the driver —
+    * retries are safe across job restarts.
+    */
+  val streamForeachbatchSink = Q(
+    "stream_foreachbatch_sink",
+    (spark, dir) => {
+      import spark.implicits._
+      val pid = ProcessHandle.current().pid()
+      val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val path = s"/tmp/graft_scratch/p$pid/fsink_$runId"
+      val agg = StreamTransforms.tumblingAgg(Tables.events(spark, dir))
+      StreamTransforms.idempotentWindowWrite(agg, path)
+      // the replayed delivery: one day re-arrives in full — the
+      // idempotent sink must absorb it without duplicating
+      StreamTransforms.idempotentWindowWrite(
+        agg.where($"w_start".cast("date") === lit("2024-01-15").cast("date")), path)
+      spark.read.parquet(path)
+        .groupBy($"w_start".cast("date").as("w_date"))
+        .agg(
+          count(lit(1)).as("n_window_rows"),
+          sum($"n_events").as("n_events"),
+          sum($"sum_value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .as("sum_value"))
+        .orderBy($"w_date")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+          COUNT(*) AS n_events,
+          SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT CAST(w_start AS DATE) AS w_date,
+        COUNT(*) AS n_window_rows,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(CAST(SUM(sum_value) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+      FROM hourly GROUP BY 1 ORDER BY w_date
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
-    streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail)
+    streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail,
+    streamForeachbatchSink)
 }

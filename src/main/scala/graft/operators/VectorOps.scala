@@ -1652,7 +1652,101 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** Maximal-marginal-relevance diversified top-k (SURVEY §2 I-non) —
+    * the retrieval-side diversity pass a RAG / training-data curation
+    * stack runs AFTER similarity search: plain top-k returns near-
+    * duplicates of each other; MMR greedily picks argmax λ·rel(q,d) −
+    * (1−λ)·max_{s∈chosen} sim(d,s) (λ=0.7, Carbonell–Goldstein), so
+    * each pick is relevant to the query AND novel against what's
+    * already selected. Query = the lowest-id embedding; candidates =
+    * its exact cosine top-20 (with id tiebreak); 5 greedy rounds, the
+    * first pick scored by the same formula (max_sim = 0).
+    *
+    * Scale notes (100 TB): the candidate cut is the ONE corpus-scale
+    * step (a broadcast-probe cosine top-k — at scale the ANN serve
+    * path yields the same 20 rows); the greedy loop is 4 unrolled
+    * rounds on the checkpointed ≤20-row frame — bounded-table algebra
+    * exactly like `sample_coreset_kcenter` (k-center optimizes
+    * coverage of a corpus; MMR relevance-vs-redundancy of a result
+    * list). Every cosine rounds 6 dp before compare, all argmax
+    * tiebreaks on vec_id, so the trajectory is engine-reproducible.
+    */
+  val vecMmrDiversify = Q(
+    "vec_mmr_diversify",
+    (spark, dir) => {
+      import spark.implicits._
+      val e = withNorm(spark, dir)
+      val q0 = e.orderBy($"vec_id").limit(1)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+      val cands = graft.Checkpoints.cut(
+        e.crossJoin(broadcast(q0))
+          .where($"vec_id" =!= $"q_id")
+          .withColumn("rel", round(cosine("emb", "q_emb", "nrm", "q_nrm"), 6))
+          .orderBy($"rel".desc, $"vec_id")
+          .limit(20)
+          .select($"vec_id", $"label", $"emb", $"nrm", $"rel")
+          .coalesce(1))
+      var chosen = graft.Checkpoints.cut(
+        cands.orderBy($"rel".desc, $"vec_id").limit(1)
+          .select(lit(1).as("rnd"), $"vec_id", $"label", $"emb", $"nrm", $"rel",
+            lit(0.0).as("max_sim"),
+            round(lit(0.7) * $"rel", 6).as("mmr_score"))
+          .coalesce(1))
+      for (i <- 2 to 5) {
+        val pick = cands
+          .join(chosen.select($"vec_id".as("cid")), $"vec_id" === $"cid", "left_anti")
+          .crossJoin(broadcast(chosen.select($"emb".as("cemb"), $"nrm".as("cnrm"))))
+          .withColumn("sim", round(cosine("emb", "cemb", "nrm", "cnrm"), 6))
+          .groupBy($"vec_id", $"label", $"emb", $"nrm", $"rel")
+          .agg(max($"sim").as("max_sim"))
+          .withColumn("mmr_score",
+            round(lit(0.7) * $"rel" - lit(0.3) * $"max_sim", 6))
+          .orderBy($"mmr_score".desc, $"vec_id")
+          .limit(1)
+          .select(lit(i).as("rnd"), $"vec_id", $"label", $"emb", $"nrm", $"rel",
+            $"max_sim", $"mmr_score")
+        chosen = graft.Checkpoints.cut(chosen.unionByName(pick).coalesce(1))
+      }
+      chosen.select($"rnd", $"vec_id", $"label", $"rel", $"max_sim", $"mmr_score")
+        .orderBy($"rnd")
+    },
+    Some {
+      val rounds = (2 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+        SELECT $i AS rnd, vec_id, label, emb, rel, max_sim,
+          ROUND(0.7 * rel - 0.3 * max_sim, 6) AS mmr_score
+        FROM (
+          SELECT c.vec_id, c.label, c.emb, c.rel,
+            MAX(ROUND(list_cosine_similarity(c.emb, ch.emb), 6)) AS max_sim
+          FROM cands c CROSS JOIN ch${i - 1} ch
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+          GROUP BY 1, 2, 3, 4)
+        ORDER BY mmr_score DESC, vec_id LIMIT 1
+      ), ch$i AS MATERIALIZED (
+        SELECT * FROM ch${i - 1} UNION ALL SELECT * FROM p$i
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), q0 AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 1
+      ), cands AS MATERIALIZED (
+        SELECT vec_id, label, emb,
+          ROUND(list_cosine_similarity(emb, q_emb), 6) AS rel
+        FROM e, q0 WHERE vec_id <> q_id
+        ORDER BY rel DESC, vec_id LIMIT 20
+      ), ch1 AS MATERIALIZED (
+        SELECT 1 AS rnd, vec_id, label, emb, rel, 0.0 AS max_sim,
+          ROUND(0.7 * rel, 6) AS mmr_score
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+      ), $rounds
+      SELECT rnd, vec_id, label, rel, max_sim, mmr_score FROM ch5 ORDER BY rnd
+      """.stripMargin.trim
+    })
+
   def qs: Seq[Q] = Seq(
+    vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
     dedupEmbeddingCosine, vecAnnLsh, vecAnnIvf, vecQuantizeInt8,

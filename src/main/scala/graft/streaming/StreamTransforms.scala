@@ -145,6 +145,33 @@ object StreamTransforms {
         col("purchase_id").isNotNull.as("converted"))
   }
 
+  /** Idempotent file-sink write — the exactly-once discipline for a
+    * parquet sink driven from `foreachBatch`: dynamic partition
+    * overwrite keyed by the WINDOW itself (the hour), so each delivery
+    * — first write, update-mode re-emit with a new total, or a replay
+    * after a failure between write and epoch commit — REWRITES exactly
+    * the window partitions it carries, last-write-wins per window,
+    * never an append of duplicates. The partition key must be the
+    * aggregation window key (not anything coarser): update-mode
+    * batches carry only the TOUCHED windows, and overwriting a coarser
+    * partition with a partial batch would drop its other windows. The
+    * tumbling aggregate's full key is (window, event_type), so both
+    * are partition columns. Shared verbatim between the declared batch
+    * row and the streaming foreachBatch drive in StreamingSpec.
+    */
+  def idempotentWindowWrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.withColumn("w_hour", date_format(col("w_start"), "yyyy-MM-dd-HH"))
+        .write.mode("overwrite").partitionBy("w_hour", "event_type").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
     * this is a plain keyed aggregation in update mode — each microbatch

@@ -346,6 +346,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent file sink: double delivery leaves exactly-once files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = loadEvs()
+    val path = s"/tmp/graft_scratch/fsink_spec_${System.nanoTime()}"
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.tumblingAgg(ms.toDF())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_fsink_${System.nanoTime()}")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        StreamTransforms.idempotentWindowWrite(df, path)
+        // the at-least-once case: batch 1 is delivered AGAIN (sink
+        // failure between write and epoch commit) — same rows, same id
+        if (id == 1L) StreamTransforms.idempotentWindowWrite(df, path)
+      }
+      .start()
+    try {
+      evs.grouped(evs.size / 3 + 1).toSeq.foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cols = Seq($"w_start", $"event_type", $"n_events", $"sum_value")
+    val readBack = spark.read.parquet(path).select(cols: _*)
+    val batch = StreamTransforms.tumblingAgg(batchEvents).select(cols: _*)
+    assert(collectSorted(readBack) == collectSorted(batch),
+      "idempotent window-keyed sink must equal batch despite the double delivery")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
