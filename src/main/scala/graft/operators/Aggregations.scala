@@ -2940,7 +2940,104 @@ object Aggregations extends QueryModule {
       ORDER BY c_mktsegment
     """.stripMargin.trim))
 
+  /** Holm step-down multiple-testing gate over all pairwise segment
+    * contrasts (SURVEY §2 I-non) — what an experimentation platform
+    * runs when it reads MANY comparisons at once: 10 pairwise Welch
+    * z-tests on account balance across the 5 market segments, ranked
+    * by |z|, each rank tested against its Holm-adjusted critical value
+    * (α/(m−i+1), two-sided α=0.05 — the step-DOWN schedule that
+    * uniformly dominates plain Bonferroni), with the step-down stop:
+    * a pair is significant only if every more-extreme rank also
+    * passed. Critical values are normal quantiles as LITERALS (the
+    * `agg_ab_srm_check` 3.841 precedent) — the large-sample z
+    * approximation is the standard gate at thousands of rows per arm;
+    * `agg_welch_ttest` carries the exact df for the single-pair case.
+    *
+    * Scale notes (100 TB): ONE map-side-combinable moment pass
+    * (n, Σx, Σx² per segment, exact decimals), then all pair algebra
+    * on the bounded 5-row frame — broadcast self-pair, window rank and
+    * prefix-AND all on ≤10 rows. Adding segments grows only the
+    * bounded side.
+    */
+  val aggHolmStepdown = Q(
+    "agg_holm_stepdown",
+    (spark, dir) => {
+      import spark.implicits._
+      val m = Tables.customer(spark, dir)
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"c_acctbal".cast(DecimalType(28, 10))).as("sx"),
+          sum(($"c_acctbal" * $"c_acctbal").cast(DecimalType(38, 10))).as("sxx"))
+        .transform(graft.Checkpoints.cut)
+      def mean(sx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        sx.cast(DoubleType) / n
+      def se2(sxx: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column) =
+        (sxx.cast(DoubleType) - sx.cast(DoubleType) * sx.cast(DoubleType) / n) /
+          (n - 1) / n
+      val a = m.select($"c_mktsegment".as("seg_a"), $"n".as("n_a"),
+        $"sx".as("sx_a"), $"sxx".as("sxx_a"))
+      val b = m.select($"c_mktsegment".as("seg_b"), $"n".as("n_b"),
+        $"sx".as("sx_b"), $"sxx".as("sxx_b"))
+      val z = round((mean($"sx_a", $"n_a") - mean($"sx_b", $"n_b")) /
+        nullif(sqrt(se2($"sxx_a", $"sx_a", $"n_a") + se2($"sxx_b", $"sx_b", $"n_b")),
+          lit(0.0d)), 6)
+      val thr = array(Seq(2.807034, 2.772921, 2.734369, 2.69011, 2.638257,
+        2.575829, 2.497705, 2.39398, 2.241403, 1.959964).map(lit): _*)
+      val wRank = Window.orderBy(abs($"z").desc, $"seg_a", $"seg_b")
+      val wPrefix = Window.orderBy($"rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      a.crossJoin(broadcast(b))
+        .where($"seg_a" < $"seg_b")
+        .withColumn("z", z)
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("thr", element_at(thr, $"rn"))
+        .withColumn("passes", (abs($"z") >= $"thr").cast("int"))
+        .withColumn("sig_holm", (min($"passes").over(wPrefix) === 1))
+        .select($"rn", $"seg_a", $"seg_b", $"n_a", $"n_b", $"z", $"thr",
+          ($"passes" === 1).as("passes_own_bar"), $"sig_holm")
+        .orderBy($"rn")
+    },
+    Some("""
+      WITH m AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS sx,
+          SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,10))) AS sxx
+        FROM customer GROUP BY 1
+      ), pairs AS (
+        SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+          a.n AS n_a, b.n AS n_b,
+          ROUND((CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+            / NULLIF(SQRT(
+                (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) / a.n)
+                  / (a.n - 1) / a.n
+              + (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.n)
+                  / (b.n - 1) / b.n), 0), 6) AS z
+        FROM m a JOIN m b ON a.c_mktsegment < b.c_mktsegment
+      ), ranked AS (
+        SELECT seg_a, seg_b, n_a, n_b, z,
+          ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, seg_a, seg_b) AS rn
+        FROM pairs
+      ), gated AS (
+        SELECT rn, seg_a, seg_b, n_a, n_b, z,
+          ([2.807034, 2.772921, 2.734369, 2.69011, 2.638257,
+            2.575829, 2.497705, 2.39398, 2.241403, 1.959964])[rn] AS thr,
+          CASE WHEN ABS(z) >= ([2.807034, 2.772921, 2.734369, 2.69011, 2.638257,
+            2.575829, 2.497705, 2.39398, 2.241403, 1.959964])[rn]
+            THEN 1 ELSE 0 END AS passes
+        FROM ranked
+      )
+      SELECT rn, seg_a, seg_b, n_a, n_b, z, thr,
+        passes = 1 AS passes_own_bar,
+        MIN(passes) OVER (ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS sig_holm
+      FROM gated
+      ORDER BY rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    aggHolmStepdown,
     aggTrimmedWinsorized,
     aggAbSrmCheck, aggRevenueBridge,
     aggPricingSummary, aggMultiDistinct, aggStatsDecimal, aggRollup,

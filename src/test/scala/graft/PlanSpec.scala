@@ -570,6 +570,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"drawdown needs no join at all:\n$p")
   }
 
+  test("text_pmi_cooccurrence: pairs explode row-locally, no pair self-join, cells cut") {
+    val p = planString(operators.TextOps.textPmiCooccurrence.fn(spark, sfDir))
+    // the final plan reads only the checkpointed cell table + the tiny
+    // corpus count — the documents parquet is never re-touched and the
+    // (doc, tok) relation never self-joins
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"consumers must read the checkpointed cell table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the doc-token relation must not self-join via SMJ:\n$p")
+    val docScans = "Scan parquet".r.findAllIn(p).size
+    assert(docScans <= 1, s"only the bounded corpus count may rescan, got $docScans:\n$p")
+  }
+
+  test("finance windows (macd/stochastic): shared monthly stage, no fact rescan") {
+    for (q <- Seq(operators.Windows.winMacdCrossover,
+                  operators.Windows.winStochasticOscillator)) {
+      val p = planString(q.fn(spark, sfDir))
+      // the memoized monthly-revenue checkpoint feeds the windows; the
+      // only parquet the final plan may touch is the 25-row nation dim
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 1, s"${q.name}: lineitem must not be rescanned, got $scans:\n$p")
+      assert(p.contains("Window"), s"${q.name}: frame means must be windows:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"${q.name}: nation attach must broadcast:\n$p")
+    }
+  }
+
   test("agg_mutual_information: fact-scale work is one partial-aggregated cell count") {
     val df = operators.Aggregations.aggMutualInformation.fn(spark, sfDir)
     val p = planString(df)
