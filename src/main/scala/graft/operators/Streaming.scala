@@ -376,21 +376,24 @@ object Streaming extends QueryModule {
     * batch is REPLAYED (sink retry after a failure between write and
     * epoch commit, the at-least-once delivery contract foreachBatch
     * gives). The shared [[StreamTransforms.idempotentWindowWrite]]
-    * writes with dynamic partition overwrite keyed by the aggregate's
-    * OWN key (window hour, event type), so any delivery — first write,
-    * update-mode re-emit, replay — rewrites exactly the cells it
-    * carries, last-write-wins per cell. The declared run writes the
-    * full hourly history, REPLAYS one day's slice, and returns the
-    * read-back daily rollup — any duplication from the replay would
-    * double that day's row/event counts against the oracle.
-    * StreamingSpec drives the same writer from a real foreachBatch
-    * over MemoryStream in update mode with a forced double delivery.
+    * writes with dynamic partition overwrite keyed at the DELIVERY
+    * granularity: this declared run delivers whole days
+    * (run-to-completion write + a full-day replay), so the key is the
+    * day — exact idempotence at 31 directories; the update-mode drive
+    * in StreamingSpec delivers touched (window, type) cells, so there
+    * the key is (w_hour, event_type). Any delivery rewrites exactly
+    * the partitions it carries, last-write-wins. The declared run
+    * REPLAYS one day's slice and returns the read-back daily rollup —
+    * any duplication from the replay would double that day's
+    * row/event counts against the oracle. StreamingSpec drives the
+    * same writer from a real foreachBatch over MemoryStream in update
+    * mode with a forced double delivery.
     *
     * Scale notes (100 TB): dynamic overwrite touches only the
     * partitions present in the incoming batch (a microbatch spans the
-    * few windows it advanced), never the table; the read-back rollup
-    * is a bounded agg. State lives in the FILES, not the driver —
-    * retries are safe across job restarts.
+    * few partitions it advanced), never the table; the read-back
+    * rollup is a bounded agg. State lives in the FILES, not the
+    * driver — retries are safe across job restarts.
     */
   val streamForeachbatchSink = Q(
     "stream_foreachbatch_sink",
@@ -400,11 +403,15 @@ object Streaming extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val path = s"/tmp/graft_scratch/p$pid/fsink_$runId"
       val agg = StreamTransforms.tumblingAgg(Tables.events(spark, dir))
-      StreamTransforms.idempotentWindowWrite(agg, path)
+      // deliveries here are whole days (run-to-completion write, then a
+      // full-day replay), so day partitioning is the exact idempotence
+      // key — and 31 directories instead of day×hour×type thousands
+      StreamTransforms.idempotentWindowWrite(agg, path, Seq("w_date"))
       // the replayed delivery: one day re-arrives in full — the
       // idempotent sink must absorb it without duplicating
       StreamTransforms.idempotentWindowWrite(
-        agg.where($"w_start".cast("date") === lit("2024-01-15").cast("date")), path)
+        agg.where($"w_start".cast("date") === lit("2024-01-15").cast("date")), path,
+        Seq("w_date"))
       spark.read.parquet(path)
         .groupBy($"w_start".cast("date").as("w_date"))
         .agg(

@@ -150,22 +150,27 @@ object StreamTransforms {
     * overwrite keyed by the WINDOW itself (the hour), so each delivery
     * — first write, update-mode re-emit with a new total, or a replay
     * after a failure between write and epoch commit — REWRITES exactly
-    * the window partitions it carries, last-write-wins per window,
-    * never an append of duplicates. The partition key must be the
-    * aggregation window key (not anything coarser): update-mode
-    * batches carry only the TOUCHED windows, and overwriting a coarser
-    * partition with a partial batch would drop its other windows. The
-    * tumbling aggregate's full key is (window, event_type), so both
-    * are partition columns. Shared verbatim between the declared batch
-    * row and the streaming foreachBatch drive in StreamingSpec.
+    * the partitions it carries, last-write-wins, never an append of
+    * duplicates. THE PARTITION KEY MUST MATCH THE DELIVERY
+    * GRANULARITY: update-mode batches carry only the TOUCHED (window,
+    * event_type) cells, so that drive partitions by (w_hour,
+    * event_type) — anything coarser would drop sibling cells on a
+    * partial batch; a complete-mode / full-day-replay drive delivers
+    * whole days, so day partitioning is exact AND avoids thousands of
+    * window-grain directories on a month of history. Callers pick via
+    * `cols` (both `w_date` and `w_hour` are derived here). Shared
+    * verbatim between the declared batch row and the streaming
+    * foreachBatch drive in StreamingSpec.
     */
-  def idempotentWindowWrite(df: DataFrame, path: String): Unit = {
+  def idempotentWindowWrite(df: DataFrame, path: String,
+      cols: Seq[String] = Seq("w_hour", "event_type")): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       df.withColumn("w_hour", date_format(col("w_start"), "yyyy-MM-dd-HH"))
-        .write.mode("overwrite").partitionBy("w_hour", "event_type").parquet(path)
+        .withColumn("w_date", col("w_start").cast("date"))
+        .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
