@@ -2116,28 +2116,35 @@ object TextOps extends QueryModule {
     * its LOG form on text, JS/MI measure whole-distribution affinity.
     *
     * Scale notes (100 TB): the real-pipeline vocabulary cut comes
-    * first — top-100 tokens by document frequency (bounded, broadcast)
-    * — so the per-doc pair fan-out is ≤ |vocab∩doc|², never
-    * tokens²; pairs explode ROW-LOCALLY from each doc's sorted
-    * vocab-token set (the market-basket recipe: no pair self-join,
-    * one doc-keyed shuffle) into a ≤ vocab² cell table that is
-    * lineage-cut before the bounded PMI algebra. ln appears only on
-    * exact integer operands, rounded at 6 dp (the MI discipline with
-    * 6 dp headroom instead of 12).
+    * first — top-100 tokens by document frequency (bounded, then
+    * broadcast back as ONE array literal) — so the per-doc pair
+    * fan-out is ≤ |vocab∩doc|², never tokens². Per-doc distinct token
+    * sets are ROW-LOCAL (array_distinct — no (doc, tok) exchange at
+    * all), the vocab filter is a row-local array_intersect against
+    * the broadcast array, and pairs explode row-locally from the
+    * sorted result (the market-basket recipe: no pair self-join, no
+    * doc-keyed shuffle anywhere) into a ≤ vocab² cell table that is
+    * lineage-cut before the bounded PMI algebra. The only fact-scale
+    * exchanges are the two token-keyed partial aggs (df count, cell
+    * count). ln appears only on exact integer operands, rounded at
+    * 6 dp (the MI discipline with 6 dp headroom instead of 12).
     */
   val textPmiCooccurrence = Q(
     "text_pmi_cooccurrence",
     (spark, dir) => {
       import spark.implicits._
-      val dt = tokens(Tables.documents(spark, dir))
-        .select($"doc_id", $"tok").distinct()
-      val vocab = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val sets = Tables.documents(spark, dir)
+        .select($"doc_id",
+          expr("array_distinct(filter(split(lower(text), ' '), t -> t != ''))")
+            .as("toks"))
+      val vocabArr = sets
+        .select(explode($"toks").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
         .orderBy($"df".desc, $"tok").limit(100)
-        .select($"tok")
-      val cells = dt
-        .join(broadcast(vocab), "tok")
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_set($"tok")).as("toks"))
+        .agg(collect_list($"tok").as("vocab"))
+      val cells = sets
+        .crossJoin(broadcast(vocabArr))
+        .select(expr("array_sort(array_intersect(toks, vocab))").as("toks"))
         .select(explode(expr(
           """concat(
             |  transform(toks, a -> struct(a AS tok_a, CAST(NULL AS STRING) AS tok_b)),
