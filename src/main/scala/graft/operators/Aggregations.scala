@@ -3036,7 +3036,125 @@ object Aggregations extends QueryModule {
       ORDER BY rn
     """.stripMargin.trim))
 
+  /** CUPED variance reduction (SURVEY §2 I-non) — the pre-experiment
+    * covariate adjustment every mature experimentation platform applies
+    * before reading a metric (Deng–Xu–Kohavi–Walker 2013): adjusted
+    * metric Y′ = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X), where X is
+    * the unit's PRE-period value of the same metric. Here: unit =
+    * customer active in 1996–97, X = 1996 spend, Y = 1997 spend, arms
+    * by the deterministic md5 split (`agg_ab_srm_check`'s rule).
+    * Per arm: n, means, θ (pooled), adjusted mean, and the variance
+    * reduction 1 − var(Y′)/var(Y) — computed EXACTLY from the moment
+    * identity var(Y−θX) = var(Y) − 2θ·cov + θ²·var(X), so no second
+    * pass over the data ever happens.
+    *
+    * Scale notes (100 TB): ONE fact-scale aggregation chain — a
+    * customer-keyed conditional spend rollup, then a 2-row arm-moment
+    * agg (both map-side combinable) — and bounded algebra after. Every
+    * output is mean- or ratio-scale, so the 6 dp rounds sit far above
+    * double noise on the exact decimal operands (the int128-ulp rule:
+    * variance-scale values never surface raw).
+    */
+  val aggCupedAdjust = Q(
+    "agg_cuped_adjust",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.orders(spark, dir)
+        .where(year($"o_orderdate").isin(1996, 1997))
+        .groupBy($"o_custkey")
+        .agg(
+          sum(when(year($"o_orderdate") === 1996, dec($"o_totalprice"))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("x"),
+          sum(when(year($"o_orderdate") === 1997, dec($"o_totalprice"))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("y"))
+        .withColumn("arm",
+          conv(substring(md5($"o_custkey".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 2)
+      val m = per.groupBy($"arm")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x".cast(DecimalType(28, 2))).as("sx"),
+          sum($"y".cast(DecimalType(28, 2))).as("sy"),
+          sum(($"x" * $"x").cast(DecimalType(38, 6))).as("sxx"),
+          sum(($"x" * $"y").cast(DecimalType(38, 6))).as("sxy"),
+          sum(($"y" * $"y").cast(DecimalType(38, 6))).as("syy"))
+        .transform(graft.Checkpoints.cut)
+      val pooled = m.agg(
+        sum($"n").as("np"),
+        sum($"sx").as("sxp"), sum($"sy").as("syp"),
+        sum($"sxx").as("sxxp"), sum($"sxy").as("sxyp"))
+      def cd(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      val theta = (cd($"sxyp") - cd($"sxp") * cd($"syp") / $"np") /
+        nullif(cd($"sxxp") - cd($"sxp") * cd($"sxp") / $"np", lit(0.0d))
+      val meanXPooled = cd($"sxp") / $"np"
+      val varX = (cd($"sxx") - cd($"sx") * cd($"sx") / $"n") / ($"n" - 1)
+      val varY = (cd($"syy") - cd($"sy") * cd($"sy") / $"n") / ($"n" - 1)
+      val covXY = (cd($"sxy") - cd($"sx") * cd($"sy") / $"n") / ($"n" - 1)
+      val varAdj = varY - lit(2.0) * $"theta" * covXY +
+        $"theta" * $"theta" * varX
+      m.crossJoin(broadcast(
+          pooled.select($"np", theta.as("theta"), meanXPooled.as("mxp"))))
+        .select(
+          $"arm", $"n",
+          round(cd($"sx") / $"n", 6).as("mean_x"),
+          round(cd($"sy") / $"n", 6).as("mean_y"),
+          round($"theta", 6).as("theta"),
+          round(cd($"sy") / $"n" - $"theta" * (cd($"sx") / $"n" - $"mxp"), 6)
+            .as("mean_y_adj"),
+          round(lit(100.0) * (lit(1.0) - varAdj / nullif(varY, lit(0.0d))), 6)
+            .as("var_reduction_pct"))
+        .orderBy($"arm")
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+              THEN CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+              THEN CAST(o_totalprice AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+          CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) AS INTEGER) % 2
+            AS arm
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey
+      ), m AS (
+        SELECT arm, COUNT(*) AS n,
+          SUM(CAST(x AS DECIMAL(28,2))) AS sx,
+          SUM(CAST(y AS DECIMAL(28,2))) AS sy,
+          SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+          SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+          SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+        FROM per GROUP BY 1
+      ), pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS np,
+          (CAST(SUM(sxy) AS DOUBLE) - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE) / SUM(n))
+            / NULLIF(CAST(SUM(sxx) AS DOUBLE)
+                - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sx) AS DOUBLE) / SUM(n), 0) AS theta,
+          CAST(SUM(sx) AS DOUBLE) / SUM(n) AS mxp
+        FROM m
+      )
+      SELECT arm, n,
+        ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_x,
+        ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+        ROUND(theta, 6) AS theta,
+        ROUND(CAST(sy AS DOUBLE) / n
+          - theta * (CAST(sx AS DOUBLE) / n - mxp), 6) AS mean_y_adj,
+        ROUND(100.0 * (1.0 -
+          ( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+            - 2.0 * theta * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))
+            + theta * theta * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) )
+          / NULLIF((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1), 0)), 6)
+          AS var_reduction_pct
+      FROM m, pooled
+      ORDER BY arm
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    aggCupedAdjust,
     aggHolmStepdown,
     aggTrimmedWinsorized,
     aggAbSrmCheck, aggRevenueBridge,
