@@ -33,7 +33,7 @@ object EtlOps extends QueryModule {
     * `etl_scd2_apply_merge` (whose correctness statement is that the
     * incremental apply EQUALS this from-scratch derivation).
     */
-  private def scd2(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def scd2(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
@@ -1376,42 +1376,52 @@ object EtlOps extends QueryModule {
     * guard and closing join are bounded per-user algebra. Nothing
     * global, nothing collected.
     */
+  /** The incremental apply: merge the ≥cutoff slice of `ev` into the
+    * SCD2 history built from the <cutoff slice. Exposed for the spec
+    * that drives the merge paths the corpus fixture does not contain
+    * (brand-new users, untouched users).
+    */
+  private[graft] def scd2ApplyMerge(ev: org.apache.spark.sql.DataFrame,
+      cutoff: String): org.apache.spark.sql.DataFrame = {
+    val hist = scd2(ev.where(col("ts") < cutoff))
+    val cur = hist.where(col("is_current"))
+      .select(col("user_id"), col("version").as("cur_v"),
+        col("event_type").as("cur_type"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // within-batch run-length dedup, then the no-op guard on the head
+    val kept = ev.where(col("ts") >= cutoff)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wB))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .join(cur, Seq("user_id"), "left")
+      .withColumn("rn", row_number().over(wB))
+      .where(!(col("rn") === 1 && col("cur_type").isNotNull &&
+        col("event_type") === col("cur_type")))
+    val newRows = kept
+      .select(
+        col("user_id"),
+        (row_number().over(wB) + coalesce(col("cur_v"), lit(0L))).as("version"),
+        col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(wB).as("valid_to"),
+        lead(col("ts"), 1).over(wB).isNull.as("is_current"))
+    val firstKept = kept.groupBy(col("user_id")).agg(min(col("ts")).as("close_at"))
+    val closedHist = hist
+      .join(firstKept, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("version"), col("event_type"), col("valid_from"),
+        when(col("is_current") && col("close_at").isNotNull, col("close_at"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && col("close_at").isNull).as("is_current"))
+    closedHist.unionByName(newRows)
+  }
+
   val etlScd2ApplyMerge = Q(
     "etl_scd2_apply_merge",
     (spark, dir) => {
       import spark.implicits._
-      val cutoff = "2024-01-20"
-      val ev = Tables.events(spark, dir)
-      val hist = scd2(ev.where($"ts" < cutoff))
-      val cur = hist.where($"is_current")
-        .select($"user_id", $"version".as("cur_v"), $"event_type".as("cur_type"))
-      val wB = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      // within-batch run-length dedup, then the no-op guard on the head
-      val kept = ev.where($"ts" >= cutoff)
-        .select($"user_id", $"event_id", $"ts", $"event_type")
-        .withColumn("prev_type", lag($"event_type", 1).over(wB))
-        .where($"prev_type".isNull || $"prev_type" =!= $"event_type")
-        .join(cur, Seq("user_id"), "left")
-        .withColumn("rn", row_number().over(wB))
-        .where(!($"rn" === 1 && $"cur_type".isNotNull &&
-          $"event_type" === $"cur_type"))
-      val newRows = kept
-        .select(
-          $"user_id",
-          (row_number().over(wB) + coalesce($"cur_v", lit(0L))).as("version"),
-          $"event_type",
-          $"ts".as("valid_from"),
-          lead($"ts", 1).over(wB).as("valid_to"),
-          lead($"ts", 1).over(wB).isNull.as("is_current"))
-      val firstKept = kept.groupBy($"user_id").agg(min($"ts").as("close_at"))
-      val closedHist = hist
-        .join(firstKept, Seq("user_id"), "left")
-        .select(
-          $"user_id", $"version", $"event_type", $"valid_from",
-          when($"is_current" && $"close_at".isNotNull, $"close_at")
-            .otherwise($"valid_to").as("valid_to"),
-          ($"is_current" && $"close_at".isNull).as("is_current"))
-      closedHist.unionByName(newRows).orderBy($"user_id", $"version")
+      scd2ApplyMerge(Tables.events(spark, dir), "2024-01-20")
+        .orderBy($"user_id", $"version")
     },
     // the oracle is the FROM-SCRATCH rebuild over all events — equality
     // proves the incremental apply reconstructs history exactly

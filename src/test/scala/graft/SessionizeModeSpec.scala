@@ -86,6 +86,54 @@ class SessionizeModeSpec extends SparkSpecBase {
     }
   }
 
+  test("scd2 apply-merge reconstructs the rebuild on new, untouched, and no-op-head users") {
+    import spark.implicits._
+    // the corpus fixture contains 35 no-op-head users but ZERO brand-new
+    // and ZERO untouched users across the cutoff — those merge paths are
+    // exercised here on a hand-built frame instead
+    def ev(id: Long, u: Long, t: String, tpe: String) =
+      (id, Timestamp.valueOf(t), u, tpe, 1.0)
+    val rows = Seq(
+      // user 1: untouched (pre-cutoff only) — must pass through open
+      ev(1, 1, "2024-01-10 00:00:00", "view"),
+      ev(2, 1, "2024-01-11 00:00:00", "click"),
+      // user 2: no-op head (last pre type == first post type), then a
+      // real change — the head must NOT mint a spurious version and the
+      // open interval must close at the REAL change, not the head
+      ev(3, 2, "2024-01-12 00:00:00", "view"),
+      ev(4, 2, "2024-01-21 00:00:00", "view"),
+      ev(5, 2, "2024-01-22 00:00:00", "purchase"),
+      // user 3: brand-new (post-cutoff only) with a within-batch run
+      ev(6, 3, "2024-01-25 00:00:00", "click"),
+      ev(7, 3, "2024-01-26 00:00:00", "click"),
+      ev(8, 3, "2024-01-27 00:00:00", "error"),
+      // user 4: ordinary touched user
+      ev(9, 4, "2024-01-05 00:00:00", "signup"),
+      ev(10, 4, "2024-01-23 00:00:00", "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"user_id", $"version", $"event_type",
+          $"valid_from", $"valid_to", $"is_current")
+        .collect().map(_.toString).sorted.toSeq
+    val merged = operators.EtlOps.scd2ApplyMerge(rows, "2024-01-20")
+    val rebuilt = operators.EtlOps.scd2(rows)
+    assert(canon(merged) == canon(rebuilt),
+      s"apply-merge diverged from the from-scratch rebuild:\n" +
+        s"merged:  ${canon(merged)}\nrebuilt: ${canon(rebuilt)}")
+    val m = merged.select($"user_id", $"version", $"event_type",
+        $"valid_to".cast("string"), $"is_current")
+      .as[(Long, Long, String, Option[String], Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(m.size == 8, s"expected 8 version rows, got ${m.size}")
+    assert(m((1L, 2L)) == (("click", None, true)), "untouched user must stay open")
+    assert(m((2L, 1L))._2.exists(_.startsWith("2024-01-22")),
+      "no-op head must not close the open interval; the real change must")
+    assert(m((2L, 2L)) == (("purchase", None, true)))
+    assert(m((3L, 1L))._1 == "click" && m((3L, 2L))._1 == "error",
+      "brand-new user must start at version 1 with within-batch dedup")
+    assert(m((4L, 2L)) == (("purchase", None, true)))
+  }
+
   test("agg_mode_freq matches a Scala recompute with lowest-value tiebreak") {
     import spark.implicits._
     val expected = rawEvents
