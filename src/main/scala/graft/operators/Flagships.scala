@@ -1591,7 +1591,135 @@ object Flagships extends QueryModule {
       """.stripMargin.trim
     })
 
-  def qs: Seq[Q] = Seq(graphHarmonicCloseness,
+  /** Bottleneck (maximin) path strength on the trade backbone (SURVEY
+    * §2 I-non) — "how strong is the WEAKEST link on the BEST route":
+    * for every ordered reachable pair of the top-3 backbone, the
+    * maximum over ≤5-hop paths of the minimum edge weight along the
+    * path — the widest-path / most-robust-route question (supply-chain
+    * resilience reads exactly this), and a different SEMIRING from the
+    * rest of the graph family: closeness relaxes (min, +) over hop
+    * counts; this row relaxes (max, min) over exact decimal weights —
+    * NO arithmetic ever happens on the weights, only comparisons, so
+    * every value is engine-exact by construction. Per node: reach
+    * count, the strongest-bottleneck peer (id tiebreak), and the
+    * weakest guaranteed route among reached peers.
+    *
+    * Scale notes (100 TB): fact-scale work is the ONE shared memoized
+    * edge aggregation; the top-3 thinning bounds the relax table at
+    * ≤ nations² rows, and each of the 4 unrolled rounds is
+    * bounded-table join + max-agg, checkpointed per round (the plan-
+    * doubling lesson). The declared ≤5-hop horizon is the bounded-
+    * round contract the closeness row set.
+    */
+  lazy val graphBottleneckPaths = Q(
+    "graph_bottleneck_paths",
+    (spark, dir) => {
+      import spark.implicits._
+      val e0 = nationTradeEdges(spark, dir)
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy($"a").orderBy($"w".desc, $"b")
+      val sym = e0.select($"src".as("a"), $"dst".as("b"), $"wgt")
+        .unionAll(e0.select($"dst".as("a"), $"src".as("b"), $"wgt"))
+        .where($"a" =!= $"b")
+        .groupBy($"a", $"b")
+        .agg(sum($"wgt").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("w"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"a", $"b", $"w")
+        .coalesce(1)
+        .transform(graft.Checkpoints.cut)
+      var best = sym.select($"a".as("u"), $"b".as("v"), $"w")
+      for (_ <- 1 to 4) {
+        best = best
+          .unionAll(best
+            .join(sym.select($"a".as("v"), $"b".as("nxt"), $"w".as("w2")), "v")
+            .where($"nxt" =!= $"u")
+            .select($"u", $"nxt".as("v"), least($"w", $"w2").as("w")))
+          .groupBy($"u", $"v")
+          .agg(max($"w").as("w"))
+        best = graft.Checkpoints.cut(best.coalesce(1))
+      }
+      val wPeer = org.apache.spark.sql.expressions.Window
+        .partitionBy($"u").orderBy($"w".desc, $"v")
+      val names = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+      best
+        .withColumn("rn", row_number().over(wPeer))
+        .groupBy($"u")
+        .agg(
+          count(lit(1)).as("n_reached"),
+          max(when($"rn" === 1, $"v")).as("best_peer"),
+          max($"w").as("best_w"),
+          min($"w").as("weakest_w"))
+        .join(broadcast(names.select($"n_nationkey".as("u"), $"n_name")), "u")
+        .join(broadcast(names.select(
+          $"n_nationkey".as("best_peer"), $"n_name".as("best_peer_name"))), "best_peer")
+        .select($"u".as("n_nationkey"), $"n_name", $"n_reached",
+          $"best_peer_name",
+          $"best_w".cast(DoubleType).as("best_bottleneck"),
+          $"weakest_w".cast(DoubleType).as("weakest_bottleneck"))
+        .orderBy($"n_nationkey")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""b$i AS MATERIALIZED (
+        SELECT u, v, MAX(w) AS w FROM (
+          SELECT u, v, w FROM b${i - 1}
+          UNION ALL
+          SELECT p.u, s.b AS v, LEAST(p.w, s.w) AS w
+          FROM b${i - 1} p JOIN sym s ON p.v = s.a
+          WHERE s.b <> p.u)
+        GROUP BY u, v
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH e0 AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS wgt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ), symall AS (
+        SELECT a, b, CAST(SUM(wgt) AS DECIMAL(18,4)) AS w
+        FROM (SELECT src AS a, dst AS b, wgt FROM e0
+              UNION ALL
+              SELECT dst AS a, src AS b, wgt FROM e0)
+        WHERE a <> b
+        GROUP BY a, b
+      ), sym AS MATERIALIZED (
+        SELECT a, b, w FROM (
+          SELECT a, b, w,
+            ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+          FROM symall)
+        WHERE rn <= 3
+      ), b0 AS MATERIALIZED (
+        SELECT a AS u, b AS v, w FROM sym
+      ), $rounds, summarized AS (
+        SELECT u,
+          COUNT(*) AS n_reached,
+          MAX(CASE WHEN rn = 1 THEN v END) AS best_peer,
+          MAX(w) AS best_w,
+          MIN(w) AS weakest_w
+        FROM (
+          SELECT u, v, w,
+            ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+          FROM b4)
+        GROUP BY u
+      )
+      SELECT u AS n_nationkey, na.n_name, n_reached,
+        nb.n_name AS best_peer_name,
+        CAST(best_w AS DOUBLE) AS best_bottleneck,
+        CAST(weakest_w AS DOUBLE) AS weakest_bottleneck
+      FROM summarized
+      JOIN nation na ON u = na.n_nationkey
+      JOIN nation nb ON best_peer = nb.n_nationkey
+      ORDER BY n_nationkey
+      """.stripMargin.trim
+    })
+
+  def qs: Seq[Q] = Seq(graphHarmonicCloseness, graphBottleneckPaths,
     tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
