@@ -3153,7 +3153,111 @@ object Aggregations extends QueryModule {
       ORDER BY arm
     """.stripMargin.trim))
 
+  /** Laspeyres / Paasche / Fisher price indices, 1997 vs 1996 (SURVEY
+    * §2 I-non) — the economics-standard decomposition of revenue change
+    * into PRICE movement at fixed baskets (`agg_revenue_bridge` splits
+    * volume-vs-rest per segment; this row measures the price level
+    * itself): per part traded in BOTH years, unit values p₀, p₁
+    * (period revenue / period quantity, rounded to exact DECIMAL(18,6)
+    * BEFORE any reuse so the per-part divide is engine-reproducible);
+    * Laspeyres = Σp₁q₀/Σp₀q₀ (base-period basket), Paasche =
+    * Σp₁q₁/Σp₀q₁ (current basket), Fisher = √(L·P) — the two
+    * single-basket indices bracket the truth, Fisher is the
+    * superlative compromise. Also reports the matched-part count and
+    * each basket total.
+    *
+    * Scale notes (100 TB): ONE fact pass (year-filtered, part-keyed
+    * conditional sums — map-side combinable), then part-level algebra
+    * whose products are exact decimals into four decimal basket sums,
+    * and a 1-row index computation. The matched-parts filter is a
+    * residual predicate on the aggregated frame, never a join.
+    */
+  val aggPriceIndexFisher = Q(
+    "agg_price_index_fisher",
+    (spark, dir) => {
+      import spark.implicits._
+      val per = Tables.lineitem(spark, dir)
+        .where(year($"l_shipdate").isin(1996, 1997))
+        .groupBy($"l_partkey")
+        .agg(
+          sum(when(year($"l_shipdate") === 1996, $"l_quantity".cast(DecimalType(18, 2)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("q0"),
+          sum(when(year($"l_shipdate") === 1997, $"l_quantity".cast(DecimalType(18, 2)))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("q1"),
+          sum(when(year($"l_shipdate") === 1996, dec($"l_extendedprice"))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("r0"),
+          sum(when(year($"l_shipdate") === 1997, dec($"l_extendedprice"))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 2))))
+            .cast(DecimalType(18, 2)).as("r1"))
+        .where($"q0" > 0 && $"q1" > 0)
+      val priced = per
+        .withColumn("p0", round($"r0".cast(DoubleType) / $"q0".cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)))
+        .withColumn("p1", round($"r1".cast(DoubleType) / $"q1".cast(DoubleType), 6)
+          .cast(DecimalType(18, 6)))
+      priced
+        .agg(
+          count(lit(1)).as("n_matched_parts"),
+          sum(($"p1" * $"q0").cast(DecimalType(38, 8))).as("l_num"),
+          sum(($"p0" * $"q0").cast(DecimalType(38, 8))).as("l_den"),
+          sum(($"p1" * $"q1").cast(DecimalType(38, 8))).as("p_num"),
+          sum(($"p0" * $"q1").cast(DecimalType(38, 8))).as("p_den"))
+        .select(
+          $"n_matched_parts",
+          round($"l_num".cast(DoubleType) / $"l_den".cast(DoubleType), 6)
+            .as("laspeyres"),
+          round($"p_num".cast(DoubleType) / $"p_den".cast(DoubleType), 6)
+            .as("paasche"),
+          round(sqrt(
+            ($"l_num".cast(DoubleType) / $"l_den".cast(DoubleType)) *
+              ($"p_num".cast(DoubleType) / $"p_den".cast(DoubleType))), 6)
+            .as("fisher"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_partkey,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+              THEN CAST(l_quantity AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q0,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+              THEN CAST(l_quantity AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS q1,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS r0,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS r1
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY l_partkey
+      ), priced AS (
+        SELECT
+          CAST(ROUND(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS p0,
+          CAST(ROUND(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS p1,
+          q0, q1
+        FROM per WHERE q0 > 0 AND q1 > 0
+      ), sums AS (
+        SELECT COUNT(*) AS n_matched_parts,
+          SUM(CAST(p1 * q0 AS DECIMAL(38,8))) AS l_num,
+          SUM(CAST(p0 * q0 AS DECIMAL(38,8))) AS l_den,
+          SUM(CAST(p1 * q1 AS DECIMAL(38,8))) AS p_num,
+          SUM(CAST(p0 * q1 AS DECIMAL(38,8))) AS p_den
+        FROM priced
+      )
+      SELECT n_matched_parts,
+        ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) AS laspeyres,
+        ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) AS paasche,
+        ROUND(SQRT((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+          * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher
+      FROM sums
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    aggPriceIndexFisher,
     aggCupedAdjust,
     aggHolmStepdown,
     aggTrimmedWinsorized,
