@@ -1007,7 +1007,64 @@ object Joins extends QueryModule {
       ORDER BY e.event_id
     """.stripMargin.trim))
 
-  def qs: Seq[Q] = Seq(joinPitScd2,
+  /** Point-in-time SCD2 join from the PERSISTED BUCKETED layout (SURVEY
+    * §2 I-non) — the storage half of the SCD2 trio ([[Scd2Dim]]): same
+    * semantics as `join_pit_scd2`, but both sides read catalog tables
+    * bucketed+sorted on the user key, so the join is a co-located merge
+    * of matching buckets with ZERO Exchange on either side (PlanSpec
+    * asserts it) — the layout a dimension read by every daily fact load
+    * justifies. The interval predicate stays a residual filter on the
+    * equi join; freshness follows the (path, size, mtime) fingerprint,
+    * so a new session re-registers metadata only and never re-derives
+    * the window.
+    */
+  lazy val joinPitScd2Bucketed = Q(
+    "join_pit_scd2_bucketed",
+    (spark, dir) => {
+      import spark.implicits._
+      val (dim, fact) = Scd2Dim.ensure(spark, dir)
+      fact
+        .join(dim,
+          $"user_id" === $"v_user" &&
+            $"valid_from" <= $"ts" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+        .select($"event_id", $"user_id", $"ts", $"version", $"regime",
+          $"valid_from",
+          (unix_seconds($"ts".cast("timestamp")) -
+            unix_seconds($"valid_from".cast("timestamp"))).as("secs_into_version"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS prev_type
+          FROM events)
+        WHERE prev_type IS NULL OR prev_type <> event_type
+      ), versions AS (
+        SELECT user_id AS v_user,
+          CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+          event_type AS regime,
+          ts AS valid_from,
+          LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT e.event_id, e.user_id, e.ts, v.version, v.regime, v.valid_from,
+        CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+          - CAST(FLOOR(epoch(v.valid_from)) AS BIGINT) AS secs_into_version
+      FROM events e
+      JOIN versions v
+        ON e.user_id = v.v_user
+        AND v.valid_from <= e.ts
+        AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+      WHERE e.event_type = 'purchase'
+      ORDER BY e.event_id
+    """.stripMargin.trim))
+
+  def qs: Seq[Q] = Seq(joinPitScd2, joinPitScd2Bucketed,
     joinBroadcastDims, joinSortmergeFacts, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinThetaBand, joinRangeInterval, joinAsof,
     joinAsofTolerance, joinSkewSalted, joinBucketedColocated,

@@ -673,6 +673,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"bootstrap must not shuffle-join the fact table:\n$p")
   }
 
+  test("join_pit_scd2_bucketed: co-located merge of bucketed dim and fact, zero Exchange") {
+    val df = operators.Joins.joinPitScd2Bucketed.fn(spark, sfDir)
+    val p = planString(df)
+    // both sides read the persisted catalog tables…
+    assert(p.contains(operators.Scd2Dim.dimTable(sfDir)),
+      s"PIT join does not read the persisted dim table:\n$p")
+    assert(p.contains(operators.Scd2Dim.factTable(sfDir)),
+      s"PIT join does not read the persisted fact table:\n$p")
+    // …and the user-keyed join never shuffles: bucket layouts align
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed PIT join must not shuffle either side:\n$p")
+    // the window derivation must not run at query time (no re-derive)
+    assert(!p.contains("Window"),
+      s"PIT query re-derives the SCD2 window instead of reading the table:\n$p")
+  }
+
   test("vec_ann_ivf_serve: serves from the persisted bucketed index, no re-clustering") {
     val df = operators.VectorOps.vecAnnIvfServe.fn(spark, sfDir)
     val p = planString(df)
