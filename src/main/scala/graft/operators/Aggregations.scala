@@ -2992,7 +2992,16 @@ object Aggregations extends QueryModule {
         .where($"seg_a" < $"seg_b")
         .withColumn("z", z)
         .withColumn("rn", row_number().over(wRank))
-        .withColumn("thr", element_at(thr, $"rn"))
+        // fixture-drift guard (ADVICE r8): the ladder is a LITERAL
+        // 10-quantile schedule for exactly C(5,2) pairs — a segment
+        // fixture change must fail loudly, not NULL-gate significance
+        // (non-ANSI element_at past the end returns NULL silently)
+        .withColumn("thr",
+          when($"rn" <= lit(10), element_at(thr, $"rn"))
+            .otherwise(raise_error(concat(
+              lit("agg_holm_stepdown: rank "), $"rn".cast("string"),
+              lit(" exceeds the 10-entry Holm critical-value ladder — " +
+                "segment count changed; re-derive the thresholds")))))
         .withColumn("passes", (abs($"z") >= $"thr").cast("int"))
         .withColumn("sig_holm", (min($"passes").over(wPrefix) === 1))
         .select($"rn", $"seg_a", $"seg_b", $"n_a", $"n_b", $"z", $"thr",

@@ -43,8 +43,13 @@ object IvfIndex {
     */
   val NBuckets = 16
 
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+  // Slug + stable hash of the RAW dir (the Scd2Dim rule): the readable
+  // part alone collides distinct corpus paths that normalize alike.
+  private def tag(dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${slug}_$h"
+  }
 
   def indexTable(dir: String): String = s"graft_ivf_index_${tag(dir)}"
   def codebookTable(dir: String): String = s"graft_ivf_codebook_${tag(dir)}"

@@ -34,8 +34,15 @@ object Scd2Dim {
 
   val NBuckets = 16
 
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+  // The readable slug alone is lossy ([^A-Za-z0-9]+ → _ collides e.g.
+  // data/sf0.01 with data/sf0_01, thrashing rebuilds when two corpora
+  // share a warehouse) — suffix a stable hash of the RAW dir string so
+  // table names are unique per corpus path.
+  private def tag(dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${slug}_$h"
+  }
 
   def dimTable(dir: String): String = s"graft_scd2_dim_${tag(dir)}"
   def factTable(dir: String): String = s"graft_purchase_fact_${tag(dir)}"

@@ -33,8 +33,13 @@ object ShingleRegistry {
   def batchOf(docIdCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(docIdCol.cast("string")), 1, 4), 16, 10).cast("long") % 8
 
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+  // Slug + stable hash of the RAW dir (the Scd2Dim rule): the readable
+  // part alone collides distinct corpus paths that normalize alike.
+  private def tag(dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${slug}_$h"
+  }
 
   def registryTable(dir: String): String = s"graft_shingle_registry_${tag(dir)}"
 

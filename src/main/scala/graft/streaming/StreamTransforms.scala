@@ -163,19 +163,16 @@ object StreamTransforms {
     * foreachBatch drive in StreamingSpec.
     */
   def idempotentWindowWrite(df: DataFrame, path: String,
-      cols: Seq[String] = Seq("w_hour", "event_type")): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      df.withColumn("w_hour", date_format(col("w_start"), "yyyy-MM-dd-HH"))
-        .withColumn("w_date", col("w_start").cast("date"))
-        .write.mode("overwrite").partitionBy(cols: _*).parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      cols: Seq[String] = Seq("w_hour", "event_type")): Unit =
+    df.withColumn("w_hour", date_format(col("w_start"), "yyyy-MM-dd-HH"))
+      .withColumn("w_date", col("w_start").cast("date"))
+      .write.mode("overwrite")
+      // per-write option, NOT a session-conf toggle: mutating the session
+      // conf around the write races with any concurrent writer on the same
+      // session (another query could observe the temporarily-dynamic mode,
+      // or have its own setting clobbered by the finally-restore)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).parquet(path)
 
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
