@@ -84,32 +84,66 @@ object VectorOps extends QueryModule {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def ivfCodebook(e: org.apache.spark.sql.DataFrame,
-                  nlistOverride: Option[Int] = None): org.apache.spark.sql.DataFrame = {
-    val base = nlistOverride match {
-      case Some(m) => e.filter(col("vec_id") < m)
-      case None =>
-        val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nlist"))
-        e.crossJoin(broadcast(nl)).filter(col("vec_id") < col("nlist"))
-    }
-    val seeds = base.select(col("vec_id").as("cid"), col("emb").as("cemb"))
-    val d2 = round(
-      GraftFunctions.dot(col("emb"), col("emb"))
-        - lit(2.0) * GraftFunctions.dot(col("emb"), col("cemb"))
-        + GraftFunctions.dot(col("cemb"), col("cemb")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    e.crossJoin(broadcast(seeds))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  /** Fixed Lloyd refinement passes the IVF codebook trains with — a
+    * shared constant so the Spark build and the DuckDB oracle mirror
+    * ([[ivfCodebookSql]]) unroll the SAME count. Deterministic: no
+    * convergence test, exactly this many assignment→mean rounds.
+    */
+  private[graft] val IvfLloydIters = 3
+
+  /** One deterministic Lloyd round: assign every corpus vector to its
+    * nearest centroid row-locally (rounded ‖a‖²−2a·c+‖c‖², cid tiebreak)
+    * and replace each centroid with the exact decimal mean of its
+    * members; a centroid that captured nothing KEEPS its previous
+    * position (the textbook empty-cluster carry), so the cell count is
+    * invariant across rounds. `cents` is bounded (nlist rows) and cached
+    * by the caller, so referencing it twice (assignment broadcast +
+    * carry fallback) does not re-derive its lineage.
+    */
+  private def lloydRound(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val means = withNearestCentroidD2(e, cents, "cid", "cemb", "cid", "d2")
       .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("v").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
       .withColumn("c", col("s").cast(DoubleType) / col("n"))
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("cid").cast("long").as("cell"),
-        expr("transform(pc, x -> x.c)").as("cvec"))
+      .select(col("cid"), expr("transform(pc, x -> x.c)").as("m"))
+    cents.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("m"), col("cemb")).as("cemb"))
+  }
+
+  /** Trained ⌈√n⌉-cell IVF codebook (VERDICT r8 #2): seeds are an
+    * id-ordered STRIDE sample of the corpus (one seed every ⌊n/nlist⌋
+    * ids — k-means++-style spatial spread without k sequential corpus
+    * passes, which would not scale with nlist = √n), refined by
+    * [[IvfLloydIters]] fixed Lloyd rounds with exact decimal means so
+    * the DuckDB mirror reproduces every double bit-for-bit. Each
+    * intermediate centroid frame is nlist rows and cached, so round i
+    * never re-derives rounds 1..i−1; the final codebook is memoized and
+    * lineage-cut per corpus ([[codebookCache]]).
+    */
+  def ivfCodebook(e: org.apache.spark.sql.DataFrame,
+                  nlistOverride: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val seeds = nlistOverride match {
+      case Some(m) => e.filter(col("vec_id") < m)
+        .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+      case None =>
+        val nl = e.agg(count(lit(1)).as("n"))
+          .select(col("n"), ceil(sqrt(col("n"))).cast("long").as("nlist"))
+          .select(col("nlist"), greatest(expr("n DIV nlist"), lit(1L)).as("stride"))
+        e.crossJoin(broadcast(nl))
+          .filter(col("vec_id") % col("stride") === 0 &&
+            expr("vec_id DIV stride") < col("nlist"))
+          .select(expr("CAST(vec_id DIV stride AS LONG)").as("cid"),
+            col("emb").as("cemb"))
+    }
+    val trained = (1 to IvfLloydIters).foldLeft(seeds) { (c, _) =>
+      lloydRound(e, c.cache())
+    }
+    trained
+      .select(col("cid").cast("long").as("cell"), col("cemb").as("cvec"))
       .withColumn("cnrm", sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))))
       .transform(plan =>
         codebookCache.getOrCompute(plan)(p => graft.Checkpoints.cut(p.repartition(1))))
@@ -117,34 +151,250 @@ object VectorOps extends QueryModule {
 
   /** The DuckDB mirror of [[ivfCodebook]]: CTEs ending in `centn(cell,
     * cvec, cnrm)`. Callers append their own query-specific CTEs/SELECT.
-    * Expects an `e(vec_id, label, emb, nrm)` CTE to be in scope.
+    * Expects an `e(vec_id, label, emb, nrm)` CTE to be in scope. The
+    * [[IvfLloydIters]] Lloyd rounds are UNROLLED programmatically so the
+    * mirror can never drift from the Spark build by one iteration.
     */
-  val ivfCodebookSql: String = """
+  val ivfCodebookSql: String = {
+    val seed = """
       nl AS (
-        SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist FROM embeddings
-      ), seeds AS (
-        SELECT vec_id AS cid, emb AS cemb FROM e, nl WHERE vec_id < nl.nlist
-      ), asgc AS (
+        SELECT nlist, GREATEST(n // nlist, 1) AS stride FROM (
+          SELECT COUNT(*) AS n, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
+          FROM embeddings)
+      ), cent0 AS (
+        SELECT vec_id // stride AS cid, emb AS cemb FROM e, nl
+        WHERE vec_id % stride = 0 AND vec_id // stride < nlist
+      )"""
+    val rounds = (1 to IvfLloydIters).map { i =>
+      s""", asg$i AS (
         SELECT vec_id, cid, emb FROM (
-          SELECT e.vec_id, s.cid, e.emb,
+          SELECT e.vec_id, c.cid, e.emb,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ROUND(list_inner_product(e.emb, e.emb)
-                    - 2.0 * list_inner_product(e.emb, s.cemb)
-                    + list_inner_product(s.cemb, s.cemb), 6), s.cid) AS rn
-          FROM e CROSS JOIN seeds s)
+                    - 2.0 * list_inner_product(e.emb, c.cemb)
+                    + list_inner_product(c.cemb, c.cemb), 6), c.cid) AS rn
+          FROM e CROSS JOIN cent${i - 1} c)
         WHERE rn = 1
-      ), cdims AS (
+      ), cd$i AS (
         SELECT cid, pos,
           CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
         FROM (SELECT cid, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos
-              FROM asgc)
+              FROM asg$i)
         GROUP BY cid, pos
-      ), cents AS (
-        SELECT CAST(cid AS BIGINT) AS cell, LIST(c ORDER BY pos) AS cvec
-        FROM cdims GROUP BY cid
-      ), centn AS (
-        SELECT cell, cvec, SQRT(list_inner_product(cvec, cvec)) AS cnrm FROM cents
+      ), cent$i AS (
+        SELECT p.cid, COALESCE(m.cemb, p.cemb) AS cemb
+        FROM cent${i - 1} p LEFT JOIN
+          (SELECT cid, LIST(c ORDER BY pos) AS cemb FROM cd$i GROUP BY cid) m
+          ON p.cid = m.cid
       )"""
+    }.mkString
+    val fin = s""", centn AS (
+        SELECT CAST(cid AS BIGINT) AS cell, cemb AS cvec,
+          SQRT(list_inner_product(cemb, cemb)) AS cnrm
+        FROM cent$IvfLloydIters
+      )"""
+    seed + rounds + fin
+  }
+
+  /** Fixed Lloyd passes for the [[PqK]]-centroid-per-subspace PQ
+    * codebook (VERDICT r8 #2) — shared constant with [[pqCodebookSql]].
+    */
+  private[graft] val PqLloydIters = 2
+
+  /** One deterministic PQ Lloyd round over ALL 4 subspaces at once:
+    * [[withPqStructs]] gives every vector its per-subspace nearest
+    * centroid row-locally, then each (sub, cid) centroid moves to the
+    * exact decimal mean of its member slices; empty cells carry their
+    * previous position. `cents` is bounded (4·[[PqK]] rows) and cached
+    * by the caller.
+    */
+  private[graft] def pqLloydRound(idx: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val asg = withPqStructs(idx, cents)
+      .select(col("emb"), explode(col("pq")).as("pqe"))
+      .select(col("pqe")("sub").cast("long").as("sub"), col("pqe")("cid").as("cid"),
+        expr("slice(emb, pqe.sub*16+1, 16)").as("v"))
+    val means = asg
+      .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(sum(col("x").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", col("s").cast(DoubleType) / col("n"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("sub"), col("cid"), expr("transform(pc, x -> x.c)").as("m"))
+    cents.join(means, Seq("sub", "cid"), "left")
+      .select(col("sub"), col("cid"), coalesce(col("m"), col("cv")).as("cv"))
+  }
+
+  /** Centroids per PQ subspace. 16 (4-bit codes) instead of the r8
+    * first-4 rule: with k=4 a 60k-vector corpus shares 4⁴ = 256 code
+    * combinations, so approximate distances are tie-dominated and rank
+    * falls to the vec_id tiebreak — recall is quantization noise. k=16
+    * gives 16⁴ = 65 536 combinations; the codebook is still 4×16×16
+    * doubles (kilobytes, broadcastable at any corpus size).
+    */
+  private[graft] val PqK = 16
+
+  /** Trained per-subspace PQ codebook over a corpus with `emb`:
+    * [[PqK]] centroids per 16-dim subspace, seeded from an id-ordered
+    * stride sample (one seed every ⌊n/PqK⌋ ids) and refined by
+    * [[PqLloydIters]] Lloyd rounds — replacing the first-4-vector
+    * slices the r8 build used. Returns (sub LONG, cid LONG, cv
+    * ARRAY<DOUBLE>).
+    */
+  private[graft] def trainPqCodebook(
+      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pn = idx.agg(count(lit(1)).as("n"))
+      .select(greatest(expr(s"n DIV $PqK"), lit(1L)).as("pstride"))
+    val seeds = idx.crossJoin(broadcast(pn))
+      .filter(col("vec_id") % col("pstride") === 0 &&
+        expr("vec_id DIV pstride") < PqK)
+      .select(expr("CAST(vec_id DIV pstride AS LONG)").as("cid"),
+        explode(array((0 to 3).map(lit): _*)).as("sub"), col("emb"))
+      .select(col("sub").cast("long").as("sub"), col("cid"),
+        expr("slice(emb, sub*16+1, 16)").as("cv"))
+    (1 to PqLloydIters).foldLeft(seeds)((c, _) => pqLloydRound(idx, c.cache()))
+  }
+
+  /** DuckDB mirror of [[trainPqCodebook]]: CTEs ending in `s(vec_id,
+    * sub, v)` (the corpus slices) and `pqcb(sub, cid, cv)` (the trained
+    * codebook). Expects `e(vec_id, …, emb, …)` in scope; Lloyd rounds
+    * unrolled programmatically in lockstep with [[PqLloydIters]].
+    */
+  val pqCodebookSql: String = {
+    val seed = s"""
+      pn AS (
+        SELECT GREATEST(COUNT(*) // $PqK, 1) AS pstride FROM embeddings
+      ), s AS (
+        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
+        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
+      ), pc0 AS (
+        SELECT vec_id // pstride AS cid, sub, v AS cv FROM s, pn
+        WHERE vec_id % pstride = 0 AND vec_id // pstride < $PqK
+      )"""
+    val rounds = (1 to PqLloydIters).map { i =>
+      s""", pasg$i AS (
+        SELECT sub, cid, v FROM (
+          SELECT s.sub, c.cid, s.v,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+              ROUND(list_inner_product(s.v, s.v)
+                    - 2.0 * list_inner_product(s.v, c.cv)
+                    + list_inner_product(c.cv, c.cv), 6), c.cid) AS rn
+          FROM s JOIN pc${i - 1} c ON s.sub = c.sub)
+        WHERE rn = 1
+      ), pcd$i AS (
+        SELECT sub, cid, pos,
+          CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
+        FROM (SELECT sub, cid, UNNEST(v) AS x, UNNEST(range(len(v))) AS pos
+              FROM pasg$i)
+        GROUP BY sub, cid, pos
+      ), pc$i AS (
+        SELECT p.sub, p.cid, COALESCE(m.cv, p.cv) AS cv
+        FROM pc${i - 1} p LEFT JOIN
+          (SELECT sub, cid, LIST(cx ORDER BY pos) AS cv FROM pcd$i GROUP BY sub, cid) m
+          ON p.sub = m.sub AND p.cid = m.cid
+      )"""
+    }.mkString
+    val fin = s""", pqcb AS (
+        SELECT sub, cid, cv FROM pc$PqLloydIters
+      )"""
+    seed + rounds + fin
+  }
+
+  /** One-row broadcastable ARRAY form of a small codebook/centroid frame
+    * (sorted by its leading struct fields for determinism). The r8 #1
+    * recipe (the PMI vocab-array pattern generalized): collapsing the
+    * bounded side to a single array row lets the corpus side score ALL
+    * candidates inside one row-local higher-order transform — no
+    * n×nlist candidate materialization, no per-vector window, and ZERO
+    * Exchange between the corpus scan and the assignment.
+    */
+  private[graft] def oneRowArray(df: org.apache.spark.sql.DataFrame,
+      out: String, fields: Column*): org.apache.spark.sql.DataFrame =
+    df.agg(array_sort(collect_list(struct(fields: _*))).as(out))
+
+  /** Row-local nearest-cell assignment over a broadcast (cell, cvec,
+    * cnrm) codebook (VERDICT r8 #1): appends `cell` and `csim` (the
+    * cosine to that cell) by scoring every centroid inside ONE
+    * higher-order transform and taking the lexicographic min of
+    * (−csim, cell) structs — IDENTICAL ordering to the
+    * `row_number over (partition by vec_id order by csim desc, cell)`
+    * argmax it replaces (double negation is exact; `Double.compare`
+    * anti-commutes under negation for every non-NaN value including
+    * ±0.0, and ties still fall to the lowest cell id) — with zero
+    * Exchange between the corpus scan and the assignment. `keep > 1`
+    * explodes the `keep` nearest cells instead (multi-probe).
+    * `rounded` applies the 6 dp §2.0 round before ranking (the oracled
+    * rows' contract); the no-oracle ANN formulation rows rank
+    * unrounded. Input must carry `emb` and `nrm`.
+    */
+  private[graft] def withNearestCells(df: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, keep: Int,
+      rounded: Boolean): org.apache.spark.sql.DataFrame = {
+    val cb = oneRowArray(cents, "cbarr", col("cell"), col("cvec"), col("cnrm"))
+    val scored = transform(col("cbarr"), c => {
+      val sim = GraftFunctions.dot(col("emb"), c("cvec")) / (col("nrm") * c("cnrm"))
+      struct((-(if (rounded) round(sim, 6) else sim)).as("negsim"),
+        c("cell").as("cell"))
+    })
+    val top = df.crossJoin(broadcast(cb))
+    val sel =
+      if (keep == 1) top.withColumn("tc", array_min(scored))
+      else top.withColumn("tc", explode(slice(array_sort(scored), 1, keep)))
+    sel.withColumn("cell", col("tc")("cell"))
+      .withColumn("csim", -col("tc")("negsim"))
+      .drop("cbarr", "tc")
+  }
+
+  /** Row-local nearest-centroid argmin under the rounded ‖a‖²−2a·c+‖c‖²
+    * identity (6 dp, centroid-id tiebreak) over a broadcast
+    * (idCol, vecCol) centroid frame — appends the winning centroid id as
+    * `outId` and its squared distance as `outD2`. The squared-L2 sibling
+    * of [[withNearestCells]] for the codebook-training / k-means /
+    * label-confusion sites. Input must carry `emb`.
+    */
+  private[graft] def withNearestCentroidD2(df: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      outId: String, outD2: String): org.apache.spark.sql.DataFrame = {
+    val cb = oneRowArray(cents, "cbarr", col(idCol), col(vecCol))
+    val scored = transform(col("cbarr"), c => {
+      val d2 = round(
+        GraftFunctions.dot(col("emb"), col("emb"))
+          - lit(2.0) * GraftFunctions.dot(col("emb"), c(vecCol))
+          + GraftFunctions.dot(c(vecCol), c(vecCol)), 6)
+      struct(d2.as("d2"), c(idCol).as("id"))
+    })
+    df.crossJoin(broadcast(cb))
+      .withColumn("tc", array_min(scored))
+      .withColumn(outId, col("tc")("id"))
+      .withColumn(outD2, col("tc")("d2"))
+      .drop("cbarr", "tc")
+  }
+
+  /** Row-local PQ encode against a broadcast (sub, cid, cv) subspace
+    * codebook: appends `pq` — ARRAY<STRUCT<sub, cid, d2>>, one
+    * nearest-centroid entry per subspace in subspace order (rounded d2,
+    * cid tiebreak) — in ONE map pass over the vectors. The
+    * per-(vector, subspace) encode window and its Exchange are gone:
+    * slicing, distances, and the per-subspace argmin all run inside
+    * nested higher-order functions on the row. Input must carry `emb`.
+    */
+  private[graft] def withPqStructs(df: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cb = oneRowArray(cents, "pqarr", col("sub"), col("cid"), col("cv"))
+    val pq = transform(sequence(lit(0), lit(3)), sub => {
+      val sl = slice(col("emb"), sub * lit(16) + lit(1), lit(16))
+      val best = array_min(transform(
+        filter(col("pqarr"), c => c("sub") === sub),
+        c => struct(
+          round(GraftFunctions.dot(sl, sl)
+            - lit(2.0) * GraftFunctions.dot(sl, c("cv"))
+            + GraftFunctions.dot(c("cv"), c("cv")), 6).as("d2"),
+          c("cid").as("cid"))))
+      struct(sub.as("sub"), best("cid").as("cid"), best("d2").as("d2"))
+    })
+    df.crossJoin(broadcast(cb)).withColumn("pq", pq).drop("pqarr")
+  }
 
   val vecNormsStats = Q(
     "vec_norms_stats",
@@ -413,15 +663,9 @@ object VectorOps extends QueryModule {
     */
   def annIvfTopK(emb: org.apache.spark.sql.DataFrame, nQueries: Int, k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
     val cellCentroids = ivfCodebook(emb)
-    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
-      df.crossJoin(broadcast(cellCentroids))
-        .withColumn("sim",
-          GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= keep)
+    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) =
+      withNearestCells(df, cellCentroids, keep, rounded = true)
         .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
-    }
     val assigned = nearestCells(emb, 1)
     val probes = nearestCells(emb.filter(col("vec_id") < nQueries), nprobe)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
@@ -841,15 +1085,7 @@ object VectorOps extends QueryModule {
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
       val cents = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cid"), $"emb".as("cemb"))
-      val d2 = round(
-        GraftFunctions.dot($"emb", $"emb")
-          - lit(2.0) * GraftFunctions.dot($"emb", $"cemb")
-          + GraftFunctions.dot($"cemb", $"cemb"), 6)
-      val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
-      val asg = e.join(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      val asg = withNearestCentroidD2(e, cents, "cid", "cemb", "cid", "d2")
         .select($"vec_id", $"cid", $"d2", $"emb")
       // exact decimal per-dimension means of each cluster's members —
       // emb rides the assignment row, so no second corpus join (r7)
@@ -920,18 +1156,19 @@ object VectorOps extends QueryModule {
 
   /** PRODUCT QUANTIZATION encode — the memory-bound ANN compression
     * standard (IVF-PQ indexes): split 64 dims into 4 subspaces of 16,
-    * quantize each slice against its own 4-centroid codebook, so a
+    * quantize each slice against its own 16-centroid codebook, so a
     * vector stores as 4 small codes (256 bytes of float32 → 4 codes)
     * with distances later approximated from per-subspace lookup
-    * tables. Deterministic seed codebooks (slices of the 4 lowest
-    * vec_ids), nearest-code assignment via the same rounded
+    * tables. Deterministic TRAINED codebooks ([[trainPqCodebook]]:
+    * stride-sampled seeds + fixed Lloyd rounds, exact decimal means),
+    * nearest-code assignment via the same rounded
     * ‖a‖²−2a·c+‖c‖² discipline as `vec_kmeans_lloyd`; declared output
     * is the per-(subspace, code) population + summed quantization
     * error — the codebook-balance audit that decides whether PQ
     * training converged (`vec_quantize_int8` is the scalar sibling;
     * this is the vector one).
     *
-    * Scale notes (100 TB): the codebook (m×k = 16 rows) broadcasts;
+    * Scale notes (100 TB): the codebook (m×k = 64 rows) broadcasts;
     * encoding is ONE pass over the corpus with row-local slice+argmin
     * work — vectors never shuffle; the audit agg carries m×k rows.
     */
@@ -941,20 +1178,13 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       val e = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-      val subs = e
-        .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
-        .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
-      val cents = subs.filter($"vec_id" < 4)
-        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
-      val d2 = round(
-        GraftFunctions.dot($"v", $"v")
-          - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-          + GraftFunctions.dot($"cv", $"cv"), 6)
-      val w = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
-      subs.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      val cents = trainPqCodebook(e)
+      // row-local encode: the per-(vector, subspace) window Exchange is
+      // gone; the only shuffle left is the bounded (sub, cid) audit agg
+      withPqStructs(e, cents)
+        .select(explode($"pq").as("pqe"))
+        .select($"pqe"("sub").as("sub"), $"pqe"("cid").as("cid"),
+          $"pqe"("d2").as("d2"))
         .groupBy($"sub", $"cid")
         .agg(count(lit(1)).as("n"),
           sum($"d2".cast(DecimalType(18, 6))).as("sum_err_d"))
@@ -962,20 +1192,15 @@ object VectorOps extends QueryModule {
           $"sum_err_d".cast(DoubleType).as("sum_err"))
         .orderBy($"sub", $"cid")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      ), s AS (
-        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
-        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
-      ), c AS (
-        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
-      ), d AS (
+      ), $pqCodebookSql, d AS (
         SELECT s.vec_id, s.sub, c.cid,
           ROUND(list_inner_product(s.v, s.v)
                 - 2.0 * list_inner_product(s.v, c.cv)
                 + list_inner_product(c.cv, c.cv), 6) AS d2
-        FROM s JOIN c ON s.sub = c.sub
+        FROM s JOIN pqcb c ON s.sub = c.sub
       ), a AS (
         SELECT vec_id, sub, cid, d2,
           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
@@ -992,12 +1217,12 @@ object VectorOps extends QueryModule {
     * IVF-PQ architecture that `vec_pq_encode` trains: the corpus lives
     * as 4 small codes per vector; a query stays full-precision, builds
     * a per-subspace LOOKUP TABLE of squared distances to every codebook
-    * centroid (m×k = 16 doubles per query), and each corpus vector's
+    * centroid (m×k = 64 doubles per query), and each corpus vector's
     * approximate distance is the SUM OF 4 TABLE LOOKUPS — no
     * full-vector arithmetic ever touches the scan. Queries = the 8
     * lowest vec_ids (self excluded); k = 5 by approximate distance.
     *
-    * Scale notes (100 TB): the LUT (queries × 16 rows) broadcasts; the
+    * Scale notes (100 TB): the LUT (queries × 64 rows) broadcasts; the
     * code table is 4 ints per corpus vector (~64× smaller than the
     * float vectors), and the scan is one equi-join of codes to the
     * broadcast LUT plus a (q, vec)-keyed partial-agg sum — the corpus
@@ -1017,19 +1242,17 @@ object VectorOps extends QueryModule {
       val subs = e
         .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
         .select($"vec_id", $"sub", expr("slice(emb, sub*16+1, 16)").as("v"))
-      val cents = subs.filter($"vec_id" < 4)
-        .select($"vec_id".as("cid"), $"sub", $"v".as("cv"))
+      val cents = trainPqCodebook(e)
       val d2 = round(
         GraftFunctions.dot($"v", $"v")
           - lit(2.0) * GraftFunctions.dot($"v", $"cv")
           + GraftFunctions.dot($"cv", $"cv"), 6)
-      val wEnc = Window.partitionBy($"vec_id", $"sub").orderBy($"d2", $"cid")
-      // corpus → 4 codes per vector (the PQ index; stored, not recomputed)
-      val codes = subs.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(wEnc))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"sub", $"cid")
+      // corpus → 4 codes per vector (the PQ index; stored, not
+      // recomputed), encoded row-locally — no per-(vector, subspace)
+      // window Exchange between the scan and the codes
+      val codes = withPqStructs(e, cents)
+        .select($"vec_id", explode($"pq").as("pqe"))
+        .select($"vec_id", $"pqe"("sub").as("sub"), $"pqe"("cid").as("cid"))
       // query-side LUT: squared distance of each query slice to every centroid
       val lut = subs.filter($"vec_id" < 8)
         .join(broadcast(cents), Seq("sub"))
@@ -1046,20 +1269,15 @@ object VectorOps extends QueryModule {
         .select($"q_id", $"vec_id", $"adist", $"rn".cast("long").as("rn"))
         .orderBy($"q_id", $"rn")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      ), s AS (
-        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
-        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
-      ), c AS (
-        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
-      ), d AS (
+      ), $pqCodebookSql, d AS (
         SELECT s.vec_id, s.sub, c.cid,
           ROUND(list_inner_product(s.v, s.v)
                 - 2.0 * list_inner_product(s.v, c.cv)
                 + list_inner_product(c.cv, c.cv), 6) AS d2
-        FROM s JOIN c ON s.sub = c.sub
+        FROM s JOIN pqcb c ON s.sub = c.sub
       ), codes AS (
         SELECT vec_id, sub, cid FROM (
           SELECT vec_id, sub, cid,
@@ -1110,12 +1328,7 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       val e = withNorm(spark, dir)
       val cents = ivfCodebook(e)
-      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
-        .withColumn("cr", row_number().over(wAsg))
-        .filter($"cr" === 1)
+      val assigned = withNearestCells(e, cents, keep = 1, rounded = true)
         .select($"vec_id", $"emb", $"nrm", $"cell", $"csim")
       val b = assigned.select($"cell".as("b_cell"), $"vec_id".as("b_id"), $"emb".as("b_emb"),
         $"nrm".as("b_nrm"), $"csim".as("b_csim"))
@@ -1191,35 +1404,27 @@ object VectorOps extends QueryModule {
                    nprobe: Int): org.apache.spark.sql.DataFrame = {
     // IVF half: √n-cell Lloyd codebook, nearest-cell assignment, query probes
     val cents = ivfCodebook(e)
-    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("sim",
-          GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= keep)
-        .select(col("vec_id"), col("cell"))
-    }
-    val assigned = nearestCells(e, 1)
+    def nearestCells(df: org.apache.spark.sql.DataFrame, keep: Int) =
+      withNearestCells(df, cents, keep, rounded = true)
+        .select(col("vec_id"), col("cell"), col("emb"))
     val probes = nearestCells(e.filter(col("vec_id") < nQueries), nprobe)
       .select(col("vec_id").as("q_id"), col("cell"))
-    // PQ half: 4×16-dim slices, seed codebook, per-vector codes, query LUT
+    // PQ half: TRAINED subspace codebook (stride seeds + Lloyd rounds,
+    // VERDICT r8 #2), row-local per-vector codes, query LUT
     val subs = e
       .select(col("vec_id"), explode(array((0 to 3).map(lit): _*)).as("sub"), col("emb"))
       .select(col("vec_id"), col("sub"), expr("slice(emb, sub*16+1, 16)").as("v"))
-    val cb = subs.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+    val cb = trainPqCodebook(e)
     val d2 = round(
       GraftFunctions.dot(col("v"), col("v"))
         - lit(2.0) * GraftFunctions.dot(col("v"), col("cv"))
         + GraftFunctions.dot(col("cv"), col("cv")), 6)
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d2"), col("cid"))
-    val codes = subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
-      .join(assigned, "vec_id") // carry each vector's IVF cell
+    // one map pass: each corpus vector gets its IVF cell AND its 4 PQ
+    // codes row-locally — no encode window, no assignment Exchange
+    val codes = withPqStructs(nearestCells(e, 1), cb)
+      .select(col("vec_id"), col("cell"), explode(col("pq")).as("pqe"))
+      .select(col("vec_id"), col("cell"),
+        col("pqe")("sub").as("sub"), col("pqe")("cid").as("cid"))
     val lut = subs.filter(col("vec_id") < nQueries)
       .join(broadcast(cb), Seq("sub"))
       .withColumn("qd2", d2)
@@ -1309,7 +1514,9 @@ object VectorOps extends QueryModule {
   /** SCALABLE EMBEDDING NEAR-DUP — the declared twin of
     * `dedup_embedding_cosine` (VERDICT r5 #7), mirroring the
     * jaccard-exact / minhash-scalable pairing: IVF-cell CANDIDATE
-    * GENERATION (each vector multi-probes its 2 nearest centroid cells,
+    * GENERATION (each vector multi-probes its 3 nearest centroid cells —
+    * the recall knob; Lloyd-trained cells are tighter than the r8 seed
+    * cells, so loose-τ pairs need one more probe to keep colliding —
     * so boundary-straddling pairs still collide) + exact cosine CONFIRM
     * at the same τ=0.4. The exact row stays the all-pairs baseline;
     * this is the plan that survives 100×.
@@ -1329,12 +1536,8 @@ object VectorOps extends QueryModule {
     */
   def annNearDupPairs(e: org.apache.spark.sql.DataFrame,
                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        round(GraftFunctions.dot(col("emb"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("cr", row_number().over(wAsg))
-      .filter(col("cr") <= 2) // multi-probe: nearest 2 cells per vector
+    // multi-probe: nearest 2 cells per vector, assigned row-locally
+    val assigned = withNearestCells(e, cents, keep = 3, rounded = true)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     val b = assigned.select(col("cell").as("b_cell"), col("vec_id").as("d2"),
       col("emb").as("e2"), col("nrm").as("n2"))
@@ -1343,7 +1546,8 @@ object VectorOps extends QueryModule {
         round(GraftFunctions.dot(col("emb"), col("e2")) / (col("nrm") * col("n2")), 6))
       .filter(col("cos") >= 0.4)
       .select(col("vec_id").as("d1"), col("d2"), col("cos"))
-      // a pair sharing BOTH probed cells collides twice — dedupe the
+      // a pair sharing several probed cells collides once per shared
+      // cell — dedupe the
       // scalar triple, never the arrays
       .distinct()
   }
@@ -1370,7 +1574,7 @@ object VectorOps extends QueryModule {
           SELECT vec_id, emb, nrm, cell,
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
           FROM sims)
-        WHERE cr <= 2
+        WHERE cr <= 3
       )
       SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
         ROUND(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos
@@ -1409,14 +1613,16 @@ object VectorOps extends QueryModule {
             lit(0.0).as("radius_sq"))
           .coalesce(1))
       for (i <- 2 to 8) {
-        val d2 = round(
+        // row-local min over the broadcast chosen set (≤ k arrays): the
+        // corpus never regroups on (vec_id, emb) — each round is one map
+        // pass + a global top-1 (TakeOrdered), zero fact-scale Exchange
+        val ch = chosen.agg(collect_list($"emb").as("cearr"))
+        val mind = array_min(transform($"cearr", ce => round(
           GraftFunctions.dot($"emb", $"emb")
-            - lit(2.0) * GraftFunctions.dot($"emb", $"cemb")
-            + GraftFunctions.dot($"cemb", $"cemb"), 6)
-        val far = e.crossJoin(broadcast(chosen.select($"emb".as("cemb"))))
-          .withColumn("d2", d2)
-          .groupBy($"vec_id", $"label", $"emb")
-          .agg(min($"d2").as("mind"))
+            - lit(2.0) * GraftFunctions.dot($"emb", ce)
+            + GraftFunctions.dot(ce, ce), 6)))
+        val far = e.crossJoin(broadcast(ch))
+          .withColumn("mind", mind)
           .orderBy($"mind".desc, $"vec_id")
           .limit(1)
           .select(lit(i).as("rnd"), $"vec_id", $"label", $"emb",
@@ -1474,14 +1680,8 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val (idx, cb) = IvfIndex.ensure(spark, dir)
-      val wp = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val probes = withNorm(spark, dir)
-        .filter($"vec_id" < 50)
-        .crossJoin(broadcast(cb))
-        .withColumn("csim",
-          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
-        .withColumn("cr", row_number().over(wp))
-        .filter($"cr" <= 3)
+      val probes = withNearestCells(
+          withNorm(spark, dir).filter($"vec_id" < 50), cb, keep = 3, rounded = true)
         .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       idx
@@ -1558,16 +1758,10 @@ object VectorOps extends QueryModule {
       val (codes, pqCb) = IvfIndex.ensurePq(spark, dir)
       val q = withNorm(spark, dir).filter($"vec_id" < 50)
       // nprobe=3 nearest cells per query via the persisted IVF codebook
-      val wp = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val probes = q
-        .crossJoin(broadcast(ivfCb))
-        .withColumn("csim",
-          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
-        .withColumn("cr", row_number().over(wp))
-        .filter($"cr" <= 3)
+      val probes = withNearestCells(q, ivfCb, keep = 3, rounded = true)
         .select($"vec_id".as("q_id"), $"cell")
       // per-query LUT: squared distance of each query slice to every
-      // persisted PQ centroid (queries × 16 rows, broadcast)
+      // persisted PQ centroid (queries × 64 rows, broadcast)
       val lut = q
         .select($"vec_id", explode(array((0 to 3).map(lit): _*)).as("sub"), $"emb")
         .select($"vec_id", $"sub".cast("long").as("sub"),
@@ -1615,17 +1809,12 @@ object VectorOps extends QueryModule {
             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
           FROM sims WHERE vec_id < 50)
         WHERE cr <= 3
-      ), s AS (
-        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
-        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
-      ), c AS (
-        SELECT vec_id AS cid, sub, v AS cv FROM s WHERE vec_id < 4
-      ), d AS (
+      ), $pqCodebookSql, d AS (
         SELECT s.vec_id, s.sub, c.cid,
           ROUND(list_inner_product(s.v, s.v)
                 - 2.0 * list_inner_product(s.v, c.cv)
                 + list_inner_product(c.cv, c.cv), 6) AS d2
-        FROM s JOIN c ON s.sub = c.sub
+        FROM s JOIN pqcb c ON s.sub = c.sub
       ), codes AS (
         SELECT d.vec_id, a.cell, d.sub, d.cid FROM (
           SELECT vec_id, sub, cid,
@@ -1977,16 +2166,12 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       val e = withNorm(spark, dir)
       val cents = ivfCodebook(e)
-      val wAsg = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-      val sims = e.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(GraftFunctions.dot($"emb", $"cvec") / ($"nrm" * $"cnrm"), 6))
-        .withColumn("cr", row_number().over(wAsg))
       // index side: every corpus vector lives in its single nearest cell
-      val indexed = sims.filter($"cr" === 1)
+      val indexed = withNearestCells(e, cents, keep = 1, rounded = true)
         .select($"cell", $"vec_id", $"label", $"emb", $"nrm")
       // query side: the probe list is the 3 nearest cells per query
-      val probes = sims.filter($"vec_id" < 20 && $"cr" <= 3)
+      val probes = withNearestCells(e.filter($"vec_id" < 20), cents,
+          keep = 3, rounded = true)
         .select($"cell", $"vec_id".as("q_id"), $"label".as("q_label"),
           $"emb".as("q_emb"), $"nrm".as("q_nrm"))
       val wRank = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
@@ -2069,16 +2254,9 @@ object VectorOps extends QueryModule {
         .groupBy($"label")
         .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
         .select($"label".as("clabel"), expr("transform(pc, x -> x.c)").as("cvec"))
-      val d2 = round(
-        GraftFunctions.dot($"emb", $"emb")
-          - lit(2.0) * GraftFunctions.dot($"emb", $"cvec")
-          + GraftFunctions.dot($"cvec", $"cvec"), 6)
-      val wMin = Window.partitionBy($"vec_id").orderBy($"d2", $"clabel")
-      val nearest = e.crossJoin(broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(wMin))
-        .where($"rn" === 1)
-        .select($"label", $"clabel".as("nearest_label"))
+      val nearest =
+        withNearestCentroidD2(e, cents, "clabel", "cvec", "nearest_label", "d2n")
+          .select($"label", $"nearest_label")
       val totals = nearest.groupBy($"label").agg(count(lit(1)).as("label_total"))
       nearest
         .groupBy($"label", $"nearest_label")
@@ -2440,17 +2618,20 @@ object VectorOps extends QueryModule {
         .groupBy($"label")
         .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
         .select($"label".as("clabel"), expr("transform(pc, x -> x.c)").as("cvec"))
-      val d2 = round(
+      // row-local a/b: both mins fold over the broadcast centroid array
+      // on the row — the (vec_id, label)-keyed regroup of the corpus is
+      // gone; only the bounded label-keyed report agg shuffles
+      val cbA = oneRowArray(cents, "cbarr", $"clabel", $"cvec")
+      def dd(cv: Column) = round(sqrt(greatest(round(
         GraftFunctions.dot($"emb", $"emb")
-          - lit(2.0) * GraftFunctions.dot($"emb", $"cvec")
-          + GraftFunctions.dot($"cvec", $"cvec"), 6)
-      val dist = round(sqrt(greatest(d2, lit(0.0d))), 6)
-      val ab = e.crossJoin(broadcast(cents))
-        .withColumn("dd", dist)
-        .groupBy($"vec_id", $"label")
-        .agg(
-          min(when($"clabel" === $"label", $"dd")).as("a"),
-          min(when($"clabel" =!= $"label", $"dd")).as("b"))
+          - lit(2.0) * GraftFunctions.dot($"emb", cv)
+          + GraftFunctions.dot(cv, cv), 6), lit(0.0d))), 6)
+      val ab = e.crossJoin(broadcast(cbA))
+        .withColumn("a", array_min(transform(
+          filter($"cbarr", c => c("clabel") === $"label"), c => dd(c("cvec")))))
+        .withColumn("b", array_min(transform(
+          filter($"cbarr", c => c("clabel") =!= $"label"), c => dd(c("cvec")))))
+        .select($"vec_id", $"label", $"a", $"b")
       val sil = ab.select($"vec_id", $"label",
         round(($"b" - $"a") / nullif(greatest($"a", $"b"), lit(0.0d)), 6).as("s"))
       sil

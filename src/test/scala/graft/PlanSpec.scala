@@ -689,12 +689,42 @@ class PlanSpec extends SparkSpecBase {
       s"PIT query re-derives the SCD2 window instead of reading the table:\n$p")
   }
 
+  test("vec_ann_ivf + IVF build: row-local cell assignment, zero Exchange scan→cell") {
+    // r8 verdict #1: the n×nlist window-argmax is gone. The corpus scan
+    // flows into the cell column through a broadcast of the one-row
+    // codebook array and a row-local higher-order argmax — the ONLY
+    // corpus-keyed Exchange the old plan had (hashpartitioning(vec_id)
+    // feeding the per-vector rank window) must never reappear.
+    val p = planString(operators.VectorOps.vecAnnIvf.fn(spark, sfDir))
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
+      s"corpus-keyed shuffle before cell assignment:\n$p")
+    // the only Window left is the final per-query top-k rank
+    val wins = "Window \\[row_number".r.findAllIn(p).size
+    assert(wins == 1, s"expected exactly the q_id ranking window, got $wins:\n$p")
+
+    // the IvfIndex build's assignment fragment: corpus parquet scan →
+    // broadcast(one-row codebook) → project(cell). Zero Exchange of any
+    // kind on the corpus stream — the fragment's only exchanges are the
+    // bounded codebook-training aggregates and its one-row collapse.
+    val e = operators.VectorOps.withNorm(spark, sfDir)
+    val cents = operators.VectorOps.ivfCodebook(e).cache()
+    cents.count() // materialize so the fragment plan below is assignment-only
+    val frag = operators.VectorOps.withNearestCells(e, cents, keep = 1, rounded = true)
+    val fp = planString(frag)
+    val corpusEx = "Exchange hashpartitioning".r.findAllIn(fp).size
+    assert(corpusEx == 0,
+      s"build assignment must not shuffle the corpus (or anything): got $corpusEx hash exchanges:\n$fp")
+    cents.unpersist()
+  }
+
   test("vec_ann_ivf_serve: serves from the persisted bucketed index, no re-clustering") {
     val df = operators.VectorOps.vecAnnIvfServe.fn(spark, sfDir)
     val p = planString(df)
-    // no codebook rebuild at serve time: the Lloyd step's posexplode
-    // (Generate) and the corpus-wide assignment must be absent
-    assert(!p.contains("Generate"),
+    // no codebook rebuild at serve time: the Lloyd step's posexplode of
+    // the corpus must be absent (the probe-side row-local multi-probe
+    // explode of the 3 nearest cells is fine — it is per-query, bounded,
+    // and introduces no Exchange)
+    assert(!p.contains("Generate posexplode"),
       s"serve plan re-clusters (posexplode of the corpus seen):\n$p")
     // the index side must be the persisted catalog table…
     assert(p.contains(operators.IvfIndex.indexTable(sfDir)),
