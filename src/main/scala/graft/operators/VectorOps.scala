@@ -686,7 +686,44 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       annIvfTopK(withNorm(spark, dir), nQueries = 50, k = 3, nprobe = 3).orderBy($"q_id", $"rn")
     },
-    None)
+    // oracled since r9 (VERDICT r8 #3): the whole chain — trained
+    // codebook, assignment, probes, exact-cosine re-rank — is
+    // deterministic double algebra DuckDB re-derives from scratch
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 50)
+        WHERE cr <= 3
+      ), cand AS (
+        SELECT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
 
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× memory cut for vector search at scale: per-dimension [min, max]
@@ -1386,7 +1423,8 @@ object VectorOps extends QueryModule {
     * is PQ asymmetric lookup (4 code lookups per candidate from the
     * query's broadcast LUT, exactly `vec_pq_adc_topk`'s trade) — so
     * the scan touches neither most of the corpus NOR any full vector.
-    * No oracle by design (like the other ANN rows): VectorOpsSpec
+    * Oracled since r9 (VERDICT r8 #3): DuckDB re-derives codebooks,
+    * codes, LUT and ADC top-k from scratch. VectorOpsSpec additionally
     * asserts the internal-consistency property that cell restriction
     * can only LOSE candidates — rank-wise approximate distance of the
     * IVF-PQ top-k dominates the unrestricted ADC top-k — plus dense
@@ -1449,7 +1487,63 @@ object VectorOps extends QueryModule {
       annIvfpqTopK(withNorm(spark, dir), nQueries = 8, k = 5, nprobe = 3)
         .orderBy($"q_id", $"rn")
     },
-    None)
+    // oracled since r9 (VERDICT r8 #3): trained IVF + PQ codebooks,
+    // codes, LUT and the 4-term decimal ADC sum are all re-derived by
+    // DuckDB from scratch — same chain as vec_ann_ivfpq_serve at the
+    // in-plan row's (8 queries, k=5) configuration
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 8)
+        WHERE cr <= 3
+      ), $pqCodebookSql, d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM s JOIN pqcb c ON s.sub = c.sub
+      ), codes AS (
+        SELECT d.vec_id, a.cell, d.sub, d.cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM d) d
+        JOIN assigned a USING (vec_id)
+        WHERE d.rn = 1
+      ), lut AS (
+        SELECT vec_id AS q_id, sub, cid, d2 AS qd2 FROM d WHERE vec_id < 8
+      ), adists AS (
+        SELECT p.q_id, k.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM codes k
+        JOIN probes p USING (cell)
+        JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id
+        GROUP BY p.q_id, k.vec_id
+      )
+      SELECT q_id, vec_id, adist, rn FROM (
+        SELECT q_id, vec_id, adist,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+        FROM adists)
+      WHERE rn <= 5
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
 
   /** ANN RECALL@k AUDIT — the driver-visible quality number for the ANN
     * stack (VERDICT r5 #3): IVF-PQ's top-5 candidates (nprobe=3, the
@@ -1459,9 +1553,10 @@ object VectorOps extends QueryModule {
     * cell-pruning loss rather than metric mismatch. Declared output is
     * per-label mean recall@3 / recall@5 over the label's queries: the
     * report a platform runs before trusting an ANN index in production.
-    * No oracle (the candidate sets are formulation-specific like every
-    * ANN row); DriftGraphSpec asserts range, query coverage, and that
-    * the index beats the random-candidates baseline.
+    * Oracled since r9 (VERDICT r8 #3) — the full approximate + exact
+    * chain is deterministic; DriftGraphSpec additionally asserts range,
+    * query coverage, and that the index beats the random-candidates
+    * baseline.
     *
     * Scale notes (100 TB): the approximate side is the IVF-PQ plan
     * (broadcast probes+LUT, pruned codes-only scan); the exact side is
@@ -1498,18 +1593,100 @@ object VectorOps extends QueryModule {
         .agg(
           sum(when($"a_rn" <= 3 && $"e_rn" <= 3, 1L).otherwise(0L)).as("h3"),
           count(lit(1)).as("h5"))
+      // raw double division (exact hit counts over small fixed
+      // denominators) — IEEE-identical across engines, so the oracle
+      // needs no rounding discipline on the recalls at all
       q.select($"q_id", $"q_label")
         .join(hits, Seq("q_id"), "left")
         .groupBy($"q_label".as("label"))
         .agg(
           count(lit(1)).as("n_queries"),
           (sum(coalesce($"h3", lit(0L))).cast(DoubleType) / (count(lit(1)) * 3))
-            .cast(DecimalType(18, 6)).as("recall_at_3"),
+            .as("recall_at_3"),
           (sum(coalesce($"h5", lit(0L))).cast(DoubleType) / (count(lit(1)) * 5))
-            .cast(DecimalType(18, 6)).as("recall_at_5"))
+            .as("recall_at_5"))
         .orderBy($"label")
     },
-    None)
+    // oracled since r9 (VERDICT r8 #3): the IVF-PQ approximate side is
+    // the vec_ann_ivfpq chain at 50 queries, the exact side is the same
+    // rounded L2 identity — both re-derived in full by DuckDB
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 50)
+        WHERE cr <= 3
+      ), $pqCodebookSql, d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM s JOIN pqcb c ON s.sub = c.sub
+      ), codes AS (
+        SELECT d.vec_id, a.cell, d.sub, d.cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM d) d
+        JOIN assigned a USING (vec_id)
+        WHERE d.rn = 1
+      ), lut AS (
+        SELECT vec_id AS q_id, sub, cid, d2 AS qd2 FROM d WHERE vec_id < 50
+      ), adists AS (
+        SELECT p.q_id, k.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM codes k
+        JOIN probes p USING (cell)
+        JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id
+        GROUP BY p.q_id, k.vec_id
+      ), approx AS (
+        SELECT q_id, vec_id, rn AS a_rn FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+          FROM adists)
+        WHERE rn <= 5
+      ), qe AS (
+        SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+        FROM e WHERE vec_id < 50
+      ), exact AS (
+        SELECT q_id, vec_id, rn AS e_rn FROM (
+          SELECT q.q_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+              ROUND(list_inner_product(e.emb, e.emb)
+                    - 2.0 * list_inner_product(e.emb, q.q_emb)
+                    + list_inner_product(q.q_emb, q.q_emb), 6), e.vec_id) AS rn
+          FROM e JOIN qe q ON e.vec_id <> q.q_id)
+        WHERE rn <= 5
+      ), hits AS (
+        SELECT a.q_id,
+          SUM(CASE WHEN a.a_rn <= 3 AND x.e_rn <= 3 THEN 1 ELSE 0 END) AS h3,
+          COUNT(*) AS h5
+        FROM approx a JOIN exact x USING (q_id, vec_id)
+        GROUP BY a.q_id
+      )
+      SELECT q.q_label AS label, COUNT(*) AS n_queries,
+        CAST(SUM(COALESCE(h.h3, 0)) AS DOUBLE) / (COUNT(*) * 3) AS recall_at_3,
+        CAST(SUM(COALESCE(h.h5, 0)) AS DOUBLE) / (COUNT(*) * 5) AS recall_at_5
+      FROM qe q LEFT JOIN hits h ON q.q_id = h.q_id
+      GROUP BY q.q_label
+      ORDER BY label
+    """.stripMargin.trim))
 
   /** SCALABLE EMBEDDING NEAR-DUP — the declared twin of
     * `dedup_embedding_cosine` (VERDICT r5 #7), mirroring the
