@@ -101,6 +101,52 @@ object ShingleRegistry {
 
   def upsertedTable(dir: String): String = s"graft_shingle_reg2_${tag(dir)}"
 
+  /** Clone the given registry frame into catalog table `name` (bucketed
+    * identically) — the seed step for a new registry GENERATION, shared
+    * by [[ensureUpserted]] and the StreamingSpec stream-maintained
+    * registry drive.
+    */
+  def seedGeneration(spark: SparkSession, reg: DataFrame, name: String,
+      loc: java.io.File): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    rmTree(loc)
+    reg
+      .repartition(NBuckets, col("shingle"))
+      .write
+      .bucketBy(NBuckets, "shingle")
+      .sortBy("shingle")
+      .option("path", loc.getAbsolutePath)
+      .saveAsTable(name)
+  }
+
+  /** ONE idempotent upsert of a delivered document micro-batch into the
+    * registry generation `name`: shingle the batch, anti-join the LIVE
+    * table (merge-hinted — the registry side reads co-partitioned from
+    * its buckets, no Exchange), and APPEND the novel survivors as
+    * correctly-bucketed files tagged `first_batch = ingestBatch`.
+    * Replays are no-ops BY CONSTRUCTION — a replayed delivery's novel
+    * shingles are already in the table, so the anti-join drops them —
+    * which is exactly the idempotence the at-least-once foreachBatch
+    * contract requires. Micro-batch boundaries don't matter either: a
+    * shingle shipped by two deliveries is appended by the first and
+    * anti-joined away by the second, so the final state equals the
+    * one-shot batch upsert.
+    */
+  def upsertBatch(docs: DataFrame, name: String, ingestBatch: Long): Unit = {
+    val spark = docs.sparkSession
+    TextOps.shingles(docs)
+      .select(col("shingle")).distinct()
+      .join(spark.table(name).select(col("shingle")).hint("merge"),
+        Seq("shingle"), "left_anti")
+      .select(col("shingle"), lit(ingestBatch).as("first_batch"))
+      .repartition(NBuckets, col("shingle"))
+      .write
+      .mode("append")
+      .bucketBy(NBuckets, "shingle")
+      .sortBy("shingle")
+      .saveAsTable(name)
+  }
+
   /** Find-or-build the POST-UPSERT registry generation: the daily-ingest
     * cycle's second half. After batch 7 is scored against history
     * ([[TextOps.dedupIncrementalRegistry]]), its NOVEL shingles are
@@ -136,31 +182,14 @@ object ShingleRegistry {
            |LOCATION '${loc.toURI}'""".stripMargin)
     } else if (!onDisk) {
       val reg = ensure(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
       Files.deleteIfExists(metaFile.toPath)
-      rmTree(loc)
-      reg
-        .repartition(NBuckets, col("shingle"))
-        .write
-        .bucketBy(NBuckets, "shingle")
-        .sortBy("shingle")
-        .option("path", loc.getAbsolutePath)
-        .saveAsTable(name)
+      seedGeneration(spark, reg, name, loc)
       // THE upsert: new batch only, anti-joined against the (bucketed)
-      // v1 registry — the registry side reads co-partitioned, the novel
-      // survivors append as bucketed files
-      TextOps.shingles(
-          Tables.documents(spark, dir).filter(batchOf(col("doc_id")) === 7))
-        .select(col("shingle")).distinct()
-        .join(reg.select(col("shingle")).hint("merge"), Seq("shingle"), "left_anti")
-        .select(col("shingle"), lit(7L).as("first_batch"))
-        .repartition(NBuckets, col("shingle"))
-        .write
-        .mode("append")
-        .bucketBy(NBuckets, "shingle")
-        .sortBy("shingle")
-        .option("path", loc.getAbsolutePath)
-        .saveAsTable(name)
+      // registry — shared verbatim with the StreamingSpec foreachBatch
+      // drive ([[upsertBatch]]), delivered here as one whole batch
+      upsertBatch(
+        Tables.documents(spark, dir).filter(batchOf(col("doc_id")) === 7),
+        name, ingestBatch = 7L)
       Files.writeString(metaFile.toPath, fp): Unit
     }
     spark.table(name)

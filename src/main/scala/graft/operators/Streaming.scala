@@ -435,10 +435,83 @@ object Streaming extends QueryModule {
       FROM hourly GROUP BY 1 ORDER BY w_date
     """.stripMargin.trim))
 
+  /** STREAMING INCREMENTAL DEDUP (VERDICT r8 #4) — the composition the
+    * registry rows exist for, as one declared pipeline: the NEW-DOC
+    * STREAM (ingest batch 7 arriving in micro-batches) is gated against
+    * the PERSISTED shingle registry of batches 0..6
+    * ([[graft.streaming.StreamTransforms.incrementalDedupGate]]), and
+    * its novel shingles are upserted into the next registry generation
+    * inside an idempotent foreachBatch
+    * ([[ShingleRegistry.upsertBatch]]: anti-join the live bucketed
+    * table, append survivors — replays are no-ops by construction).
+    * Declared here through the batch equivalent (◐ like every stream
+    * row): gating against a FROZEN generation makes the result
+    * independent of micro-batch boundaries, so run-to-completion
+    * stream ≡ batch; StreamingSpec drives the same transform + upsert
+    * from a real MemoryStream with a forced double delivery and a
+    * restart, and asserts gate rows ≡ batch AND final registry state ≡
+    * the one-shot [[ShingleRegistry.ensureUpserted]] generation.
+    *
+    * Scale notes (100 TB): the registry is the huge side — bucketed by
+    * shingle, it feeds the merge join co-partitioned with ZERO Exchange
+    * (PlanSpec-asserted); only the arriving micro-batch shuffles (one
+    * shingle-keyed Exchange). The upsert appends per-bucket files and
+    * never rewrites history. Gate state is one counter struct per
+    * in-flight doc.
+    */
+  val streamIncrementalDedup = Q(
+    "stream_incremental_dedup",
+    (spark, dir) => {
+      import spark.implicits._
+      val reg = ShingleRegistry.ensure(spark, dir)
+      StreamTransforms.incrementalDedupGate(
+        Tables.documents(spark, dir)
+          .filter(ShingleRegistry.batchOf($"doc_id") === 7), reg)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM documents
+      ), reg AS (
+        SELECT DISTINCT s.shingle
+        FROM sh s JOIN b USING (doc_id) WHERE b.batch < 7
+      ), cur AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN b USING (doc_id) WHERE b.batch = 7
+      )
+      SELECT c.doc_id,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_seen,
+        COUNT(*) - CAST(SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) * 2 >= COUNT(*)
+          AS is_flagged
+      FROM cur c LEFT JOIN reg r USING (shingle)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
     streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail,
-    streamForeachbatchSink)
+    streamForeachbatchSink, streamIncrementalDedup)
 }

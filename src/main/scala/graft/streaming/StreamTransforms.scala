@@ -174,6 +174,32 @@ object StreamTransforms {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cols: _*).parquet(path)
 
+  /** Incremental-ingest dedup GATE against a STATIC registry frame —
+    * the probe half of the streaming incremental-dedup composition
+    * (`stream_incremental_dedup`), shared verbatim between the declared
+    * batch row and the StreamingSpec MemoryStream drive. `docs` may be
+    * streaming: shingling is row-local (explode of 3-gram transforms),
+    * the stream-static left join keys the (small) new-doc side while
+    * the registry side is the bucketed warehouse table, and the per-doc
+    * aggregation keeps one bounded counter struct per in-flight doc.
+    * Because the gate scores every doc against the SAME frozen registry
+    * generation (last night's history — the production shape), the
+    * result is independent of micro-batch boundaries: stream ≡ batch.
+    */
+  def incrementalDedupGate(docs: DataFrame, reg: DataFrame): DataFrame =
+    graft.operators.TextOps.shingles(docs)
+      // merge hint: at scale the registry is the BIG side — it must
+      // stream from its buckets co-partitioned, never broadcast
+      .join(reg.select(col("shingle"), lit(1L).as("seen")).hint("merge"),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        (col("n_shingles") - col("n_seen")).as("n_novel"),
+        (col("n_seen") * 2 >= col("n_shingles")).as("is_flagged"))
+
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
     * this is a plain keyed aggregation in update mode — each microbatch

@@ -789,6 +789,17 @@ class PlanSpec extends SparkSpecBase {
       s"exactly ONE shingle-keyed Exchange (the new batch); registry side is bucketed — got $shingleExchanges:\n$p")
   }
 
+  test("stream_incremental_dedup: gate shuffles only the new batch; bucketed registry side has zero Exchange") {
+    val df = operators.Streaming.streamIncrementalDedup.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains(operators.ShingleRegistry.registryTable(sfDir)),
+      s"gate must read the persisted registry table:\n$p")
+    assert(p.contains("SortMergeJoin"), s"registry join must not broadcast the registry:\n$p")
+    val shingleExchanges = "Exchange hashpartitioning\\(shingle".r.findAllIn(p).size
+    assert(shingleExchanges == 1,
+      s"exactly ONE shingle-keyed Exchange (the arriving batch); registry side is bucketed — got $shingleExchanges:\n$p")
+  }
+
   test("etl_late_arriving_dimension: dim broadcasts, fact aggregates partially") {
     val p = planString(operators.EtlOps.etlLateArrivingDimension.fn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   * with MemoryStream — and if watermarking actually drops late data.
   */
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpecBase {
 
@@ -399,6 +400,77 @@ class StreamingSpec extends SparkSpecBase {
       .select($"w_start".cast("string"), $"n_events").as[(String, Long)].collect().toMap
     assert(rows("2024-01-01 10:00:00") == 2L,
       s"late event was not dropped: $rows")
+  }
+
+  test("incremental dedup: streamed gate equals batch; foreachBatch upsert is idempotent across double delivery and restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reg = operators.ShingleRegistry.ensure(spark, sfDir)
+    val batchDocs = Tables.documents(spark, sfDir)
+      .filter(operators.ShingleRegistry.batchOf($"doc_id") === 7)
+      .select($"doc_id", $"text")
+    val docs = batchDocs.as[Doc].collect().toSeq.sortBy(_.doc_id)
+    assume(docs.size >= 3, "need at least 3 batch-7 docs at this SF")
+    val deliveries = docs.grouped(docs.size / 3 + 1).toSeq
+
+    // 1) the GATE through the real streaming engine: stream-static join
+    //    against the frozen registry, per-doc agg in update mode
+    val msGate = MemoryStream[Doc]
+    val qGate = StreamTransforms.incrementalDedupGate(msGate.toDF(), reg)
+      .writeStream.format("memory").queryName("incgate").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_incgate_${System.nanoTime()}")
+      .start()
+    try {
+      deliveries.foreach { b => msGate.addData(b); qGate.processAllAvailable() }
+    } finally qGate.stop()
+    assert(collectSorted(spark.table("incgate")) ==
+      collectSorted(StreamTransforms.incrementalDedupGate(batchDocs, reg)),
+      "streamed gate rows must equal the declared batch gate")
+
+    // 2) the UPSERT through foreachBatch into a spec-scoped registry
+    //    generation, with a forced DOUBLE DELIVERY of micro-batch 1
+    val gen = s"graft_shingle_specgen_${System.nanoTime()}"
+    val genLoc = new java.io.File(s"/tmp/graft_scratch/$gen")
+    operators.ShingleRegistry.seedGeneration(spark, reg, gen, genLoc)
+    try {
+      val msUp = MemoryStream[Doc]
+      val qUp = msUp.toDF().writeStream
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_incup_${System.nanoTime()}")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          operators.ShingleRegistry.upsertBatch(df, gen, ingestBatch = 7L)
+          // at-least-once: delivery 1 replays (sink failure between
+          // write and epoch commit) — the anti-join must absorb it
+          if (id == 1L) operators.ShingleRegistry.upsertBatch(df, gen, ingestBatch = 7L)
+        }
+        .start()
+      try {
+        deliveries.foreach { b => msUp.addData(b); qUp.processAllAvailable() }
+      } finally qUp.stop()
+
+      // stream-maintained generation == the one-shot batch upsert
+      val want = collectSorted(
+        operators.ShingleRegistry.ensureUpserted(spark, sfDir)
+          .select($"shingle", $"first_batch"))
+      assert(collectSorted(spark.table(gen).select($"shingle", $"first_batch")) == want,
+        "stream-maintained registry must equal the one-shot batch upsert generation")
+
+      // 3) RESTART: a fresh query (new checkpoint) replays the last
+      //    delivery in full — state must not change
+      val msRe = MemoryStream[Doc]
+      val qRe = msRe.toDF().writeStream
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_incre_${System.nanoTime()}")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          operators.ShingleRegistry.upsertBatch(df, gen, ingestBatch = 7L)
+        }
+        .start()
+      try {
+        msRe.addData(deliveries.last); qRe.processAllAvailable()
+      } finally qRe.stop()
+      assert(collectSorted(spark.table(gen).select($"shingle", $"first_batch")) == want,
+        "post-restart replay must leave the registry unchanged")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $gen")
+    }
   }
 
   test("upsert-latest: streamed update-mode state equals batch, only touched users re-emit") {
