@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Compiled argmin/top-k over a broadcast codebook array — the SURVEY
+  * §4.3 escalation the round-9 scale probe called for (SCALE.md):
+  * higher-order-function lambdas are INTERPRETED, so the row-local
+  * assignment's per-centroid arithmetic cost ~µs/element; these
+  * expressions run the whole candidate loop in one compiled `eval`
+  * call per row (CodegenFallback — the loop itself is plain JVM code,
+  * which is what matters; whole-stage codegen would only shave the one
+  * virtual call).
+  *
+  * Numerical contract: IDENTICAL values and ordering to the HOF
+  * formulations they replace —
+  *  - cosine: negsim = −(round₆?(a·c / (‖a‖·‖c‖))), candidates ranked
+  *    by `Double.compare` on negsim then ascending cell (exactly the
+  *    lexicographic struct order `array_min` / `array_sort` used,
+  *    including −0.0 < 0.0);
+  *  - L2: d2 = round₆(‖a‖² − 2a·c + ‖c‖²) with ‖a‖² evaluated once per
+  *    row and ‖c‖² read from the codebook column, ranked by
+  *    `Double.compare` then ascending id.
+  *  round₆ replicates Spark's `Round(_, 6)` on doubles exactly:
+  *  `BigDecimal.valueOf(x).setScale(6, HALF_UP)` with NaN/∞ passthrough.
+  *
+  * The codebook child MUST be a broadcast-stable array (one physical
+  * buffer per partition): decode of the struct array into primitive
+  * arrays is cached keyed on the underlying buffer identity, so the
+  * per-row cost is the dot products alone. Both expressions are
+  * private to the engine ([[graft.operators.VectorOps]] call sites).
+  */
+object NearestCentroid {
+  private[functions] def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private[functions] def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+}
+
+/** Shared codebook-decode cache for the two expressions below. */
+private[functions] trait CodebookCache { self: Expression =>
+  protected def cb: Expression
+
+  protected final def cbElem: StructType =
+    cb.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  protected final def idType: DataType = cbElem.fields(0).dataType
+
+  @transient private var keyObj: AnyRef = _
+  @transient private var keyOff: Long = -1L
+  @transient private var keyLen: Int = -1
+  @transient protected final var ids: Array[Any] = _
+  @transient protected final var idKeys: Array[Long] = _
+  @transient protected final var vecs: Array[Array[Double]] = _
+  @transient protected final var aux: Array[Double] = _ // cnrm / ‖c‖²
+
+  /** Decode (id, vec, aux) structs once per physical buffer. */
+  protected final def load(arr: ArrayData): Unit = {
+    val (obj, off) = arr match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset)
+      case other => (other.asInstanceOf[AnyRef], 0L)
+    }
+    val m = arr.numElements()
+    if ((obj eq keyObj) && off == keyOff && m == keyLen) return
+    val newIds = new Array[Any](m)
+    val newKeys = new Array[Long](m)
+    val newVecs = new Array[Array[Double]](m)
+    val newAux = new Array[Double](m)
+    val intId = idType == IntegerType
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 3)
+      val idv = row.get(0, idType)
+      newIds(i) = idv
+      newKeys(i) = if (intId) idv.asInstanceOf[Int].toLong else idv.asInstanceOf[Long]
+      newVecs(i) = row.getArray(1).toDoubleArray()
+      newAux(i) = row.getDouble(2)
+      i += 1
+    }
+    ids = newIds; idKeys = newKeys; vecs = newVecs; aux = newAux
+    keyObj = obj; keyOff = off; keyLen = m
+  }
+}
+
+/** Top-`k` nearest cells by (optionally 6 dp-rounded) cosine — returns
+  * ARRAY<STRUCT<negsim DOUBLE, cell <idType>>> of the k lexicographic-
+  * smallest (negsim, cell) pairs ascending, exactly
+  * `slice(array_sort(scored), 1, k)` of the HOF it replaces.
+  */
+case class NearestCellsTopK(emb: Expression, nrm: Expression, cb: Expression,
+    k: Int, rounded: Boolean)
+    extends Expression with CodegenFallback with CodebookCache {
+
+  override def children: Seq[Expression] = Seq(emb, nrm, cb)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("negsim", DoubleType, nullable = false),
+    StructField("cell", idType, nullable = false))), containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val e = emb.eval(input)
+    val n = nrm.eval(input)
+    val c = cb.eval(input)
+    if (e == null || n == null || c == null) return null
+    load(c.asInstanceOf[ArrayData])
+    val x = e.asInstanceOf[ArrayData].toDoubleArray()
+    val xn = n.asInstanceOf[Double]
+    val m = vecs.length
+    val take = math.min(k, m)
+    // insertion top-k on (negsim, cellKey): tiny k (1-3), candidates ~√n
+    val bestNeg = new Array[Double](take)
+    val bestIdx = new Array[Int](take)
+    var filled = 0
+    var i = 0
+    while (i < m) {
+      val sim = NearestCentroid.dot(x, vecs(i)) / (xn * aux(i))
+      val neg = -(if (rounded) NearestCentroid.round6(sim) else sim)
+      // find insertion position among the filled prefix
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(neg, bestNeg(pos - 1))
+        cmp < 0 || (cmp == 0 && idKeys(i) < idKeys(bestIdx(pos - 1)))
+      }) pos -= 1
+      if (pos < take) {
+        val last = math.min(filled, take - 1)
+        var j = last
+        while (j > pos) { bestNeg(j) = bestNeg(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1 }
+        bestNeg(pos) = neg
+        bestIdx(pos) = i
+        if (filled < take) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var j = 0
+    while (j < filled) {
+      out(j) = new GenericInternalRow(Array[Any](bestNeg(j), ids(bestIdx(j))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCellsTopK =
+    copy(emb = newChildren(0), nrm = newChildren(1), cb = newChildren(2))
+}
+
+/** Nearest centroid by rounded squared L2 — returns
+  * STRUCT<d2 DOUBLE, id <idType>>, the lexicographic min of (d2, id),
+  * exactly `array_min` of the HOF it replaces. ‖a‖² is evaluated once
+  * per row; ‖c‖² is field 2 of the codebook structs.
+  */
+case class NearestCentroidL2(emb: Expression, cb: Expression)
+    extends Expression with CodegenFallback with CodebookCache {
+
+  override def children: Seq[Expression] = Seq(emb, cb)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid_l2"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("id", idType, nullable = false)))
+
+  override def eval(input: InternalRow): Any = {
+    val e = emb.eval(input)
+    val c = cb.eval(input)
+    if (e == null || c == null) return null
+    load(c.asInstanceOf[ArrayData])
+    val x = e.asInstanceOf[ArrayData].toDoubleArray()
+    val dee = NearestCentroid.dot(x, x)
+    val m = vecs.length
+    if (m == 0) return null
+    var bestD2 = 0.0
+    var bestI = -1
+    var i = 0
+    while (i < m) {
+      val d2 = NearestCentroid.round6(
+        dee - 2.0 * NearestCentroid.dot(x, vecs(i)) + aux(i))
+      if (bestI < 0 || {
+        val cmp = java.lang.Double.compare(d2, bestD2)
+        cmp < 0 || (cmp == 0 && idKeys(i) < idKeys(bestI))
+      }) { bestD2 = d2; bestI = i }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestD2, ids(bestI)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): NearestCentroidL2 =
+    copy(emb = newChildren(0), cb = newChildren(1))
+}
+
+/** Column-API surface (engine-internal; not SQL-registered — the SQL
+  * mirrors re-derive the same math from first principles).
+  */
+object NearestCentroidFunctions {
+  def nearestCells(emb: Column, nrm: Column, cb: Column, k: Int,
+      rounded: Boolean): Column =
+    Bridge.column(NearestCellsTopK(
+      Bridge.expression(emb), Bridge.expression(nrm), Bridge.expression(cb),
+      k, rounded))
+
+  def nearestCentroidL2(emb: Column, cb: Column): Column =
+    Bridge.column(NearestCentroidL2(
+      Bridge.expression(emb), Bridge.expression(cb)))
+}

@@ -377,15 +377,16 @@ object VectorOps extends QueryModule {
       cents: org.apache.spark.sql.DataFrame, keep: Int,
       rounded: Boolean): org.apache.spark.sql.DataFrame = {
     val cb = oneRowArray(cents, "cbarr", col("cell"), col("cvec"), col("cnrm"))
-    val scored = transform(col("cbarr"), c => {
-      val sim = GraftFunctions.dot(col("emb"), c("cvec")) / (col("nrm") * c("cnrm"))
-      struct((-(if (rounded) round(sim, 6) else sim)).as("negsim"),
-        c("cell").as("cell"))
-    })
+    // compiled top-k scorer (r9, SCALE.md): one eval call per row runs
+    // the whole candidate loop in JVM code — value- and order-identical
+    // to the interpreted `slice(array_sort(transform(...)), 1, keep)`
+    // it replaces (negsim/cell lexicographic order, Double.compare ties)
+    val scoredTop = graft.functions.NearestCentroidFunctions.nearestCells(
+      col("emb"), col("nrm"), col("cbarr"), keep, rounded)
     val top = df.crossJoin(broadcast(cb))
     val sel =
-      if (keep == 1) top.withColumn("tc", array_min(scored))
-      else top.withColumn("tc", explode(slice(array_sort(scored), 1, keep)))
+      if (keep == 1) top.withColumn("tc", element_at(scoredTop, 1))
+      else top.withColumn("tc", explode(scoredTop))
     sel.withColumn("cell", col("tc")("cell"))
       .withColumn("csim", -col("tc")("negsim"))
       .drop("cbarr", "tc")
@@ -410,17 +411,15 @@ object VectorOps extends QueryModule {
     val cb = oneRowArray(
       cents.withColumn("cnn2", GraftFunctions.dot(col(vecCol), col(vecCol))),
       "cbarr", col(idCol), col(vecCol), col("cnn2"))
-    val scored = transform(col("cbarr"), c => {
-      val d2 = round(
-        col("dee2") - lit(2.0) * GraftFunctions.dot(col("emb"), c(vecCol)) + c("cnn2"), 6)
-      struct(d2.as("d2"), c(idCol).as("id"))
-    })
-    df.withColumn("dee2", GraftFunctions.dot(col("emb"), col("emb")))
-      .crossJoin(broadcast(cb))
-      .withColumn("tc", array_min(scored))
+    // compiled argmin (r9, SCALE.md): ‖a‖² once per row inside the one
+    // eval call, ‖c‖² from the broadcast column — value- and
+    // order-identical to the interpreted array_min(transform(...))
+    df.crossJoin(broadcast(cb))
+      .withColumn("tc", graft.functions.NearestCentroidFunctions
+        .nearestCentroidL2(col("emb"), col("cbarr")))
       .withColumn(outId, col("tc")("id"))
       .withColumn(outD2, col("tc")("d2"))
-      .drop("cbarr", "tc", "dee2")
+      .drop("cbarr", "tc")
   }
 
   /** Row-local PQ encode against a broadcast (sub, cid, cv) subspace
