@@ -508,10 +508,85 @@ object Streaming extends QueryModule {
       ORDER BY c.doc_id
     """.stripMargin.trim))
 
+  /** STREAMING ANN SERVE GATE (round-9 second wave) — online vector
+    * retrieval as a stream row: arriving query embeddings are answered
+    * from the PERSISTED IVF index ([[IvfIndex.ensure]]) with per-query
+    * gate aggregates — candidates scanned in the 2 probed cells,
+    * matches over the τ=0.6 relevance floor, and the best match by
+    * rounded cosine (vec_id tiebreak; (−1, −1.0) sentinels when the
+    * floor filters everything) — the decision shape a RAG router
+    * consumes, aggregation-only because rank windows don't stream.
+    * Declared through the batch equivalent (◐): scoring against a
+    * frozen index generation makes the result independent of
+    * micro-batch boundaries, so run-to-completion stream ≡ batch;
+    * StreamingSpec drives the SAME transform over MemoryStream query
+    * batches in update mode and asserts equality.
+    *
+    * Scale notes (100 TB): the codebook broadcasts and cell probing is
+    * row-local (compiled top-k scorer); the candidate join is
+    * stream-static against the CELL-BUCKETED index, so the index side
+    * never shuffles and each query touches ~nprobe/nlist of it; state
+    * is one counter struct per in-flight query.
+    */
+  val streamAnnServeGate = Q(
+    "stream_ann_serve_gate",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx, ivfCb) = IvfIndex.ensure(spark, dir)
+      val q = VectorOps.withNorm(spark, dir)
+        .filter($"vec_id" < 50).select($"vec_id", $"emb")
+      StreamTransforms.annServeGate(q, idx, ivfCb).orderBy($"q_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), ${VectorOps.ivfCodebookSql}, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id < 50)
+        WHERE cr <= 2
+      ), cand AS (
+        SELECT p.q_id, a.vec_id AS c_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      ), best AS (
+        SELECT q_id, c_id, cos FROM (
+          SELECT q_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+          FROM cand WHERE cos >= 0.6)
+        WHERE rn = 1
+      ), gated AS (
+        SELECT q_id,
+          COUNT(*) AS n_candidates,
+          CAST(SUM(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+        FROM cand GROUP BY q_id
+      )
+      SELECT g.q_id, g.n_candidates, g.n_matches,
+        COALESCE(b.c_id, -1) AS best_vec_id,
+        COALESCE(b.cos, -1.0) AS best_cos
+      FROM gated g LEFT JOIN best b USING (q_id)
+      ORDER BY g.q_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
     streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail,
-    streamForeachbatchSink, streamIncrementalDedup)
+    streamForeachbatchSink, streamIncrementalDedup, streamAnnServeGate)
 }

@@ -2174,7 +2174,130 @@ object VectorOps extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** IVF INDEX MAINTENANCE — cell rebalance audit (round-9 second
+    * wave): the operational row a production vector store runs nightly
+    * on the PERSISTED index. Cells whose population exceeds 1.25× the
+    * mean (exact integer predicate `4·n_cell·nlist > 5·N` — no float
+    * gate) are SPLIT by one deterministic 2-means step: seeds = the
+    * cell's two lowest vec_ids, members assigned to the nearer seed
+    * (rounded ‖a‖²−2a·s+‖s‖², side tiebreak), split centroids = exact
+    * decimal means. Declared output is the rebalance plan an operator
+    * reviews before applying: per (cell, side) the populations and the
+    * new sub-centroid's norm.
+    *
+    * Scale notes (100 TB): the population scan and the per-cell
+    * member windows both ride the CELL-BUCKETED index — the groupBy
+    * and the rank window read co-partitioned with zero Exchange; the
+    * overloaded-cell list and the 2-row-per-cell seed arrays broadcast;
+    * side assignment is ROW-LOCAL (2-element argmin per member); only
+    * the bounded (cell, side, dim) mean aggregation shuffles. Work is
+    * proportional to the members of OVERLOADED cells, not the corpus.
+    */
+  val vecIvfCellRebalance = Q(
+    "vec_ivf_cell_rebalance",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx, cbTab) = IvfIndex.ensure(spark, dir)
+      val stats = idx.groupBy($"cell").agg(count(lit(1)).as("n_cell"))
+        .crossJoin(broadcast(
+          idx.agg(count(lit(1)).as("n"))
+            .crossJoin(cbTab.agg(count(lit(1)).as("nlist")))))
+      val over = stats.filter($"n_cell" * $"nlist" * 4 > $"n" * 5)
+        .select($"cell", $"n_cell")
+      val members = idx.join(broadcast(over), Seq("cell"))
+      val wCell = Window.partitionBy($"cell").orderBy($"vec_id")
+      val seeds = members
+        .withColumn("rk", row_number().over(wCell))
+        .filter($"rk" <= 2)
+        .select($"cell", ($"rk" - 1).cast("long").as("side"),
+          $"emb".as("semb"))
+        .withColumn("cnn", GraftFunctions.dot($"semb", $"semb"))
+      val seedArr = seeds.groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"side", $"semb", $"cnn"))).as("sarr"))
+      val asg = members.join(broadcast(seedArr), Seq("cell"))
+        .withColumn("dee", GraftFunctions.dot($"emb", $"emb"))
+        .withColumn("tc", array_min(transform($"sarr", s =>
+          struct(round($"dee" - lit(2.0) * GraftFunctions.dot($"emb", s("semb"))
+            + s("cnn"), 6).as("d2"), s("side").as("side")))))
+        .select($"cell", $"n_cell", $"vec_id", $"emb", $"tc"("side").as("side"))
+      val sides = asg.groupBy($"cell", $"n_cell", $"side")
+        .agg(count(lit(1)).as("n_side"))
+      val newCents = asg
+        .select($"cell", $"side", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"cell", $"side", $"pos")
+        .agg(sum($"v".cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cn"))
+        .withColumn("c", $"s".cast(DoubleType) / $"cn")
+        .groupBy($"cell", $"side")
+        .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+        .select($"cell", $"side",
+          round(sqrt(GraftFunctions.dot(
+            expr("transform(pc, x -> x.c)"), expr("transform(pc, x -> x.c)"))), 6)
+            .as("cnrm_new"))
+      sides.join(newCents, Seq("cell", "side"))
+        .select($"cell", $"n_cell", $"side", $"n_side", $"cnrm_new")
+        .orderBy($"cell", $"side")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+      ), over_cells AS (
+        SELECT cell, n_cell FROM pops, nl
+        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), members AS (
+        SELECT a.cell, o.n_cell, a.vec_id, a.emb
+        FROM assigned a JOIN over_cells o USING (cell)
+      ), seeds AS (
+        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
+          SELECT cell, emb,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM members)
+        WHERE rk <= 2
+      ), asg AS (
+        SELECT cell, n_cell, vec_id, emb, side FROM (
+          SELECT m.cell, m.n_cell, m.vec_id, m.emb, s.side,
+            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+              ROUND(list_inner_product(m.emb, m.emb)
+                    - 2.0 * list_inner_product(m.emb, s.semb)
+                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
+          FROM members m JOIN seeds s USING (cell))
+        WHERE rn = 1
+      ), sides AS (
+        SELECT cell, n_cell, side, COUNT(*) AS n_side
+        FROM asg GROUP BY cell, n_cell, side
+      ), cdim AS (
+        SELECT cell, side, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cell, side, UNNEST(emb) AS v,
+                UNNEST(range(len(emb))) AS pos FROM asg)
+        GROUP BY cell, side, pos
+      ), newc AS (
+        SELECT cell, side,
+          ROUND(SQRT(list_inner_product(LIST(c ORDER BY pos),
+                                        LIST(c ORDER BY pos))), 6) AS cnrm_new
+        FROM cdim GROUP BY cell, side
+      )
+      SELECT s.cell, s.n_cell, s.side, s.n_side, n.cnrm_new
+      FROM sides s JOIN newc n USING (cell, side)
+      ORDER BY s.cell, s.side
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecIvfCellRebalance,
     vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,

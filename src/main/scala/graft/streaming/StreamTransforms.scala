@@ -200,6 +200,46 @@ object StreamTransforms {
         (col("n_shingles") - col("n_seen")).as("n_novel"),
         (col("n_seen") * 2 >= col("n_shingles")).as("is_flagged"))
 
+  /** Streaming ANN retrieval GATE against the persisted IVF index —
+    * the serving half of the vector stack as a stream transform
+    * (`stream_ann_serve_gate`): each arriving query vector probes its
+    * 2 nearest cells of the bucketed index and is answered with
+    * per-query AGGREGATES (candidates scanned, matches over the τ=0.6
+    * relevance floor, best match by rounded cosine with vec_id
+    * tiebreak) — aggregation-only shape because rank windows don't
+    * stream; a no-match query answers with (−1, −1.0) sentinels, the
+    * gate decision a RAG router consumes. `queries` may be streaming:
+    * cell probing is row-local against the broadcast codebook, the
+    * candidate join is stream-static against the bucketed index, and
+    * state is one counter struct per in-flight query. Scoring against
+    * a FROZEN index generation makes the result independent of
+    * micro-batch boundaries: stream ≡ batch.
+    */
+  def annServeGate(queries: DataFrame, idx: DataFrame,
+      ivfCb: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    val q = queries
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+    val probes = graft.operators.VectorOps
+      .withNearestCells(q, ivfCb, keep = 2, rounded = true)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    probes
+      .join(idx.withColumnRenamed("vec_id", "c_id"), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        GraftFunctions.dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")), 6))
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("cos") >= 0.6, 1L).otherwise(0L)).as("n_matches"),
+        min(when(col("cos") >= 0.6, struct((-col("cos")).as("negcos"),
+          col("c_id").as("c_id")))).as("tc"))
+      .select(col("q_id"), col("n_candidates"), col("n_matches"),
+        coalesce(col("tc")("c_id"), lit(-1L)).as("best_vec_id"),
+        coalesce(-col("tc")("negcos"), lit(-1.0)).as("best_cos"))
+  }
+
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
     * this is a plain keyed aggregation in update mode — each microbatch

@@ -800,6 +800,21 @@ class PlanSpec extends SparkSpecBase {
       s"exactly ONE shingle-keyed Exchange (the arriving batch); registry side is bucketed — got $shingleExchanges:\n$p")
   }
 
+  test("stream_ann_serve_gate + vec_ivf_cell_rebalance: bucketed index side never shuffles on cell") {
+    for (df <- Seq(operators.Streaming.streamAnnServeGate.fn(spark, sfDir),
+                   operators.VectorOps.vecIvfCellRebalance.fn(spark, sfDir))) {
+      val p = planString(df)
+      assert(p.contains(operators.IvfIndex.indexTable(sfDir)),
+        s"must read the persisted index table:\n$p")
+      // no single-key cell re-shuffle of the index (the rebalance row's
+      // (cell, side[, pos]) mean aggregations over overloaded-cell
+      // members are bounded and allowed — cell alone would be the
+      // corpus-scale re-bucketing this layout exists to avoid)
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+        s"single-key cell shuffle against the bucketed index:\n$p")
+    }
+  }
+
   test("etl_late_arriving_dimension: dim broadcasts, fact aggregates partially") {
     val p = planString(operators.EtlOps.etlLateArrivingDimension.fn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")

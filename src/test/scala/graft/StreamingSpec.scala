@@ -473,6 +473,29 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("ann serve gate: streamed query batches equal the declared batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (idx, ivfCb) = operators.IvfIndex.ensure(spark, sfDir)
+    val qBatch = operators.VectorOps.withNorm(spark, sfDir)
+      .filter($"vec_id" < 50).select($"vec_id", $"emb")
+    val queries = qBatch.as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    val ms = MemoryStream[(Long, Array[Double])]
+    val q = StreamTransforms.annServeGate(
+        ms.toDF().toDF("vec_id", "emb"), idx, ivfCb)
+      .writeStream.format("memory").queryName("anngate").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_anngate_${System.nanoTime()}")
+      .start()
+    try {
+      queries.grouped(queries.size / 3 + 1).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(collectSorted(spark.table("anngate")) ==
+      collectSorted(StreamTransforms.annServeGate(qBatch, idx, ivfCb)),
+      "streamed gate answers must equal the batch gate")
+  }
+
   test("upsert-latest: streamed update-mode state equals batch, only touched users re-emit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
