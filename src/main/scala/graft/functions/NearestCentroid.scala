@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   *  - cosine: negsim = −(round₆?(a·c / (‖a‖·‖c‖))), candidates ranked
   *    by `Double.compare` on negsim then ascending cell (exactly the
   *    lexicographic struct order `array_min` / `array_sort` used,
-  *    including −0.0 < 0.0);
+  *    including −0.0 < 0.0) — except a NaN cosine, which ranks FIRST
+  *    like the `csim DESC` row_number formulations and the SQL mirrors
+  *    (see [[NearestCentroid.compareNegsim]]);
   *  - L2: d2 = round₆(‖a‖² − 2a·c + ‖c‖²) with ‖a‖² evaluated once per
   *    row and ‖c‖² read from the codebook column, ranked by
   *    `Double.compare` then ascending id.
@@ -48,6 +50,20 @@ object NearestCentroid {
     while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  /** `Double.compare` with NaN SMALLEST instead of largest — the negsim
+    * order a `csim DESC` ranking implies: both Spark SQL and DuckDB sort
+    * NaN as the LARGEST double, so `ORDER BY csim DESC` ranks a NaN
+    * cosine (zero-norm centroid or query) FIRST, and the negated-
+    * ascending comparator must agree (plain `Double.compare` on negsim
+    * would rank it last — the r9 ADVICE divergence).
+    */
+  private[functions] def compareNegsim(a: Double, b: Double): Int = {
+    val an = java.lang.Double.isNaN(a)
+    val bn = java.lang.Double.isNaN(b)
+    if (an || bn) { if (an && bn) 0 else if (an) -1 else 1 }
+    else java.lang.Double.compare(a, b)
+  }
 }
 
 /** Shared codebook-decode cache for the two expressions below. */
@@ -61,19 +77,30 @@ private[functions] trait CodebookCache { self: Expression =>
   @transient private var keyObj: AnyRef = _
   @transient private var keyOff: Long = -1L
   @transient private var keyLen: Int = -1
+  @transient private var keySize: Long = -1L
+  @transient private var keyBits: Long = 0L
   @transient protected final var ids: Array[Any] = _
   @transient protected final var idKeys: Array[Long] = _
   @transient protected final var vecs: Array[Array[Double]] = _
   @transient protected final var aux: Array[Double] = _ // cnrm / ‖c‖²
 
-  /** Decode (id, vec, aux) structs once per physical buffer. */
+  /** Decode (id, vec, aux) structs once per physical buffer. The cache
+    * key is the buffer identity PLUS two content guards (total byte size
+    * and the first struct's aux-field bits — r9 ADVICE): a reused buffer
+    * with different contents (a hypothetical non-broadcast, per-row
+    * codebook) re-decodes instead of silently serving a stale codebook.
+    */
   protected final def load(arr: ArrayData): Unit = {
-    val (obj, off) = arr match {
-      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset)
-      case other => (other.asInstanceOf[AnyRef], 0L)
+    val (obj, off, size) = arr match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes.toLong)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1L)
     }
     val m = arr.numElements()
-    if ((obj eq keyObj) && off == keyOff && m == keyLen) return
+    val bits = if (m > 0) {
+      java.lang.Double.doubleToRawLongBits(arr.getStruct(0, 3).getDouble(2))
+    } else 0L
+    if ((obj eq keyObj) && off == keyOff && m == keyLen &&
+      size == keySize && bits == keyBits) return
     val newIds = new Array[Any](m)
     val newKeys = new Array[Long](m)
     val newVecs = new Array[Array[Double]](m)
@@ -90,14 +117,18 @@ private[functions] trait CodebookCache { self: Expression =>
       i += 1
     }
     ids = newIds; idKeys = newKeys; vecs = newVecs; aux = newAux
-    keyObj = obj; keyOff = off; keyLen = m
+    keyObj = obj; keyOff = off; keyLen = m; keySize = size; keyBits = bits
   }
 }
 
 /** Top-`k` nearest cells by (optionally 6 dp-rounded) cosine — returns
   * ARRAY<STRUCT<negsim DOUBLE, cell <idType>>> of the k lexicographic-
   * smallest (negsim, cell) pairs ascending, exactly
-  * `slice(array_sort(scored), 1, k)` of the HOF it replaces.
+  * `slice(array_sort(scored), 1, k)` of the HOF it replaces for every
+  * non-NaN cosine. A NaN cosine (zero-norm centroid or query) ranks
+  * FIRST ([[NearestCentroid.compareNegsim]]) — the `ORDER BY csim DESC`
+  * semantics of the replaced row_number formulations and of the DuckDB
+  * oracle mirrors, which both sort NaN as the largest double.
   */
 case class NearestCellsTopK(emb: Expression, nrm: Expression, cb: Expression,
     k: Int, rounded: Boolean)
@@ -132,7 +163,7 @@ case class NearestCellsTopK(emb: Expression, nrm: Expression, cb: Expression,
       // find insertion position among the filled prefix
       var pos = filled
       while (pos > 0 && {
-        val cmp = java.lang.Double.compare(neg, bestNeg(pos - 1))
+        val cmp = NearestCentroid.compareNegsim(neg, bestNeg(pos - 1))
         cmp < 0 || (cmp == 0 && idKeys(i) < idKeys(bestIdx(pos - 1)))
       }) pos -= 1
       if (pos < take) {

@@ -369,9 +369,12 @@ object VectorOps extends QueryModule {
     * ±0.0, and ties still fall to the lowest cell id) — with zero
     * Exchange between the corpus scan and the assignment. `keep > 1`
     * explodes the `keep` nearest cells instead (multi-probe).
-    * `rounded` applies the 6 dp §2.0 round before ranking (the oracled
-    * rows' contract); the no-oracle ANN formulation rows rank
-    * unrounded. Input must carry `emb` and `nrm`.
+    * `rounded` applies the 6 dp §2.0 round before ranking — since r9
+    * every ANN row is oracled and every call site passes rounded = true
+    * (the DuckDB mirrors rank on the same 6 dp cosine); rounded = false
+    * remains only for a caller that wants raw-double ranking and
+    * accepts that no SQL mirror reproduces it. Input must carry `emb`
+    * and `nrm`.
     */
   private[graft] def withNearestCells(df: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, keep: Int,
@@ -1776,7 +1779,7 @@ object VectorOps extends QueryModule {
     */
   def annNearDupPairs(e: org.apache.spark.sql.DataFrame,
                       cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    // multi-probe: nearest 2 cells per vector, assigned row-locally
+    // multi-probe: nearest 3 cells per vector, assigned row-locally
     val assigned = withNearestCells(e, cents, keep = 3, rounded = true)
       .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
     val b = assigned.select(col("cell").as("b_cell"), col("vec_id").as("d2"),

@@ -108,6 +108,52 @@ class NearestCentroidSpec extends SparkSpecBase {
     assert(fast == slow, "L2 argmin diverged on int ids")
   }
 
+  test("NaN cosine (zero-norm centroid) ranks FIRST — the csim-DESC / SQL-mirror order") {
+    import spark.implicits._
+    // a zero-norm centroid makes every cosine against it NaN; both Spark
+    // SQL's ORDER BY csim DESC and DuckDB sort NaN as the LARGEST double,
+    // so the row_number formulations the compiled top-k replaced (and
+    // every oracle mirror) rank it first — the compiled comparator must
+    // agree (r9 ADVICE: plain Double.compare on negsim ranked it last)
+    val dim = e.select(size($"emb")).as[Int].head()
+    val zero = Seq.fill(dim)(0.0)
+    val cents = e.filter($"vec_id" < 2)
+      .select($"vec_id".as("cell"), $"emb".as("cvec"), $"nrm".as("cnrm"))
+      .unionAll(spark.range(1).select(
+        lit(99L).as("cell"),
+        typedLit(zero).as("cvec"), lit(0.0).as("cnrm")))
+    val out = operators.VectorOps
+      .withNearestCells(e.limit(5), cents, keep = 2, rounded = true)
+      .select($"vec_id", $"cell", $"csim")
+    // SQL reference: the row_number-over-csim-DESC formulation
+    out.createOrReplaceTempView("nan_fast")
+    e.limit(5).select($"vec_id", $"emb", $"nrm").createOrReplaceTempView("nan_q")
+    cents.createOrReplaceTempView("nan_cb")
+    // ANSI mode turns a 0/0 double division into an error, so the IEEE
+    // NaN the compiled expression produces is spelled out explicitly;
+    // what this pins is the ORDER BY csim DESC placement of that NaN
+    val ref = spark.sql(
+      """WITH scored AS (
+        |  SELECT q.vec_id, c.cell,
+        |    CASE WHEN q.nrm * c.cnrm = 0.0D THEN double('NaN')
+        |         ELSE round(aggregate(zip_with(q.emb, c.cvec, (a, b) -> a * b),
+        |           0.0D, (acc, x) -> acc + x) / (q.nrm * c.cnrm), 6) END AS csim
+        |  FROM nan_q q CROSS JOIN nan_cb c)
+        |SELECT vec_id, cell, csim FROM (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+        |  FROM scored)
+        |WHERE cr <= 2""".stripMargin)
+    val fast = sortedRows(out, "vec_id", "cell", "csim")
+    val slow = sortedRows(ref, "vec_id", "cell", "csim")
+    assert(fast == slow, "NaN ranking diverged from the csim-DESC formulation")
+    // and the NaN centroid is indeed the rank-1 probe everywhere
+    val first = operators.VectorOps
+      .withNearestCells(e.limit(5), cents, keep = 1, rounded = true)
+      .select($"cell").distinct().as[Long].collect().toSet
+    assert(first == Set(99L), "zero-norm centroid must rank first under csim DESC")
+  }
+
   test("exact-tie semantics: duplicated centroids resolve to the lowest id in both paths") {
     import spark.implicits._
     // two centroids with IDENTICAL vectors: every query ties exactly and
