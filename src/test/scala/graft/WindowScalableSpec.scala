@@ -85,7 +85,8 @@ class WindowScalableSpec extends SparkSpecBase {
   }
 
   test("scalable variants broadcast the ranked side — no global sort of the fact") {
-    for (q <- Seq(Windows.winRankGlobalScalable, Windows.winRangeFrameScalable)) {
+    for (q <- Seq(Windows.winRankGlobalScalable, Windows.winRangeFrameScalable,
+        Windows.winNtileBucketsScalable)) {
       val df = q.fn(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
