@@ -456,9 +456,10 @@ object EtlOps extends QueryModule {
     * The declared output reads the table AFTER the backfill: per-year
     * row counts and exact decimal totals, where only the backfilled year
     * differs from the source — proving both the rewrite and the
-    * isolation of untouched partitions. The overwrite-mode conf is
-    * saved/restored so the session state leaks nowhere (same
-    * no-shared-state discipline as the other sink rows).
+    * isolation of untouched partitions. The overwrite mode rides the
+    * WRITER as an option — never the session conf, which would race any
+    * concurrent writer in the same session (same writer-scoped
+    * discipline as the streaming foreachBatch sink).
     */
   val etlBackfillDynamicOverwrite = Q(
     "etl_backfill_dynamic_overwrite",
@@ -475,16 +476,14 @@ object EtlOps extends QueryModule {
         .select($"o_orderkey", $"o_orderstatus", dec($"o_totalprice").as("price"),
           year($"o_orderdate").cast("long").as("o_year"))
       withYear.write.mode("overwrite").partitionBy("o_year").parquet(path)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      try {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        withYear
-          .where($"o_year" === 1996 && $"o_orderstatus" =!= "F")
-          .write.mode("overwrite").partitionBy("o_year").parquet(path)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // per-WRITE option, not the session conf (VERDICT r9 #4): a
+      // session-global toggle races any concurrent writer in the same
+      // session; the writer-scoped option changes only this write
+      withYear
+        .where($"o_year" === 1996 && $"o_orderstatus" =!= "F")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_year").parquet(path)
       spark.read.parquet(path)
         .groupBy($"o_year".cast("long").as("o_year"))
         .agg(count(lit(1)).as("n_orders"), sum($"price").as("total_price"))
