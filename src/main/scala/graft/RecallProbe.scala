@@ -1,0 +1,186 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.{IvfIndex, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Dev main producing the RECALL.md tables: for a query set DISJOINT
+  * from both codebooks' stride-seed sets (vec_id ≡ 7 mod 10, < 500 —
+  * seed-query leakage is what made the r8 recall numbers a lie),
+  * measures against the exact rounded-L2 top-k ground truth:
+  *
+  *  1. CELL-stage recall@3/@5 at nprobe ∈ {1, 3, 8} — candidates ranked
+  *     by exact L2 within the probed cells (the ceiling any PQ ranking
+  *     can reach at that nprobe);
+  *  2. end-to-end ADC recall with the RAW-vector PQ codes
+  *     ([[IvfIndex.ensurePq]], the r9 stack);
+  *  3. end-to-end ADC recall with the RESIDUAL PQ codes
+  *     ([[IvfIndex.ensurePqResidual]], the r10 stack — the declared
+  *     `vec_ann_recall_curve` chain).
+  *
+  * Usage: `sbt "runMain graft.RecallProbe /root/testdata/sf0.1"`.
+  */
+object RecallProbe {
+
+  private val NPs = Seq(1L, 3L, 8L)
+  private val K = 5
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .appName("graft-recall-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (idx, ivfCb) = IvfIndex.ensure(spark, dir)
+    val e = VectorOps.withNorm(spark, dir)
+    val q = e.filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+    val nQ = q.count()
+    val probes = rankedProbes(q, ivfCb)
+    val exact = exactTopK(e, q)
+
+    // 1. cell-stage ceiling: exact L2 rank within probed cells
+    val cellCand = idx
+      .join(broadcast(probes.select($"q_id", $"cell", $"cr")), Seq("cell"))
+      .join(broadcast(q.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), Seq("q_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+          + GraftFunctions.dot($"q_emb", $"q_emb"), 6))
+      .select($"q_id", $"vec_id", $"cr", $"adist")
+    report("cell-stage (exact L2 in probed cells)", cellCand, exact, nQ)
+
+    // 2. end-to-end, raw-vector PQ ADC
+    val (rawCodes, rawCb) = IvfIndex.ensurePq(spark, dir)
+    report("end-to-end ADC, raw-vector PQ",
+      adcCand(rawCodes, rawCb, probes, rawLut = true, ivfCb), exact, nQ)
+
+    // 3. end-to-end, residual PQ ADC (persisted, k = VectorOps.PqrK)
+    val (resCodes, resCb) = IvfIndex.ensurePqResidual(spark, dir)
+    report(s"end-to-end ADC, residual PQ (persisted, k=${VectorOps.PqrK}, m=${VectorOps.PqrM})",
+      adcCand(resCodes, resCb, probes, rawLut = false, ivfCb,
+        VectorOps.PqrM, VectorOps.PqrW), exact, nQ)
+
+    // 4. optional in-plan sweep: extra args are residual-PQ geometries
+    //    as "k" (4×16-dim subspaces) or "k:m" (m subspaces of 64/m dims)
+    args.drop(1).foreach { a =>
+      val parts = a.split(":")
+      val k = parts(0).toInt
+      val m = if (parts.length > 1) parts(1).toInt else 4
+      val w = 64 / m
+      val resid = VectorOps.withResiduals(idx, ivfCb)
+        .select(col("vec_id"), col("cell"), col("remb").as("emb"))
+      val cb = VectorOps.trainPqCodebook(resid, k, m, w)
+      val codes = VectorOps.withPqStructs(resid, cb, m, w)
+        .select(col("vec_id"), col("cell"),
+          expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      report(s"end-to-end ADC, residual PQ (in-plan, k=$k, m=$m)",
+        adcCand(codes, cb, probes, rawLut = false, ivfCb, m, w), exact, nQ)
+    }
+
+    spark.stop()
+  }
+
+  /** 8 ranked probe cells per query (the curve row's probe stage). */
+  private def rankedProbes(q: DataFrame, ivfCb: DataFrame): DataFrame = {
+    val cbArr = VectorOps.oneRowArray(ivfCb, "cbarr",
+      col("cell"), col("cvec"), col("cnrm"))
+    q.crossJoin(broadcast(cbArr))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        posexplode(graft.functions.NearestCentroidFunctions.nearestCells(
+          col("emb"), col("nrm"), col("cbarr"), 8, rounded = true)).as(Seq("pos", "tc")))
+      .select(col("q_id"), col("q_emb"), (col("pos") + 1).cast("long").as("cr"),
+        col("tc")("cell").as("cell"))
+  }
+
+  private def exactTopK(e: DataFrame, q: DataFrame): DataFrame = {
+    val qq = q.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    e.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", round(
+        GraftFunctions.dot(col("emb"), col("emb"))
+          - lit(2.0) * GraftFunctions.dot(col("emb"), col("q_emb"))
+          + GraftFunctions.dot(col("q_emb"), col("q_emb")), 6))
+      .withColumn("e_rn", row_number().over(wq))
+      .filter(col("e_rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("e_rn"))
+  }
+
+  /** ADC candidates (q_id, vec_id, cr, adist) — `rawLut = true` scores
+    * query slices directly (raw-PQ LUT); false scores the per-cell query
+    * residual (residual-PQ LUT).
+    */
+  private def adcCand(codes: DataFrame, pqCb: DataFrame, probes: DataFrame,
+      rawLut: Boolean, ivfCb: DataFrame, m: Int = 4, w: Int = 16): DataFrame = {
+    val qd2 = round(
+      GraftFunctions.dot(col("v"), col("v"))
+        - lit(2.0) * GraftFunctions.dot(col("v"), col("cv"))
+        + GraftFunctions.dot(col("cv"), col("cv")), 6)
+    val (lut, lutKeys) = if (rawLut) {
+      val l = probes.select(col("q_id"), col("q_emb")).distinct()
+        .select(col("q_id"), explode(array((0 until m).map(lit): _*)).as("sub"), col("q_emb"))
+        .select(col("q_id"), col("sub").cast("long").as("sub"),
+          expr(s"slice(q_emb, sub*$w+1, $w)").as("v"))
+        .join(broadcast(pqCb), Seq("sub"))
+        .withColumn("qd2", qd2)
+        .select(col("q_id"), col("sub"), col("cid"), col("qd2"))
+      (l, Seq("q_id", "sub", "cid"))
+    } else {
+      val l = probes
+        .join(broadcast(ivfCb.select(col("cell"), col("cvec"))), Seq("cell"))
+        .withColumn("qr", zip_with(col("q_emb"), col("cvec"), (a, b) => a - b))
+        .select(col("q_id"), col("cell"),
+          explode(array((0 until m).map(lit): _*)).as("sub"), col("qr"))
+        .select(col("q_id"), col("cell"), col("sub").cast("long").as("sub"),
+          expr(s"slice(qr, sub*$w+1, $w)").as("v"))
+        .join(broadcast(pqCb), Seq("sub"))
+        .withColumn("qd2", qd2)
+        .select(col("q_id"), col("cell"), col("sub"), col("cid"), col("qd2"))
+      (l, Seq("q_id", "cell", "sub", "cid"))
+    }
+    codes
+      .join(broadcast(probes.select(col("q_id"), col("cell"), col("cr"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("cr"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .select(col("q_id"), col("cell"), col("cr"), col("vec_id"),
+        col("sub").cast("long").as("sub"), col("cid"))
+      .join(broadcast(lut), lutKeys)
+      .groupBy(col("q_id"), col("vec_id"), col("cr"))
+      .agg(sum(col("qd2").cast(DecimalType(18, 6))).as("ad"))
+      .withColumn("adist", col("ad").cast(DoubleType))
+      .select(col("q_id"), col("vec_id"), col("cr"), col("adist"))
+  }
+
+  /** Print recall@3/@5 per nprobe for a candidate set. */
+  private def report(label: String, cand: DataFrame, exact: DataFrame,
+      nQ: Long): Unit = {
+    val wNp = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val approx = cand
+      .withColumn("nprobe", explode(array(NPs.map(lit): _*)))
+      .filter(col("cr") <= col("nprobe"))
+      .withColumn("a_rn", row_number().over(wNp))
+      .filter(col("a_rn") <= K)
+    val byNp = approx.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe"))
+      .agg(
+        sum(when(col("a_rn") <= 3 && col("e_rn") <= 3, 1L).otherwise(0L)).as("h3"),
+        count(lit(1)).as("h5"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    println(s"== $label (nQ=$nQ) ==")
+    NPs.foreach { np =>
+      val (h3, h5) = byNp.getOrElse(np, (0L, 0L))
+      println(f"nprobe=$np%d recall@3=${h3.toDouble / (nQ * 3)}%.3f recall@5=${h5.toDouble / (nQ * 5)}%.3f")
+    }
+  }
+}

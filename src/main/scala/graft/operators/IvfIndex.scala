@@ -60,7 +60,8 @@ object IvfIndex {
     * assignments the current oracle mirror no longer reproduces.
     */
   private val AlgoVersion =
-    s"ivf-lloyd${VectorOps.IvfLloydIters}-stride|pq-k${VectorOps.PqK}-lloyd${VectorOps.PqLloydIters}"
+    s"ivf-lloyd${VectorOps.IvfLloydIters}-stride|pq-k${VectorOps.PqK}-lloyd${VectorOps.PqLloydIters}" +
+      s"|pqr-k${VectorOps.PqrK}-m${VectorOps.PqrM}"
 
   /** Corpus-file identity — same freshness key as PlanCache (path, size,
     * mtime) plus [[AlgoVersion]], persisted beside the index so a new JVM
@@ -197,6 +198,81 @@ object IvfIndex {
       // out of one map pass over the bucketed index — no per-(vector,
       // subspace) window Exchange, no re-pack aggregation
       val codes = VectorOps.withPqStructs(idx, cents)
+        .select(col("vec_id"), col("cell"),
+          expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      spark.sql(s"DROP TABLE IF EXISTS $cbT")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(codesLoc)
+      rmTree(cbLoc)
+      codes
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", codesLoc.getAbsolutePath)
+        .saveAsTable(codesT)
+      cents
+        .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
+        .coalesce(1)
+        .write
+        .option("path", cbLoc.getAbsolutePath)
+        .saveAsTable(cbT)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    (spark.table(codesT), spark.table(cbT))
+  }
+
+  def pqrCodesTable(dir: String): String = s"graft_pqr_codes_${tag(dir)}"
+  def pqrCodebookTable(dir: String): String = s"graft_pqr_codebook_${tag(dir)}"
+
+  /** Find-or-build the persisted RESIDUAL-PQ artifacts (VERDICT r9 #1)
+    * — the FAISS-standard IVF-PQ layout: codes quantize
+    * emb − centroid(cell) ([[VectorOps.withResiduals]]), not the raw
+    * vector, so the per-subspace budget encodes within-cell offsets.
+    * Table shapes, bucketing, freshness and the metadata-only new-JVM
+    * re-registration are identical to [[ensurePq]]:
+    *
+    *  - `graft_pqr_codes_<corpus>`: (vec_id, cell, codes ARRAY<BIGINT>),
+    *    cell-bucketed;
+    *  - `graft_pqr_codebook_<corpus>`: (sub, cid, cv) residual subspace
+    *    centroids ([[VectorOps.trainPqResidualCodebook]]).
+    *
+    * At query time the LUT becomes per-(query, probed cell) — the query
+    * residual vs that cell — still queries × nprobe × 4 × [[VectorOps.PqK]]
+    * rows, kilobytes, broadcast.
+    */
+  def ensurePqResidual(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val codesT = pqrCodesTable(dir)
+    val cbT = pqrCodebookTable(dir)
+    val fp = fingerprint(dir)
+    val wh = warehouseDir(spark)
+    val codesLoc = new java.io.File(wh, codesT)
+    val cbLoc = new java.io.File(wh, cbT)
+    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
+    val onDisk = metaFile.isFile && codesLoc.isDirectory && cbLoc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    val inCatalog = spark.catalog.tableExists(codesT) && spark.catalog.tableExists(cbT)
+    if (onDisk && !inCatalog) {
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      spark.sql(s"DROP TABLE IF EXISTS $cbT")
+      spark.sql(
+        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+           |LOCATION '${codesLoc.toURI}'""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $cbT (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
+           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val (idx, ivfCb) = ensure(spark, dir)
+      val cents = VectorOps.trainPqResidualCodebook(idx, ivfCb)
+      // row-local encode of the residuals — same one-map-pass plan as
+      // the raw-PQ codes build, reading the persisted bucketed index
+      val resid = VectorOps.withResiduals(idx, ivfCb)
+        .select(col("vec_id"), col("cell"), col("remb").as("emb"))
+      val codes = VectorOps.withPqStructs(resid, cents,
+          VectorOps.PqrM, VectorOps.PqrW)
         .select(col("vec_id"), col("cell"),
           expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
       spark.sql(s"DROP TABLE IF EXISTS $codesT")

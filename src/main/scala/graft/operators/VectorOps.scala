@@ -87,6 +87,7 @@ object VectorOps extends QueryModule {
     // the serve rows' clocks); subsequent sessions re-register metadata
     IvfIndex.ensure(spark, dir)
     IvfIndex.ensurePq(spark, dir)
+    IvfIndex.ensurePqResidual(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -217,7 +218,8 @@ object VectorOps extends QueryModule {
     * [[IvfIndex]] codes table build).
     */
   private[graft] def withPqCodes(df: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      cents: org.apache.spark.sql.DataFrame,
+      m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
     val cbm = oneRowArray(
       cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv")))
         .groupBy(col("sub"))
@@ -231,8 +233,8 @@ object VectorOps extends QueryModule {
           + c("cnn2"), 6).as("d2"),
         c("cid").as("cid")))
     df.crossJoin(broadcast(cbm))
-      .withColumn("sub", explode(array((0 to 3).map(i => lit(i.toLong)): _*)))
-      .withColumn("v", expr("slice(emb, sub*16+1, 16)"))
+      .withColumn("sub", explode(array((0 until m).map(i => lit(i.toLong)): _*)))
+      .withColumn("v", expr(s"slice(emb, sub*$w+1, $w)"))
       .withColumn("dss2", GraftFunctions.dot(col("v"), col("v")))
       .withColumn("tc", array_min(scored))
       .withColumn("cid", col("tc")("cid"))
@@ -253,8 +255,9 @@ object VectorOps extends QueryModule {
     * by the caller.
     */
   private[graft] def pqLloydRound(idx: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val asg = withPqCodes(idx, cents).select(col("sub"), col("cid"), col("v"))
+      cents: org.apache.spark.sql.DataFrame,
+      m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    val asg = withPqCodes(idx, cents, m, w).select(col("sub"), col("cid"), col("v"))
     val means = asg
       .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("sub"), col("cid"), col("pos"))
@@ -284,67 +287,134 @@ object VectorOps extends QueryModule {
     * ARRAY<DOUBLE>).
     */
   private[graft] def trainPqCodebook(
-      idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      idx: org.apache.spark.sql.DataFrame,
+      k: Int = PqK, m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
     val pn = idx.agg(count(lit(1)).as("n"))
-      .select(greatest(expr(s"n DIV $PqK"), lit(1L)).as("pstride"))
+      .select(greatest(expr(s"n DIV $k"), lit(1L)).as("pstride"))
     val seeds = idx.crossJoin(broadcast(pn))
       .filter(col("vec_id") % col("pstride") === 0 &&
-        expr("vec_id DIV pstride") < PqK)
+        expr("vec_id DIV pstride") < k)
       .select(expr("CAST(vec_id DIV pstride AS LONG)").as("cid"),
-        explode(array((0 to 3).map(lit): _*)).as("sub"), col("emb"))
+        explode(array((0 until m).map(lit): _*)).as("sub"), col("emb"))
       .select(col("sub").cast("long").as("sub"), col("cid"),
-        expr("slice(emb, sub*16+1, 16)").as("cv"))
-    (1 to PqLloydIters).foldLeft(seeds)((c, _) => pqLloydRound(idx, c.cache()))
+        expr(s"slice(emb, sub*$w+1, $w)").as("cv"))
+    (1 to PqLloydIters).foldLeft(seeds)((c, _) => pqLloydRound(idx, c.cache(), m, w))
       // memoized + lineage-cut per corpus like the IVF codebook: training
       // is 2 corpus passes — every ivfpq-family row must pay it ONCE
       .transform(plan =>
         pqCodebookCache.getOrCompute(plan)(p => graft.Checkpoints.cut(p.repartition(1))))
   }
 
-  /** DuckDB mirror of [[trainPqCodebook]]: CTEs ending in `s(vec_id,
-    * sub, v)` (the corpus slices) and `pqcb(sub, cid, cv)` (the trained
-    * codebook). Expects `e(vec_id, …, emb, …)` in scope; Lloyd rounds
-    * unrolled programmatically in lockstep with [[PqLloydIters]].
+  /** Generator for the DuckDB PQ-codebook-training mirror: CTEs ending
+    * in `${p}s(vec_id, sub, v)` (the source slices) and `${p}pqcb(sub,
+    * cid, cv)` (the trained codebook), training over `$src(vec_id, …,
+    * emb, …)` — `src` is `e` for the raw-vector codebook and the
+    * caller-defined residual CTE for the residual one; the prefix keeps
+    * both instantiable in ONE query. Lloyd rounds unrolled
+    * programmatically in lockstep with [[PqLloydIters]]. The stride
+    * count reads `embeddings` directly (source rows are 1:1 with the
+    * corpus in both instantiations).
     */
-  val pqCodebookSql: String = {
+  private def pqCodebookSqlGen(src: String, p: String, k: Int = PqK,
+      m: Int = 4, w: Int = 16): String = {
     val seed = s"""
-      pn AS (
-        SELECT GREATEST(COUNT(*) // $PqK, 1) AS pstride FROM embeddings
-      ), s AS (
-        SELECT vec_id, sub, list_slice(emb, sub*16 + 1, sub*16 + 16) AS v
-        FROM e, (SELECT UNNEST([0, 1, 2, 3]) AS sub)
-      ), pc0 AS (
-        SELECT vec_id // pstride AS cid, sub, v AS cv FROM s, pn
-        WHERE vec_id % pstride = 0 AND vec_id // pstride < $PqK
+      ${p}pn AS (
+        SELECT GREATEST(COUNT(*) // $k, 1) AS pstride FROM embeddings
+      ), ${p}s AS (
+        SELECT vec_id, sub, list_slice(emb, sub*$w + 1, sub*$w + $w) AS v
+        FROM $src, (SELECT UNNEST(range($m)) AS sub)
+      ), ${p}pc0 AS (
+        SELECT vec_id // pstride AS cid, sub, v AS cv FROM ${p}s, ${p}pn
+        WHERE vec_id % pstride = 0 AND vec_id // pstride < $k
       )"""
     val rounds = (1 to PqLloydIters).map { i =>
-      s""", pasg$i AS (
+      s""", ${p}pasg$i AS (
         SELECT sub, cid, v FROM (
           SELECT s.sub, c.cid, s.v,
             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
               ROUND(list_inner_product(s.v, s.v)
                     - 2.0 * list_inner_product(s.v, c.cv)
                     + list_inner_product(c.cv, c.cv), 6), c.cid) AS rn
-          FROM s JOIN pc${i - 1} c ON s.sub = c.sub)
+          FROM ${p}s s JOIN ${p}pc${i - 1} c ON s.sub = c.sub)
         WHERE rn = 1
-      ), pcd$i AS (
+      ), ${p}pcd$i AS (
         SELECT sub, cid, pos,
           CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cx
         FROM (SELECT sub, cid, UNNEST(v) AS x, UNNEST(range(len(v))) AS pos
-              FROM pasg$i)
+              FROM ${p}pasg$i)
         GROUP BY sub, cid, pos
-      ), pc$i AS (
+      ), ${p}pc$i AS (
         SELECT p.sub, p.cid, COALESCE(m.cv, p.cv) AS cv
-        FROM pc${i - 1} p LEFT JOIN
-          (SELECT sub, cid, LIST(cx ORDER BY pos) AS cv FROM pcd$i GROUP BY sub, cid) m
+        FROM ${p}pc${i - 1} p LEFT JOIN
+          (SELECT sub, cid, LIST(cx ORDER BY pos) AS cv FROM ${p}pcd$i GROUP BY sub, cid) m
           ON p.sub = m.sub AND p.cid = m.cid
       )"""
     }.mkString
-    val fin = s""", pqcb AS (
-        SELECT sub, cid, cv FROM pc$PqLloydIters
+    val fin = s""", ${p}pqcb AS (
+        SELECT sub, cid, cv FROM ${p}pc$PqLloydIters
       )"""
     seed + rounds + fin
   }
+
+  /** DuckDB mirror of [[trainPqCodebook]]: CTEs ending in `s(vec_id,
+    * sub, v)` (the corpus slices) and `pqcb(sub, cid, cv)` (the trained
+    * codebook). Expects `e(vec_id, …, emb, …)` in scope.
+    */
+  val pqCodebookSql: String = pqCodebookSqlGen("e", "")
+
+  /** DuckDB mirror of [[trainPqResidualCodebook]]: same recipe over the
+    * RESIDUAL vectors — expects a `rese(vec_id, emb)` CTE in scope
+    * (emb = corpus vector − assigned-cell centroid); CTEs end in
+    * `rs(vec_id, sub, v)` and `rpqcb(sub, cid, cv)`, r-prefixed so a
+    * mirror can train both codebooks in one query.
+    */
+  /** RESIDUAL-PQ geometry — the r10 stack's budget, separate from the
+    * r9 raw stack's [[PqK]]=16 over 4×16-dim subspaces (whose declared
+    * rows pin that shape). The RecallProbe sweep (RECALL.md) is
+    * monotone in BOTH knobs on this corpus: at nprobe=8 disjoint-query
+    * recall@3 goes 0.067 (k=16, m=4) → 0.193 (k=256, m=4) → 0.327
+    * (k=64, m=16) → 0.420 (k=128, m=16), vs the 0.640 cell-stage
+    * ceiling — in near-isotropic synthetic embeddings the per-subspace
+    * quantization error, not the code-combination count, bounds ADC
+    * ranking, so many NARROW subspaces beat few wide ones. k=128 over
+    * 16×4-dim subspaces ≈ k=256 at half the LUT/codebook cost
+    * (codebook 16×128×4 doubles = 64 KB broadcast; LUT 2 048 rows per
+    * (query, probed cell)).
+    */
+  private[graft] val PqrK = 128
+  private[graft] val PqrM = 16
+  private[graft] val PqrW = 4
+
+  private[graft] val pqResidualCodebookSql: String =
+    pqCodebookSqlGen("rese", "r", PqrK, PqrM, PqrW)
+
+  /** Indexed vectors with their cell RESIDUAL appended as `remb` =
+    * emb − centroid(cell) — the FAISS-standard quantity IVF-PQ encodes:
+    * residual magnitudes are a fraction of vector magnitudes, so the
+    * same [[PqK]]-per-subspace budget spends its codes on the
+    * within-cell offsets that actually separate neighbors instead of
+    * re-encoding the cell mean every vector in the cell shares. The
+    * subtraction is exact IEEE (oracle mirrors reproduce it verbatim)
+    * and rides the row: one broadcast join of the kilobyte codebook,
+    * zero Exchange on the corpus side. Input must carry (cell, emb).
+    */
+  private[graft] def withResiduals(idx: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    idx.join(broadcast(cb.select(col("cell"), col("cvec"))), Seq("cell"))
+      .withColumn("remb", zip_with(col("emb"), col("cvec"), (a, b) => a - b))
+      .drop("cvec")
+
+  /** Trained per-subspace PQ codebook over the cell RESIDUALS (VERDICT
+    * r9 #1) — [[trainPqCodebook]]'s exact recipe (stride seeds +
+    * [[PqLloydIters]] Lloyd rounds, [[PqK]] centroids per subspace)
+    * pointed at emb − centroid(cell). Memoized separately from the
+    * raw-vector codebook (distinct constructed plan).
+    */
+  private[graft] def trainPqResidualCodebook(idx: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      k: Int = PqrK, m: Int = PqrM, w: Int = PqrW): org.apache.spark.sql.DataFrame =
+    trainPqCodebook(withResiduals(idx, cb)
+      .select(col("vec_id"), col("remb").as("emb")), k, m, w)
 
   /** One-row broadcastable ARRAY form of a small codebook/centroid frame
     * (sorted by its leading struct fields for determinism). The r8 #1
@@ -434,7 +504,8 @@ object VectorOps extends QueryModule {
     * nested higher-order functions on the row. Input must carry `emb`.
     */
   private[graft] def withPqStructs(df: org.apache.spark.sql.DataFrame,
-      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      cents: org.apache.spark.sql.DataFrame,
+      m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
     // same hoisting discipline as [[withNearestCentroidD2]]: slices and
     // their self-dots materialize ONCE per row (not once per centroid
     // evaluation — HOF lambdas are interpreted and slice() allocates),
@@ -443,10 +514,10 @@ object VectorOps extends QueryModule {
     val cb = oneRowArray(
       cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv"))),
       "pqarr", col("sub"), col("cid"), col("cv"), col("cnn2"))
-    val slices = transform(sequence(lit(0), lit(3)),
-      sub => slice(col("emb"), sub * lit(16) + lit(1), lit(16)))
+    val slices = transform(sequence(lit(0), lit(m - 1)),
+      sub => slice(col("emb"), sub * lit(w) + lit(1), lit(w)))
     val selfDots = transform(col("slc2"), s => GraftFunctions.dot(s, s))
-    val pq = transform(sequence(lit(0), lit(3)), sub => {
+    val pq = transform(sequence(lit(0), lit(m - 1)), sub => {
       val sl = element_at(col("slc2"), sub + lit(1))
       val dss = element_at(col("dss2"), sub + lit(1))
       val best = array_min(transform(
@@ -2299,7 +2370,209 @@ object VectorOps extends QueryModule {
       ORDER BY s.cell, s.side
     """.stripMargin.trim))
 
+  /** RECALL-vs-NPROBE CURVE from the persisted RESIDUAL-PQ index
+    * (VERDICT r9 #1) — the tuning table an operator reads to pick
+    * nprobe: for nprobe ∈ {1, 3, 8}, micro-averaged recall@3/@5 of the
+    * residual-ADC top-5 against the exact rounded-L2 top-5, over 50
+    * queries DISJOINT from both codebooks' stride-seed sets (vec_id ≡ 7
+    * mod 10 — seed-query leakage is what made the r8 recall numbers a
+    * lie, RECALL.md). One ADC pass at the widest nprobe computes every
+    * candidate with its probe rank `cr`; the three curve points are
+    * windows over `cr ≤ nprobe` cuts of that ONE candidate set.
+    *
+    * Scale notes (100 TB): reads ONLY persisted artifacts — probes and
+    * the per-(query, probed-cell) residual LUT broadcast (queries ×
+    * nprobe × 4 × 16 rows, kilobytes); the codes side is the bucketed
+    * 64×-smaller table, pruned to probed cells; the exact side is one
+    * broadcast pass of the 50-query SAMPLE over the corpus (cost =
+    * queries × corpus by construction, shrinks with the sample).
+    */
+  val vecAnnRecallCurve = Q(
+    "vec_ann_recall_curve",
+    (spark, dir) => {
+      import spark.implicits._
+      val k = 5
+      val (_, ivfCb) = IvfIndex.ensure(spark, dir)
+      val (rcodes, rcb) = IvfIndex.ensurePqResidual(spark, dir)
+      val e = withNorm(spark, dir)
+      val q = e.filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      // ranked probes: the 8 nearest cells per query with probe rank cr
+      // (posexplode of the compiled top-k — array order IS csim DESC
+      // with cell tiebreak, so pos+1 is the row_number the mirror ranks)
+      val cbArr = oneRowArray(ivfCb, "cbarr", col("cell"), col("cvec"), col("cnrm"))
+      val probes = q.crossJoin(broadcast(cbArr))
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+          posexplode(graft.functions.NearestCentroidFunctions.nearestCells(
+            $"emb", $"nrm", $"cbarr", 8, rounded = true)).as(Seq("pos", "tc")))
+        .select($"q_id", $"q_emb", ($"pos" + 1).cast("long").as("cr"),
+          $"tc"("cell").as("cell"))
+      // per-(query, probed cell) residual LUT: the query's residual vs
+      // THAT cell, sliced and scored against the residual PQ codebook
+      val lut = probes
+        .join(broadcast(ivfCb.select($"cell", $"cvec")), Seq("cell"))
+        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
+        .select($"q_id", $"cell",
+          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
+        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
+          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
+        .join(broadcast(rcb), Seq("sub"))
+        .withColumn("qd2", round(
+          GraftFunctions.dot($"v", $"v")
+            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+            + GraftFunctions.dot($"cv", $"cv"), 6))
+        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // ONE ADC pass at nprobe=8; each candidate carries its cell's
+      // probe rank, so narrower nprobe cuts never rescan the codes
+      val cand = rcodes
+        .join(broadcast(probes.select($"q_id", $"cell", $"cr")), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"cell", $"cr", $"vec_id",
+          posexplode($"codes").as(Seq("sub", "cid")))
+        .select($"q_id", $"cell", $"cr", $"vec_id",
+          $"sub".cast("long").as("sub"), $"cid")
+        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
+        .groupBy($"q_id", $"vec_id", $"cr")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .withColumn("adist", $"ad".cast(DoubleType))
+      val wNp = Window.partitionBy($"nprobe", $"q_id").orderBy($"adist", $"vec_id")
+      val approx = cand
+        .withColumn("nprobe", explode(array(lit(1L), lit(3L), lit(8L))))
+        .filter($"cr" <= $"nprobe")
+        .withColumn("a_rn", row_number().over(wNp))
+        .filter($"a_rn" <= k)
+        .select($"nprobe", $"q_id", $"vec_id", $"a_rn")
+      // exact rounded-L2 ground truth for the same queries
+      val qq = q.select($"vec_id".as("q_id"), $"emb".as("q_emb"))
+      val d2x = round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+          + GraftFunctions.dot($"q_emb", $"q_emb"), 6)
+      val wq = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact = e.join(broadcast(qq), $"vec_id" =!= $"q_id")
+        .withColumn("d2", d2x)
+        .withColumn("e_rn", row_number().over(wq))
+        .filter($"e_rn" <= k)
+        .select($"q_id", $"vec_id", $"e_rn")
+      val hits = approx.join(exact, Seq("q_id", "vec_id"))
+        .groupBy($"nprobe")
+        .agg(
+          sum(when($"a_rn" <= 3 && $"e_rn" <= 3, 1L).otherwise(0L)).as("h3"),
+          count(lit(1)).as("h5"))
+      // nprobe spine so a curve point with zero hits still surfaces
+      val spine = spark.range(1)
+        .select(explode(array(lit(1L), lit(3L), lit(8L))).as("nprobe"))
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("n_queries"))))
+      spine.join(hits, Seq("nprobe"), "left")
+        .select($"nprobe", $"n_queries",
+          (coalesce($"h3", lit(0L)).cast(DoubleType) / ($"n_queries" * 3))
+            .as("recall_at_3"),
+          (coalesce($"h5", lit(0L)).cast(DoubleType) / ($"n_queries" * 5))
+            .as("recall_at_5"))
+        .orderBy($"nprobe")
+    },
+    // fully oracled: DuckDB re-derives the IVF codebook, assignment,
+    // residuals, residual-PQ codebook, codes, per-(q, cell) LUT, the
+    // single widest-nprobe ADC pass and all three curve points
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), qe AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e
+        WHERE vec_id % 10 = 7 AND vec_id < 500
+      ), probes AS (
+        SELECT vec_id AS q_id, cell, cr FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 8
+      ), rese AS (
+        SELECT a.vec_id,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM assigned a JOIN centn c USING (cell)
+      ), $pqResidualCodebookSql, rd AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM rs s JOIN rpqcb c ON s.sub = c.sub
+      ), rcodes AS (
+        SELECT d.vec_id, a.cell, d.sub, d.cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM rd) d
+        JOIN assigned a USING (vec_id)
+        WHERE d.rn = 1
+      ), qres AS (
+        SELECT p.q_id, p.cell,
+          list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] - c.cvec[i]) AS qr
+        FROM probes p JOIN qe q ON p.q_id = q.q_id JOIN centn c USING (cell)
+      ), qsl AS (
+        SELECT q_id, cell, sub, list_slice(qr, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM qres, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), qlut AS (
+        SELECT s.q_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS qd2
+        FROM qsl s JOIN rpqcb c ON s.sub = c.sub
+      ), adists AS (
+        SELECT p.q_id, k.vec_id, p.cr,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM rcodes k
+        JOIN probes p USING (cell)
+        JOIN qlut l ON l.q_id = p.q_id AND l.cell = k.cell
+                   AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id
+        GROUP BY p.q_id, k.vec_id, p.cr
+      ), np AS (
+        SELECT CAST(UNNEST([1, 3, 8]) AS BIGINT) AS nprobe
+      ), approx AS (
+        SELECT nprobe, q_id, vec_id, a_rn FROM (
+          SELECT n.nprobe, a.q_id, a.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY n.nprobe, a.q_id
+                               ORDER BY a.adist, a.vec_id) AS a_rn
+          FROM adists a JOIN np n ON a.cr <= n.nprobe)
+        WHERE a_rn <= 5
+      ), exact AS (
+        SELECT q_id, vec_id, rn AS e_rn FROM (
+          SELECT q.q_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+              ROUND(list_inner_product(e.emb, e.emb)
+                    - 2.0 * list_inner_product(e.emb, q.q_emb)
+                    + list_inner_product(q.q_emb, q.q_emb), 6), e.vec_id) AS rn
+          FROM e JOIN qe q ON e.vec_id <> q.q_id)
+        WHERE rn <= 5
+      ), hits AS (
+        SELECT a.nprobe,
+          SUM(CASE WHEN a.a_rn <= 3 AND x.e_rn <= 3 THEN 1 ELSE 0 END) AS h3,
+          COUNT(*) AS h5
+        FROM approx a JOIN exact x USING (q_id, vec_id)
+        GROUP BY a.nprobe
+      ), nq AS (
+        SELECT COUNT(*) AS n_queries FROM qe
+      )
+      SELECT n.nprobe, nq.n_queries,
+        CAST(COALESCE(h.h3, 0) AS DOUBLE) / (nq.n_queries * 3) AS recall_at_3,
+        CAST(COALESCE(h.h5, 0) AS DOUBLE) / (nq.n_queries * 5) AS recall_at_5
+      FROM np n CROSS JOIN nq LEFT JOIN hits h ON n.nprobe = h.nprobe
+      ORDER BY n.nprobe
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecAnnRecallCurve,
     vecIvfCellRebalance,
     vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,

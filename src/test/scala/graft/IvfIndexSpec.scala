@@ -50,6 +50,31 @@ class IvfIndexSpec extends SparkSpecBase {
       s"re-registered table lost its bucketing spec:\n$ddl")
   }
 
+  test("residual-PQ artifacts: codes equal the in-plan re-derivation, codebook is full") {
+    import org.apache.spark.sql.functions._
+    val (idx, ivfCb) = operators.IvfIndex.ensure(spark, sfDir)
+    val (codes, pqrCb) = operators.IvfIndex.ensurePqResidual(spark, sfDir)
+    // full codebook: every (sub, cid) slot present exactly once (Lloyd
+    // empty-cell carry keeps the count invariant across rounds)
+    assert(pqrCb.count() == operators.VectorOps.PqrM.toLong * operators.VectorOps.PqrK,
+      "residual codebook must hold PqrM * PqrK centroids")
+    assert(pqrCb.select("sub", "cid").distinct().count() == pqrCb.count(),
+      "(sub, cid) must be unique in the residual codebook")
+    // persisted codes must EQUAL a from-scratch in-plan encode over the
+    // same index + codebook — the artifacts faithfully capture the build
+    val resid = operators.VectorOps.withResiduals(idx, ivfCb)
+      .select(col("vec_id"), col("cell"), col("remb").as("emb"))
+    val replay = operators.VectorOps
+      .withPqStructs(resid, pqrCb.select(col("sub"), col("cid"), col("cv")),
+        operators.VectorOps.PqrM, operators.VectorOps.PqrW)
+      .select(col("vec_id"), col("cell"),
+        expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+    val a = codes.select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = replay.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "persisted residual codes diverge from the in-plan encode")
+  }
+
   test("rewritten corpus at the same path invalidates and rebuilds") {
     val dir = Files.createTempDirectory("graft_ivf_stale").toString
     def copyCorpus(): Path = Files.copy(

@@ -778,6 +778,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"probe/LUT sides must broadcast:\n$p")
   }
 
+  test("vec_ann_recall_curve: residual codes + codebook read, no cell shuffle") {
+    val df = operators.VectorOps.vecAnnRecallCurve.fn(spark, sfDir)
+    val p = planString(df)
+    // the approximate side must read the persisted RESIDUAL artifacts;
+    // the full-vector index table never appears (the exact ground-truth
+    // side reads the corpus parquet directly, by design)
+    assert(p.contains(operators.IvfIndex.pqrCodesTable(sfDir)),
+      s"curve plan does not read the persisted residual codes table:\n$p")
+    assert(p.contains(operators.IvfIndex.pqrCodebookTable(sfDir)),
+      s"curve plan does not read the persisted residual codebook:\n$p")
+    assert(!p.contains(operators.IvfIndex.indexTable(sfDir)),
+      s"curve plan reads the full-vector index table:\n$p")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the curve path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast-only curve path:\n$p")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
