@@ -75,6 +75,99 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(a == b, "persisted residual codes diverge from the in-plan encode")
   }
 
+  test("generation-2 rebalance: writes forward, gen-1 untouched, moves only split-cell members") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val g1IdxName = operators.IvfIndex.indexTable(sfDir)
+    val (idx1, cb1) = operators.IvfIndex.ensure(spark, sfDir)
+    val g1Built = mtimes(g1IdxName)
+    val (over, asg) = operators.VectorOps.splitPlan(spark, idx1, cb1)
+    val splitCells = over.select("cell").collect().map(_.getLong(0)).toSet
+    assert(splitCells.nonEmpty, "fixture must have at least one overloaded cell")
+
+    val (idx2, cb2) = operators.IvfIndex.ensureRebalanced(spark, sfDir)
+
+    // maintenance writes FORWARD: generation 1 is never modified
+    assert(mtimes(g1IdxName) == g1Built,
+      "applying the rebalance must not rewrite generation-1 data files")
+    assert(idx2.count() == idx1.count(),
+      "generation 2 must hold every corpus vector exactly once")
+
+    // reassignment touches ONLY split-cell members — and exactly the
+    // side-1 ones (side 0 keeps its cell id)
+    val movedRows = idx1.select($"vec_id", $"cell".as("c1"))
+      .join(idx2.select($"vec_id", $"cell".as("c2")), Seq("vec_id"))
+      .filter($"c1" =!= $"c2")
+      .collect()
+    val side1 = asg.filter($"side" === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(movedRows.nonEmpty, "a split must move its side-1 members")
+    assert(movedRows.forall(r => splitCells.contains(r.getAs[Long]("c1"))),
+      "a member of an UNSPLIT cell changed cells")
+    assert(movedRows.map(_.getAs[Long]("vec_id")).toSet == side1,
+      "moved set must equal the plan's side-1 members exactly")
+
+    // codebook: side 0 reuses each split id, side 1 adds one fresh id;
+    // unsplit centroids are bit-identical between generations
+    assert(cb2.count() == cb1.count() + splitCells.size,
+      "generation 2 must add exactly one centroid per split cell")
+    val unsplitDrift = cb1.filter(!$"cell".isin(splitCells.toSeq: _*))
+      .select($"cell", $"cvec".as("v1"), $"cnrm".as("n1"))
+      .join(cb2.select($"cell", $"cvec".as("v2"), $"cnrm".as("n2")), Seq("cell"))
+      .filter($"v1" =!= $"v2" || $"n1" =!= $"n2")
+      .count()
+    assert(unsplitDrift == 0, "unsplit centroids must pass through verbatim")
+
+    // serve impact is CONFINED to split geometry: the nearest-cell probe
+    // of a query can change only when the old probe was a split cell or
+    // the new probe is a split-geometry cell (side-0 id or fresh side-1
+    // id) — unsplit centroids are unchanged, so any other flip would
+    // reorder two identical similarities
+    val newIds = cb2.select("cell").collect().map(_.getLong(0)).toSet --
+      cb1.select("cell").collect().map(_.getLong(0)).toSet
+    def probes(cb: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val q = operators.VectorOps.withNorm(spark, sfDir)
+        .filter($"vec_id" % 10 === 7)
+        .select($"vec_id".cast("long").as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"))
+      q.crossJoin(broadcast(cb))
+        .withColumn("csim", round(
+          graft.functions.GraftFunctions.dot($"q_emb", $"cvec") / ($"q_nrm" * $"cnrm"), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"q_id").orderBy($"csim".desc, $"cell")))
+        .filter($"rn" === 1)
+        .select($"q_id", $"cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val p1 = probes(cb1)
+    val p2 = probes(cb2)
+    val flips = p1.keys.filter(k => p1(k) != p2(k))
+    assert(flips.forall(k =>
+      splitCells.contains(p1(k)) || splitCells.contains(p2(k)) || newIds.contains(p2(k))),
+      s"a probe flipped between two UNSPLIT cells: ${flips.map(k => (k, p1(k), p2(k)))}")
+
+    // read-side policy: freshest generation on disk wins
+    val (srvIdx, _) = operators.IvfIndex.serveLatest(spark, sfDir)
+    assert(srvIdx.inputFiles.head.contains(operators.IvfIndex.indexG2Table(sfDir)),
+      "serveLatest must read generation 2 once a current rebalance exists")
+  }
+
+  test("serveLatest serves generation 1 until a rebalance is applied") {
+    val dir = Files.createTempDirectory("graft_ivf_g2").toString
+    Files.copy(
+      Paths.get(s"$sfDir/embeddings.parquet"),
+      Paths.get(s"$dir/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    operators.IvfIndex.ensure(spark, dir)
+    val (beforeIdx, _) = operators.IvfIndex.serveLatest(spark, dir)
+    assert(beforeIdx.inputFiles.head.contains(operators.IvfIndex.indexTable(dir)),
+      "with no applied rebalance on disk, serveLatest must read generation 1")
+    operators.IvfIndex.ensureRebalanced(spark, dir)
+    val (afterIdx, _) = operators.IvfIndex.serveLatest(spark, dir)
+    assert(afterIdx.inputFiles.head.contains(operators.IvfIndex.indexG2Table(dir)),
+      "after the apply, serveLatest must read generation 2")
+  }
+
   test("rewritten corpus at the same path invalidates and rebuilds") {
     val dir = Files.createTempDirectory("graft_ivf_stale").toString
     def copyCorpus(): Path = Files.copy(

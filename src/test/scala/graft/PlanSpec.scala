@@ -832,6 +832,31 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("vec_ivf_rebalance_apply: gen-2 read side rides the bucketed index, codebook broadcasts") {
+    val df = operators.VectorOps.vecIvfRebalanceApply.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains(operators.IvfIndex.indexG2Table(sfDir)),
+      s"must read the persisted generation-2 index table:\n$p")
+    // per-cell population agg rides the cell bucketing: no cell re-shuffle
+    assert(!"Exchange hashpartitioning\\(cell#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"single-key cell shuffle against the bucketed gen-2 index:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"gen-2 codebook must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"kilobyte codebook join must not sort-merge:\n$p")
+  }
+
+  test("splitPlan: overload scan and side assignment never shuffle the corpus on cell") {
+    val (idx, cb) = operators.IvfIndex.ensure(spark, sfDir)
+    val (_, asg) = operators.VectorOps.splitPlan(spark, idx, cb)
+    val p = planString(asg)
+    // the population groupBy, the per-cell seed window, and the member
+    // join all ride the cell bucketing; over/seed frames broadcast — the
+    // reassignment plan is Exchange-free on the index side
+    assert(!"Exchange hashpartitioning\\(cell#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"splitPlan re-shuffled the bucketed index on cell:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"overloaded-cell membership must broadcast, not sort-merge:\n$p")
+  }
+
   test("etl_late_arriving_dimension: dim broadcasts, fact aggregates partially") {
     val p = planString(operators.EtlOps.etlLateArrivingDimension.fn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
