@@ -2510,6 +2510,141 @@ object VectorOps extends QueryModule {
       ORDER BY p.cell
     """.stripMargin.trim))
 
+  /** ANN SERVE FROM THE FRESHEST GENERATION — the read end of the
+    * rebalance lifecycle (build gen-1 → audit plan → apply gen-2 →
+    * THIS): maintenance makes generation 2 current
+    * ([[IvfIndex.ensureRebalanced]], find-or-build), then the serve
+    * policy ([[IvfIndex.serveLatest]]) picks the freshest on-disk
+    * generation and answers 50 disjoint-sample probes (nprobe=3, k=3)
+    * reading ONLY its persisted tables — proving post-rebalance
+    * retrieval end-to-end: DuckDB re-derives the ENTIRE lifecycle from
+    * scratch (trained codebook → assignment → overload → 2-means split
+    * → new ids → gen-2 index/codebook → probes → top-k) and must match
+    * the served answer bit-for-bit. Queries are the vec_id ≡ 7 (mod 10)
+    * sample — disjoint from the codebook's stride-seed set, the honest
+    * population per RECALL.md.
+    *
+    * Scale notes (100 TB): identical plan shape to `vec_ann_ivf_serve`
+    * — the gen-2 index side is a cell-bucketed scan with NO Exchange,
+    * probes broadcast, per-query work ~nprobe/nlist of the corpus; the
+    * rebalance's whole point is that this row's worst probed cell is
+    * now ≤1.25× the mean instead of the pre-split hot cell.
+    */
+  val vecAnnIvfServeG2 = Q(
+    "vec_ann_ivf_serve_g2",
+    (spark, dir) => {
+      import spark.implicits._
+      IvfIndex.ensureRebalanced(spark, dir)
+      val (idx2, cb2) = IvfIndex.serveLatest(spark, dir)
+      val q = withNorm(spark, dir).filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      val probes = withNearestCells(q, cb2, keep = 3, rounded = true)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      idx2
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+      ), over_cells AS (
+        SELECT cell, n_cell FROM pops, nl
+        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), members AS (
+        SELECT a.cell, a.vec_id, a.emb, a.nrm
+        FROM assigned a JOIN over_cells o USING (cell)
+      ), seeds AS (
+        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
+          SELECT cell, emb,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM members)
+        WHERE rk <= 2
+      ), asg AS (
+        SELECT cell, vec_id, emb, nrm, side FROM (
+          SELECT m.cell, m.vec_id, m.emb, m.nrm, s.side,
+            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+              ROUND(list_inner_product(m.emb, m.emb)
+                    - 2.0 * list_inner_product(m.emb, s.semb)
+                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
+          FROM members m JOIN seeds s USING (cell))
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
+        FROM over_cells
+      ), idmap AS (
+        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
+        UNION ALL
+        SELECT r.cell, CAST(1 AS BIGINT) AS side,
+          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
+      ), cdim AS (
+        SELECT cell, side, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cell, side, UNNEST(emb) AS v,
+                UNNEST(range(len(emb))) AS pos FROM asg)
+        GROUP BY cell, side, pos
+      ), splitc AS (
+        SELECT i.new_cell AS cell, n.cvec,
+          SQRT(list_inner_product(n.cvec, n.cvec)) AS cnrm
+        FROM (SELECT cell, side, LIST(c ORDER BY pos) AS cvec
+              FROM cdim GROUP BY cell, side) n
+        JOIN idmap i USING (cell, side)
+      ), cb2 AS (
+        SELECT c.cell, c.cvec, c.cnrm FROM centn c
+        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT cell, cvec, cnrm FROM splitc
+      ), idx2 AS (
+        SELECT a.vec_id, a.emb, a.nrm, a.cell FROM assigned a
+        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT g.vec_id, g.emb, g.nrm, i.new_cell AS cell
+        FROM asg g JOIN idmap i USING (cell, side)
+      ), qsims AS (
+        SELECT e.vec_id, e.emb, e.nrm, b.cell,
+          ROUND(list_inner_product(e.emb, b.cvec) / (e.nrm * b.cnrm), 6) AS csim
+        FROM e CROSS JOIN cb2 b
+        WHERE e.vec_id % 10 = 7 AND e.vec_id < 500
+      ), probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM qsims)
+        WHERE cr <= 3
+      ), cand AS (
+        SELECT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM idx2 a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   /** RECALL-vs-NPROBE CURVE from the persisted RESIDUAL-PQ index
     * (VERDICT r9 #1) — the tuning table an operator reads to pick
     * nprobe: for nprobe ∈ {1, 3, 8}, micro-averaged recall@3/@5 of the
@@ -2715,6 +2850,7 @@ object VectorOps extends QueryModule {
     vecAnnRecallCurve,
     vecIvfCellRebalance,
     vecIvfRebalanceApply,
+    vecAnnIvfServeG2,
     vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,

@@ -832,16 +832,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("vec_ivf_rebalance_apply: gen-2 read side rides the bucketed index, codebook broadcasts") {
-    val df = operators.VectorOps.vecIvfRebalanceApply.fn(spark, sfDir)
-    val p = planString(df)
-    assert(p.contains(operators.IvfIndex.indexG2Table(sfDir)),
-      s"must read the persisted generation-2 index table:\n$p")
-    // per-cell population agg rides the cell bucketing: no cell re-shuffle
-    assert(!"Exchange hashpartitioning\\(cell#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
-      s"single-key cell shuffle against the bucketed gen-2 index:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"gen-2 codebook must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"kilobyte codebook join must not sort-merge:\n$p")
+  test("gen-2 rows: read sides ride the bucketed index, codebook/probes broadcast") {
+    for (df <- Seq(operators.VectorOps.vecIvfRebalanceApply.fn(spark, sfDir),
+                   operators.VectorOps.vecAnnIvfServeG2.fn(spark, sfDir))) {
+      val p = planString(df)
+      assert(p.contains(operators.IvfIndex.indexG2Table(sfDir)),
+        s"must read the persisted generation-2 index table:\n$p")
+      // per-cell work rides the cell bucketing: no cell re-shuffle
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined,
+        s"single-key cell shuffle against the bucketed gen-2 index:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"gen-2 codebook/probe side must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"kilobyte codebook/probe join must not sort-merge:\n$p")
+    }
   }
 
   test("splitPlan: overload scan and side assignment never shuffle the corpus on cell") {
