@@ -268,6 +268,85 @@ object IvfIndex {
     (spark.table(idxT), spark.table(cbT))
   }
 
+  def pqrCodesG2Table(dir: String): String = s"graft_pqr_codes_g2_${tag(dir)}"
+
+  /** INCREMENTAL residual-code refresh after an applied rebalance — the
+    * maintenance step that keeps the residual-PQ artifacts consistent
+    * with index generation 2: a split-cell member's residual base (its
+    * cell centroid) changed, so its codes are stale; every other
+    * member's centroid — and therefore residual, and therefore codes —
+    * is bit-identical between generations. So the refresh RE-ENCODES
+    * ONLY the members of split-geometry cells (side-0 ids whose centroid
+    * moved + fresh side-1 ids, identified from the two kilobyte
+    * codebooks alone) against the generation-2 centroids, COPIES every
+    * other row's codes verbatim from the generation-1 codes table, and
+    * persists the union as `graft_pqr_codes_g2_<corpus>` (cell-bucketed,
+    * fingerprint freshness, generation 1 untouched). The residual-PQ
+    * CODEBOOK is deliberately NOT retrained (the FAISS operational
+    * default: codebook retraining is a reindex, not a refresh), so the
+    * refresh's from-scratch oracle must reproduce both halves: the
+    * copied codes because unsplit residuals are unchanged, the
+    * re-encoded ones from the gen-2 geometry.
+    *
+    * Scale notes (100 TB): encode work ∝ split-cell members (row-local,
+    * broadcast codebooks); the copy side is a bucketed scan with a
+    * broadcast anti join (no recompute, no full-vector column); one
+    * cell-hash shuffle for the bucketed write. Returns (gen-2 codes,
+    * residual codebook).
+    */
+  def ensurePqrG2(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val codesT = pqrCodesG2Table(dir)
+    val fp = g2Fingerprint(dir)
+    val wh = warehouseDir(spark)
+    val codesLoc = new java.io.File(wh, codesT)
+    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
+    val onDisk = metaFile.isFile && codesLoc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    val inCatalog = spark.catalog.tableExists(codesT)
+    if (onDisk && !inCatalog) {
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      spark.sql(
+        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+           |LOCATION '${codesLoc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val (_, cb1) = ensure(spark, dir)
+      val (idx2, cb2) = ensureRebalanced(spark, dir)
+      val (codes1, rcb) = ensurePqResidual(spark, dir)
+      // split-geometry cells from the two kilobyte codebooks alone:
+      // a gen-2 centroid that differs from gen-1 under the same id
+      // (side 0) or has no gen-1 row at all (side 1)
+      val changed = cb2.select(col("cell"), col("cvec"))
+        .join(cb1.select(col("cell"), col("cvec").as("cvec1")), Seq("cell"), "left")
+        .filter(col("cvec1").isNull || col("cvec1") =!= col("cvec"))
+        .select(col("cell"))
+      val changedOld = changed.join(cb1.select(col("cell")), Seq("cell"), "left_semi")
+      val refreshed = VectorOps.withPqStructs(
+          VectorOps.withResiduals(
+              idx2.join(broadcast(changed), Seq("cell"), "left_semi"), cb2)
+            .select(col("vec_id"), col("cell"), col("remb").as("emb")),
+          rcb, VectorOps.PqrM, VectorOps.PqrW)
+        .select(col("vec_id"), col("cell"),
+          expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      val copied = codes1.join(broadcast(changedOld), Seq("cell"), "left_anti")
+        .select(col("vec_id"), col("cell"), col("codes"))
+      spark.sql(s"DROP TABLE IF EXISTS $codesT")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(codesLoc)
+      copied.unionByName(refreshed)
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", codesLoc.getAbsolutePath)
+        .saveAsTable(codesT)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    val (_, rcb) = ensurePqResidual(spark, dir)
+    (spark.table(codesT), rcb)
+  }
+
   /** Read-side generation policy: serve the FRESHEST index generation on
     * disk — generation 2 when a current applied rebalance exists
     * ([[g2Fingerprint]] matches), generation 1 otherwise. Pure read: a

@@ -88,6 +88,9 @@ object VectorOps extends QueryModule {
     IvfIndex.ensure(spark, dir)
     IvfIndex.ensurePq(spark, dir)
     IvfIndex.ensurePqResidual(spark, dir)
+    // generation-2 (applied rebalance) build: shared by the apply +
+    // freshest-generation serve rows, same once-per-corpus discipline
+    IvfIndex.ensureRebalanced(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -2645,6 +2648,135 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** INCREMENTAL RESIDUAL-CODE REFRESH after the applied rebalance —
+    * the third maintenance row of the gen-2 lifecycle
+    * ([[IvfIndex.ensurePqrG2]]): split-cell members' residual base
+    * moved, so ONLY they re-encode (against the gen-2 centroids, with
+    * the UNCHANGED residual-PQ codebook — a refresh, not a reindex);
+    * every other row's codes copy verbatim from the gen-1 codes table.
+    * Declared output = per gen-2 cell the member count and the exact
+    * sum of all code ids, read back from the persisted gen-2 codes.
+    * The oracle re-derives EVERY code from scratch against the gen-2
+    * geometry (trained IVF codebook → split → gen-2 centroids → gen-1
+    * residuals → trained residual-PQ codebook → full re-encode), so a
+    * pass proves the incremental refresh equals a full rebuild — the
+    * copied half because unsplit residuals are bit-identical across
+    * generations, the re-encoded half from the new geometry.
+    *
+    * Scale notes (100 TB): encode work ∝ split-cell members; the copy
+    * side is a bucketed codes scan (64× smaller than vectors) with a
+    * broadcast anti join; this row's read side aggregates the bucketed
+    * gen-2 codes per cell with zero Exchange.
+    */
+  val vecPqrRefreshIncremental = Q(
+    "vec_pqr_refresh_incremental",
+    (spark, dir) => {
+      import spark.implicits._
+      val (codes2, _) = IvfIndex.ensurePqrG2(spark, dir)
+      codes2.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vec"),
+          sum(expr("aggregate(codes, 0L, (a, x) -> a + x)")).as("codes_sum"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+      ), over_cells AS (
+        SELECT cell, n_cell FROM pops, nl
+        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), members AS (
+        SELECT a.cell, a.vec_id, a.emb
+        FROM assigned a JOIN over_cells o USING (cell)
+      ), seeds AS (
+        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
+          SELECT cell, emb,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM members)
+        WHERE rk <= 2
+      ), asg AS (
+        SELECT cell, vec_id, emb, side FROM (
+          SELECT m.cell, m.vec_id, m.emb, s.side,
+            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+              ROUND(list_inner_product(m.emb, m.emb)
+                    - 2.0 * list_inner_product(m.emb, s.semb)
+                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
+          FROM members m JOIN seeds s USING (cell))
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
+        FROM over_cells
+      ), idmap AS (
+        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
+        UNION ALL
+        SELECT r.cell, CAST(1 AS BIGINT) AS side,
+          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
+      ), cdim AS (
+        SELECT cell, side, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cell, side, UNNEST(emb) AS v,
+                UNNEST(range(len(emb))) AS pos FROM asg)
+        GROUP BY cell, side, pos
+      ), newcv AS (
+        SELECT cell, side, LIST(c ORDER BY pos) AS cvec
+        FROM cdim GROUP BY cell, side
+      ), cb2 AS (
+        SELECT c.cell, c.cvec FROM centn c
+        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT i.new_cell AS cell, n.cvec
+        FROM newcv n JOIN idmap i USING (cell, side)
+      ), idx2 AS (
+        SELECT a.vec_id, a.emb, a.cell FROM assigned a
+        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT g.vec_id, g.emb, i.new_cell AS cell
+        FROM asg g JOIN idmap i USING (cell, side)
+      ), rese AS (
+        SELECT a.vec_id,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM assigned a JOIN centn c USING (cell)
+      ), $pqResidualCodebookSql, res2 AS (
+        SELECT i.vec_id, i.cell,
+          list_transform(range(1, len(i.emb) + 1), x -> i.emb[x] - b.cvec[x]) AS emb
+        FROM idx2 i JOIN cb2 b USING (cell)
+      ), r2s AS (
+        SELECT vec_id, cell, sub,
+          list_slice(emb, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM res2, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), r2d AS (
+        SELECT s.vec_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM r2s s JOIN rpqcb c ON s.sub = c.sub
+      ), codes2 AS (
+        SELECT vec_id, cell, sub, cid FROM (
+          SELECT vec_id, cell, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM r2d)
+        WHERE rn = 1
+      ), vsum AS (
+        SELECT vec_id, cell, SUM(cid) AS cs FROM codes2 GROUP BY vec_id, cell
+      )
+      SELECT cell, COUNT(*) AS n_vec, CAST(SUM(cs) AS BIGINT) AS codes_sum
+      FROM vsum GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
   /** RECALL-vs-NPROBE CURVE from the persisted RESIDUAL-PQ index
     * (VERDICT r9 #1) — the tuning table an operator reads to pick
     * nprobe: for nprobe ∈ {1, 3, 8}, micro-averaged recall@3/@5 of the
@@ -2851,6 +2983,7 @@ object VectorOps extends QueryModule {
     vecIvfCellRebalance,
     vecIvfRebalanceApply,
     vecAnnIvfServeG2,
+    vecPqrRefreshIncremental,
     vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,

@@ -152,6 +152,54 @@ class IvfIndexSpec extends SparkSpecBase {
       "serveLatest must read generation 2 once a current rebalance exists")
   }
 
+  test("incremental residual-code refresh: copies unsplit codes verbatim, re-encodes only split geometry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (_, cb1) = operators.IvfIndex.ensure(spark, sfDir)
+    val (codes1, _) = operators.IvfIndex.ensurePqResidual(spark, sfDir)
+    val (idx2, cb2) = operators.IvfIndex.ensureRebalanced(spark, sfDir)
+    val codes1Name = operators.IvfIndex.pqrCodesTable(sfDir)
+    val g1Built = mtimes(codes1Name)
+
+    val (codes2, _) = operators.IvfIndex.ensurePqrG2(spark, sfDir)
+
+    assert(mtimes(codes1Name) == g1Built,
+      "refresh must not rewrite the generation-1 codes files")
+    assert(codes2.count() == codes1.count(),
+      "gen-2 codes must hold every corpus vector exactly once")
+
+    // split-geometry cells, the same way the build derives them
+    val cb1Cells = cb1.select("cell").collect().map(_.getLong(0)).toSet
+    val changed = cb2.select($"cell", $"cvec")
+      .join(cb1.select($"cell", $"cvec".as("cvec1")), Seq("cell"), "left")
+      .filter($"cvec1".isNull || $"cvec1" =!= $"cvec")
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(changed.nonEmpty, "fixture must have split cells to refresh")
+
+    // rows OUTSIDE split geometry: identical (vec_id, cell, codes) to gen-1
+    val keep1 = codes1.filter(!$"cell".isin(changed.toSeq: _*))
+      .collect().map(_.toString).sorted.toSeq
+    val keep2 = codes2.filter(!$"cell".isin(changed.toSeq: _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(keep1 == keep2, "unsplit rows' codes must copy verbatim")
+
+    // rows INSIDE split geometry: exactly the gen-2 members of those
+    // cells, re-encoded against the gen-2 centroids with the gen-1
+    // residual codebook — verify against a from-scratch in-plan encode
+    val (_, rcb) = operators.IvfIndex.ensurePqResidual(spark, sfDir)
+    val expect = operators.VectorOps.withPqStructs(
+        operators.VectorOps.withResiduals(
+            idx2.filter($"cell".isin(changed.toSeq: _*)), cb2)
+          .select($"vec_id", $"cell", $"remb".as("emb")),
+        rcb, operators.VectorOps.PqrM, operators.VectorOps.PqrW)
+      .select($"vec_id", $"cell",
+        expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = codes2.filter($"cell".isin(changed.toSeq: _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expect, "refreshed codes diverge from the gen-2 re-encode")
+  }
+
   test("serveLatest serves generation 1 until a rebalance is applied") {
     val dir = Files.createTempDirectory("graft_ivf_g2").toString
     Files.copy(
