@@ -69,7 +69,32 @@ object RecallProbe {
       adcCand(resCodes, resCb, probes, rawLut = false, ivfCb,
         VectorOps.PqrM, VectorOps.PqrW), exact, nQ)
 
-    // 4. optional in-plan sweep: extra args are residual-PQ geometries
+    // 4. generation-2 lifecycle: the same measurements after the applied
+    //    rebalance + incremental residual-code refresh — the number that
+    //    says maintenance does not silently degrade retrieval. Probes
+    //    rank against the gen-2 codebook (more, smaller cells: the same
+    //    nprobe scans a SMALLER corpus fraction post-split).
+    val (idx2, cb2) = IvfIndex.ensureRebalanced(spark, dir)
+    println(s"gen-1 cells=${ivfCb.count()}, gen-2 cells=${cb2.count()}, " +
+      s"corpus=${idx.count()}")
+    val probes2 = rankedProbes(q, cb2)
+    val cellCand2 = idx2
+      .join(broadcast(probes2.select($"q_id", $"cell", $"cr")), Seq("cell"))
+      .join(broadcast(q.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), Seq("q_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adist", round(
+        GraftFunctions.dot($"emb", $"emb")
+          - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+          + GraftFunctions.dot($"q_emb", $"q_emb"), 6))
+      .select($"q_id", $"vec_id", $"cr", $"adist")
+    report("cell-stage GEN-2 (post-rebalance, exact L2 in probed cells)",
+      cellCand2, exact, nQ)
+    val (codes2, _) = IvfIndex.ensurePqrG2(spark, dir)
+    report("end-to-end ADC GEN-2 (refreshed residual codes)",
+      adcCand(codes2, resCb, probes2, rawLut = false, cb2,
+        VectorOps.PqrM, VectorOps.PqrW), exact, nQ)
+
+    // 5. optional in-plan sweep: extra args are residual-PQ geometries
     //    as "k" (4×16-dim subspaces) or "k:m" (m subspaces of 64/m dims)
     args.drop(1).foreach { a =>
       val parts = a.split(":")

@@ -88,9 +88,11 @@ object VectorOps extends QueryModule {
     IvfIndex.ensure(spark, dir)
     IvfIndex.ensurePq(spark, dir)
     IvfIndex.ensurePqResidual(spark, dir)
-    // generation-2 (applied rebalance) build: shared by the apply +
-    // freshest-generation serve rows, same once-per-corpus discipline
+    // generation-2 (applied rebalance + refreshed residual codes)
+    // builds: shared by the apply + refresh + freshest-generation serve
+    // rows, same once-per-corpus discipline
     IvfIndex.ensureRebalanced(spark, dir)
+    IvfIndex.ensurePqrG2(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
