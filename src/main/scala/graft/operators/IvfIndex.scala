@@ -177,7 +177,10 @@ object IvfIndex {
     * leaves the old index serving. Freshness follows the same
     * (path, size, mtime, algo) fingerprint contract as [[ensure]] with
     * the split recipe appended ([[g2Fingerprint]]); a new JVM over
-    * current artifacts re-registers catalog metadata only.
+    * current artifacts re-registers catalog metadata only. An EMPTY
+    * split plan (no overloaded cells — the sf1 scale probe's case)
+    * publishes generation 2 as catalog metadata over the generation-1
+    * files: no data is copied for a no-op apply.
     *
     * Scale notes (100 TB): the plan side is bounded by overloaded-cell
     * membership ([[VectorOps.splitPlan]]); the unsplit passthrough is a
@@ -194,23 +197,45 @@ object IvfIndex {
     val idxLoc = new java.io.File(wh, idxT)
     val cbLoc = new java.io.File(wh, cbT)
     val metaFile = new java.io.File(wh, s"$idxT.fingerprint")
-    val onDisk = metaFile.isFile && idxLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
+    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+    // "<fp>|noop" records an EMPTY split plan: generation 2 was published
+    // as metadata only, over the generation-1 files — at 100 TB a
+    // verbatim index copy for a no-op nightly apply would be the bug
+    val noop = metaRaw == s"$fp|noop"
+    val onDisk = noop || (metaRaw == fp && idxLoc.isDirectory && cbLoc.isDirectory)
     val inCatalog = spark.catalog.tableExists(idxT) && spark.catalog.tableExists(cbT)
-    if (onDisk && !inCatalog) {
+    def register(iLoc: java.io.File, cLoc: java.io.File): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $idxT")
       spark.sql(s"DROP TABLE IF EXISTS $cbT")
       spark.sql(
         s"""CREATE TABLE $idxT (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
            |USING PARQUET
            |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${idxLoc.toURI}'""".stripMargin)
+           |LOCATION '${iLoc.toURI}'""".stripMargin)
       spark.sql(
         s"""CREATE TABLE $cbT (cell BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
+           |USING PARQUET LOCATION '${cLoc.toURI}'""".stripMargin)
+    }
+    if (onDisk && !inCatalog) {
+      if (noop) {
+        ensure(spark, dir) // make sure gen-1 data + catalog are current
+        register(new java.io.File(wh, indexTable(dir)),
+          new java.io.File(wh, codebookTable(dir)))
+      } else register(idxLoc, cbLoc)
     } else if (!onDisk) {
       val (idx, cb) = ensure(spark, dir)
       val (over, asg) = VectorOps.splitPlan(spark, idx, cb)
+      if (over.isEmpty) {
+        // EMPTY plan: publish generation 2 as catalog metadata over the
+        // generation-1 files — no copy, no shuffle, nothing to roll back
+        Files.deleteIfExists(metaFile.toPath)
+        rmTree(idxLoc)
+        rmTree(cbLoc)
+        register(new java.io.File(wh, indexTable(dir)),
+          new java.io.File(wh, codebookTable(dir)))
+        Files.writeString(metaFile.toPath, s"$fp|noop"): Unit
+        return (spark.table(idxT), spark.table(cbT))
+      }
       // deterministic new ids: rank split cells by cell id (a handful of
       // broadcast-small rows — the single-partition window is bounded by
       // the split-cell count, never the corpus)
@@ -300,16 +325,25 @@ object IvfIndex {
     val wh = warehouseDir(spark)
     val codesLoc = new java.io.File(wh, codesT)
     val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
-    val onDisk = metaFile.isFile && codesLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
+    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+    // same no-op contract as [[ensureRebalanced]]: an empty refresh set
+    // publishes the gen-2 codes as metadata over the gen-1 codes files
+    val noop = metaRaw == s"$fp|noop"
+    val onDisk = noop || (metaRaw == fp && codesLoc.isDirectory)
     val inCatalog = spark.catalog.tableExists(codesT)
-    if (onDisk && !inCatalog) {
+    def register(loc: java.io.File): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $codesT")
       spark.sql(
         s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
            |USING PARQUET
            |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${codesLoc.toURI}'""".stripMargin)
+           |LOCATION '${loc.toURI}'""".stripMargin)
+    }
+    if (onDisk && !inCatalog) {
+      if (noop) {
+        ensurePqResidual(spark, dir) // gen-1 codes data + catalog current
+        register(new java.io.File(wh, pqrCodesTable(dir)))
+      } else register(codesLoc)
     } else if (!onDisk) {
       val (_, cb1) = ensure(spark, dir)
       val (idx2, cb2) = ensureRebalanced(spark, dir)
@@ -321,6 +355,13 @@ object IvfIndex {
         .join(cb1.select(col("cell"), col("cvec").as("cvec1")), Seq("cell"), "left")
         .filter(col("cvec1").isNull || col("cvec1") =!= col("cvec"))
         .select(col("cell"))
+      if (changed.isEmpty) {
+        Files.deleteIfExists(metaFile.toPath)
+        rmTree(codesLoc)
+        register(new java.io.File(wh, pqrCodesTable(dir)))
+        Files.writeString(metaFile.toPath, s"$fp|noop"): Unit
+        return (spark.table(codesT), rcb)
+      }
       val changedOld = changed.join(cb1.select(col("cell")), Seq("cell"), "left_semi")
       val refreshed = VectorOps.withPqStructs(
           VectorOps.withResiduals(
@@ -357,10 +398,11 @@ object IvfIndex {
   def serveLatest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val wh = warehouseDir(spark)
     val metaFile = new java.io.File(wh, s"${indexG2Table(dir)}.fingerprint")
-    val g2Fresh = metaFile.isFile &&
+    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+    val fp = g2Fingerprint(dir)
+    val g2Fresh = metaRaw == s"$fp|noop" || (metaRaw == fp &&
       new java.io.File(wh, indexG2Table(dir)).isDirectory &&
-      new java.io.File(wh, codebookG2Table(dir)).isDirectory &&
-      Files.readString(metaFile.toPath).trim == g2Fingerprint(dir)
+      new java.io.File(wh, codebookG2Table(dir)).isDirectory)
     if (g2Fresh) ensureRebalanced(spark, dir) else ensure(spark, dir)
   }
 

@@ -216,6 +216,50 @@ class IvfIndexSpec extends SparkSpecBase {
       "after the apply, serveLatest must read generation 2")
   }
 
+  test("no-op rebalance publishes generation 2 as metadata over generation-1 files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_noop").toString
+    // 16 vectors in 4 tight orthogonal clusters at vec_ids {4j..4j+3}:
+    // the stride seeds (0, 4, 8, 12) hit one cluster each, Lloyd keeps
+    // the 4/4/4/4 balance, and no cell passes the 4·n_cell·nlist > 5·N
+    // overload gate — the sf1 scale probe's case, miniaturized
+    val rows = for (j <- 0 until 4; i <- 0 until 4) yield {
+      val emb = Array.fill(64)(0.0f)
+      emb(16 * j) = 1.0f
+      if (i > 0) emb(16 * j + i) = 0.01f * i
+      (4L * j + i, emb.toSeq, j)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val (idx1, cb1) = operators.IvfIndex.ensure(spark, dir)
+    val (over, _) = operators.VectorOps.splitPlan(spark, idx1, cb1)
+    assert(over.isEmpty, "fixture must produce a balanced index (empty split plan)")
+    val g1Built = mtimes(operators.IvfIndex.indexTable(dir))
+
+    val (idx2, cb2) = operators.IvfIndex.ensureRebalanced(spark, dir)
+    assert(!new java.io.File(warehouse, operators.IvfIndex.indexG2Table(dir)).exists(),
+      "a no-op apply must not copy the index (at 100 TB that copy is the bug)")
+    assert(idx2.inputFiles.head.contains(operators.IvfIndex.indexTable(dir)),
+      "gen-2 table must read the generation-1 files")
+    assert(idx2.count() == 16 && cb2.count() == cb1.count())
+    assert(mtimes(operators.IvfIndex.indexTable(dir)) == g1Built,
+      "generation-1 files must stay untouched")
+
+    val (codes2, _) = operators.IvfIndex.ensurePqrG2(spark, dir)
+    assert(!new java.io.File(warehouse, operators.IvfIndex.pqrCodesG2Table(dir)).exists(),
+      "a no-op refresh must not copy the codes")
+    assert(codes2.inputFiles.head.contains(operators.IvfIndex.pqrCodesTable(dir)),
+      "gen-2 codes table must read the generation-1 codes files")
+
+    val (srv, _) = operators.IvfIndex.serveLatest(spark, dir)
+    assert(srv.inputFiles.head.contains(operators.IvfIndex.indexTable(dir)),
+      "serveLatest must treat the published no-op generation as freshest")
+  }
+
   test("rewritten corpus at the same path invalidates and rebuilds") {
     val dir = Files.createTempDirectory("graft_ivf_stale").toString
     def copyCorpus(): Path = Files.copy(
