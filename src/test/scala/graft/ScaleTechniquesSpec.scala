@@ -107,6 +107,16 @@ class ScaleTechniquesSpec extends SparkSpecBase {
       withYear.where($"o_year" === 1995).count())
   }
 
+  test("etl_backfill_dynamic_overwrite never mutates the session overwrite mode") {
+    // the r9 fix's contract: the dynamic mode rides the WRITER as an
+    // option — a session-global toggle would race any concurrent writer
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val out = operators.EtlOps.etlBackfillDynamicOverwrite.fn(spark, sfDir)
+    assert(out.count() == 3, "backfill must return the 3-year summary")
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == before,
+      "backfill mutated session-global partitionOverwriteMode")
+  }
+
   test("salted join equals plain join exactly, including skewed keys") {
     import spark.implicits._
     // heavy skew: 90% of rows share one key
