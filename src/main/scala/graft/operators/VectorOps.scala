@@ -2650,6 +2650,111 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** GENERATION BALANCE AUDIT — the observability row closing the
+    * maintenance loop (stats → plan → apply → refresh → serve): both
+    * persisted index generations summarized side by side — cell count,
+    * corpus size, the hottest cell and the skew factor
+    * `max_cell·n_cells/n_vecs` (1.0 = perfectly uniform; the overload
+    * gate fires at 1.25) — so an operator reads in one table that the
+    * applied rebalance actually flattened the distribution and by how
+    * much. This is the number a production vector store alerts on.
+    *
+    * Scale notes (100 TB): two bucketed per-cell count aggregations
+    * (zero Exchange on the index side) reduced to one row per
+    * generation; the codebooks contribute only their kilobyte counts.
+    */
+  val vecIvfGenerationStats = Q(
+    "vec_ivf_generation_stats",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx1, cb1) = IvfIndex.ensure(spark, dir)
+      val (idx2, cb2) = IvfIndex.ensureRebalanced(spark, dir)
+      def stats(gen: Long, idx: org.apache.spark.sql.DataFrame,
+          cb: org.apache.spark.sql.DataFrame) =
+        idx.groupBy($"cell").agg(count(lit(1)).as("n_cell"))
+          .agg(sum($"n_cell").as("n_vecs"), max($"n_cell").as("max_cell"))
+          .crossJoin(broadcast(cb.agg(count(lit(1)).as("n_cells"))))
+          .select(lit(gen).as("generation"), $"n_cells", $"n_vecs", $"max_cell",
+            round($"max_cell" * $"n_cells" / $"n_vecs".cast(DoubleType), 6).as("skew"))
+      stats(1L, idx1, cb1).unionByName(stats(2L, idx2, cb2))
+        .orderBy($"generation")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, cell FROM (
+          SELECT vec_id, emb, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+      ), over_cells AS (
+        SELECT cell, n_cell FROM pops, nl
+        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), members AS (
+        SELECT a.cell, a.vec_id, a.emb
+        FROM assigned a JOIN over_cells o USING (cell)
+      ), seeds AS (
+        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
+          SELECT cell, emb,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM members)
+        WHERE rk <= 2
+      ), asg AS (
+        SELECT cell, vec_id, side FROM (
+          SELECT m.cell, m.vec_id, s.side,
+            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+              ROUND(list_inner_product(m.emb, m.emb)
+                    - 2.0 * list_inner_product(m.emb, s.semb)
+                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
+          FROM members m JOIN seeds s USING (cell))
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
+        FROM over_cells
+      ), idmap AS (
+        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
+        UNION ALL
+        SELECT r.cell, CAST(1 AS BIGINT) AS side,
+          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
+      ), idx2 AS (
+        SELECT a.vec_id, a.cell FROM assigned a
+        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT g.vec_id, i.new_cell AS cell
+        FROM asg g JOIN idmap i USING (cell, side)
+      ), nc2 AS (
+        SELECT (SELECT COUNT(*) FROM centn)
+             - (SELECT COUNT(*) FROM over_cells)
+             + 2 * (SELECT COUNT(*) FROM over_cells) AS n_cells
+      ), g1 AS (
+        SELECT CAST(1 AS BIGINT) AS generation,
+          (SELECT COUNT(*) FROM centn) AS n_cells,
+          CAST(SUM(n_cell) AS BIGINT) AS n_vecs, MAX(n_cell) AS max_cell
+        FROM pops
+      ), pops2 AS (
+        SELECT cell, COUNT(*) AS n_cell FROM idx2 GROUP BY cell
+      ), g2 AS (
+        SELECT CAST(2 AS BIGINT) AS generation,
+          (SELECT n_cells FROM nc2) AS n_cells,
+          CAST(SUM(n_cell) AS BIGINT) AS n_vecs, MAX(n_cell) AS max_cell
+        FROM pops2
+      )
+      SELECT generation, n_cells, n_vecs, max_cell,
+        ROUND(max_cell * n_cells / CAST(n_vecs AS DOUBLE), 6) AS skew
+      FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      ORDER BY generation
+    """.stripMargin.trim))
+
   /** INCREMENTAL RESIDUAL-CODE REFRESH after the applied rebalance —
     * the third maintenance row of the gen-2 lifecycle
     * ([[IvfIndex.ensurePqrG2]]): split-cell members' residual base
@@ -2986,6 +3091,7 @@ object VectorOps extends QueryModule {
     vecIvfRebalanceApply,
     vecAnnIvfServeG2,
     vecPqrRefreshIncremental,
+    vecIvfGenerationStats,
     vecMmrDiversify,
     vecAnnIvfServe, vecAnnIvfpqServe,
     vecNormsStats, vecCentroidPerLabel, vecCosineTopk, multimodalJoinFilter,
