@@ -271,6 +271,10 @@ class IvfIndexSpec extends SparkSpecBase {
     val (idx1, _) = operators.IvfIndex.ensure(spark, dir)
     val n1 = idx1.count()
     val built = mtimes(idxName)
+    // the downstream generation rides the same corpus fingerprint
+    operators.IvfIndex.ensureRebalanced(spark, dir)
+    val g2Name = operators.IvfIndex.indexG2Table(dir)
+    val g2Built = mtimes(g2Name)
     // regenerate the corpus in place: same path, fresh mtime
     copyCorpus()
     Paths.get(s"$dir/embeddings.parquet").toFile.setLastModified(System.currentTimeMillis() + 2000)
@@ -279,5 +283,12 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(idx2.count() == n1)
     assert(mtimes(idxName) != built,
       "stale fingerprint must trigger a rebuild (data files unchanged)")
+    // generation 2's fingerprint embeds generation 1's, so the applied
+    // rebalance must rebuild with it — serving a gen-2 built over the
+    // OLD corpus against the new gen-1 would be the silent-staleness bug
+    val (idx2g2, _) = operators.IvfIndex.ensureRebalanced(spark, dir)
+    assert(idx2g2.count() == n1)
+    assert(mtimes(g2Name) != g2Built,
+      "corpus rewrite must invalidate the applied rebalance too")
   }
 }
