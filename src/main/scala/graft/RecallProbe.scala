@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *     `vec_ann_recall_curve` chain).
   *
   * Usage: `sbt "runMain graft.RecallProbe /root/testdata/sf0.1"`.
+  *
+  * NOTE (r10 review): the probe blocks below intentionally RE-DERIVE the
+  * declared rows' probe/LUT/ADC recipes rather than importing their
+  * frames — the probe sweeps knobs (nprobe set, k, in-plan geometries)
+  * the declared rows pin. The drift guard is `vec_ann_recall_curve`'s
+  * full DuckDB oracle: if the declared recipe changes, that row's parity
+  * breaks loudly, and these blocks must be updated with it before
+  * RECALL.md numbers are regenerated.
   */
 object RecallProbe {
 

@@ -85,10 +85,18 @@ private[functions] trait CodebookCache { self: Expression =>
   @transient protected final var aux: Array[Double] = _ // cnrm / ‖c‖²
 
   /** Decode (id, vec, aux) structs once per physical buffer. The cache
-    * key is the buffer identity PLUS two content guards (total byte size
-    * and the first struct's aux-field bits — r9 ADVICE): a reused buffer
-    * with different contents (a hypothetical non-broadcast, per-row
-    * codebook) re-decodes instead of silently serving a stale codebook.
+    * key is the buffer identity PLUS content guards (total byte size and
+    * the FIRST and LAST structs' aux-field bits — r9 ADVICE, widened by
+    * the r10 review): a reused buffer with different contents (a
+    * hypothetical non-broadcast, per-row codebook) re-decodes instead of
+    * silently serving a stale codebook. The guard is deliberately O(1) —
+    * it SAMPLES the contents, it does not hash them; a same-size buffer
+    * differing only in interior structs with identical first/last aux
+    * bits would still hit. That residual hole is acceptable because
+    * every call site passes a BROADCAST one-row-array codebook, whose
+    * buffer is immutable for the lifetime of the partition — the guard
+    * exists to turn a violated assumption into a re-decode (or a loud
+    * wrong answer in tests), not to checksum per row on the hot path.
     */
   protected final def load(arr: ArrayData): Unit = {
     val (obj, off, size) = arr match {
@@ -97,7 +105,9 @@ private[functions] trait CodebookCache { self: Expression =>
     }
     val m = arr.numElements()
     val bits = if (m > 0) {
-      java.lang.Double.doubleToRawLongBits(arr.getStruct(0, 3).getDouble(2))
+      java.lang.Double.doubleToRawLongBits(arr.getStruct(0, 3).getDouble(2)) ^
+        java.lang.Long.rotateLeft(
+          java.lang.Double.doubleToRawLongBits(arr.getStruct(m - 1, 3).getDouble(2)), 17)
     } else 0L
     if ((obj eq keyObj) && off == keyOff && m == keyLen &&
       size == keySize && bits == keyBits) return

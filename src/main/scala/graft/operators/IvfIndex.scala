@@ -54,22 +54,28 @@ object IvfIndex {
   def indexTable(dir: String): String = s"graft_ivf_index_${tag(dir)}"
   def codebookTable(dir: String): String = s"graft_ivf_codebook_${tag(dir)}"
 
-  /** Algorithm revision of the persisted artifacts. Bump whenever the
-    * codebook/encode recipe changes (e.g. the r9 trained codebooks), so
-    * on-disk indexes built by an older engine rebuild instead of serving
-    * assignments the current oracle mirror no longer reproduces.
+  /** Algorithm revisions of the persisted artifacts, SCOPED PER ARTIFACT
+    * FAMILY (r10 review finding): a single shared version string meant a
+    * residual-only knob change (PqrK/PqrM) invalidated — and re-clustered
+    * — the corpus-scale IVF index and the raw-PQ codes whose recipes were
+    * untouched. Each family's fingerprint now embeds only the recipe
+    * segments its artifacts actually derive from; bump a segment whenever
+    * that recipe changes, so stale on-disk artifacts rebuild instead of
+    * serving assignments the current oracle mirror no longer reproduces.
     */
-  private val AlgoVersion =
-    s"ivf-lloyd${VectorOps.IvfLloydIters}-stride|pq-k${VectorOps.PqK}-lloyd${VectorOps.PqLloydIters}" +
-      s"|pqr-k${VectorOps.PqrK}-m${VectorOps.PqrM}"
+  private val IvfAlgo = s"ivf-lloyd${VectorOps.IvfLloydIters}-stride"
+  private val PqAlgo =
+    s"$IvfAlgo|pq-k${VectorOps.PqK}-lloyd${VectorOps.PqLloydIters}"
+  private val PqrAlgo =
+    s"$IvfAlgo|pqr-k${VectorOps.PqrK}-m${VectorOps.PqrM}-lloyd${VectorOps.PqLloydIters}"
 
   /** Corpus-file identity — same freshness key as PlanCache (path, size,
-    * mtime) plus [[AlgoVersion]], persisted beside the index so a new JVM
-    * can check it.
+    * mtime) plus the artifact family's algo revision, persisted beside
+    * the artifact so a new JVM can check it.
     */
-  private def fingerprint(dir: String): String = {
+  private def fingerprint(dir: String, algo: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
-    s"${f.getAbsolutePath}|${f.length}|${f.lastModified}|$AlgoVersion"
+    s"${f.getAbsolutePath}|${f.length}|${f.lastModified}|$algo"
   }
 
   private def warehouseDir(spark: SparkSession): java.io.File = {
@@ -91,7 +97,7 @@ object IvfIndex {
   def ensure(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val idx = indexTable(dir)
     val cb = codebookTable(dir)
-    val fp = fingerprint(dir)
+    val fp = fingerprint(dir, IvfAlgo)
     val wh = warehouseDir(spark)
     val idxLoc = new java.io.File(wh, idx)
     val cbLoc = new java.io.File(wh, cb)
@@ -155,7 +161,13 @@ object IvfIndex {
     * applied rebalance with it.
     */
   private def g2Fingerprint(dir: String): String =
-    s"${fingerprint(dir)}|gen2-split2means"
+    s"${fingerprint(dir, IvfAlgo)}|gen2-split2means"
+
+  /** Gen-2 CODES freshness: the refreshed codes derive from the split
+    * (IVF segment) AND the residual-PQ recipe, so both scope in.
+    */
+  private def pqrG2Fingerprint(dir: String): String =
+    s"${fingerprint(dir, PqrAlgo)}|gen2-split2means"
 
   /** APPLY half of the IVF rebalance lifecycle (VERDICT r9 #2): consume
     * the [[VectorOps.splitPlan]] 2-means split of every overloaded cell
@@ -321,7 +333,7 @@ object IvfIndex {
     */
   def ensurePqrG2(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqrCodesG2Table(dir)
-    val fp = g2Fingerprint(dir)
+    val fp = pqrG2Fingerprint(dir)
     val wh = warehouseDir(spark)
     val codesLoc = new java.io.File(wh, codesT)
     val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
@@ -430,7 +442,7 @@ object IvfIndex {
   def ensurePq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqCodesTable(dir)
     val cbT = pqCodebookTable(dir)
-    val fp = fingerprint(dir)
+    val fp = fingerprint(dir, PqAlgo)
     val wh = warehouseDir(spark)
     val codesLoc = new java.io.File(wh, codesT)
     val cbLoc = new java.io.File(wh, cbT)
@@ -505,7 +517,7 @@ object IvfIndex {
   def ensurePqResidual(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqrCodesTable(dir)
     val cbT = pqrCodebookTable(dir)
-    val fp = fingerprint(dir)
+    val fp = fingerprint(dir, PqrAlgo)
     val wh = warehouseDir(spark)
     val codesLoc = new java.io.File(wh, codesT)
     val cbLoc = new java.io.File(wh, cbT)

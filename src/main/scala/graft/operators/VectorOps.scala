@@ -208,6 +208,99 @@ object VectorOps extends QueryModule {
     seed + rounds + fin
   }
 
+  /** The DuckDB mirror of the ENTIRE rebalance lifecycle — one shared
+    * fragment (the [[ivfCodebookSql]] discipline applied to the gen-2
+    * family: five declared rows previously each carried a near-verbatim
+    * copy of this chain, and a one-token drift in any copy would break
+    * that row's parity silently). Expects `e(vec_id, label, emb, nrm)`
+    * and `centn(cell, cvec, cnrm)` (from [[ivfCodebookSql]]) in scope;
+    * ends with every intermediate a consumer needs:
+    *
+    *  - `assigned(vec_id, emb, nrm, cell)` — gen-1 nearest-cell rows;
+    *  - `pops` / `over_cells(cell, n_cell)` — the overload gate;
+    *  - `asg(cell, n_cell, vec_id, emb, nrm, side)` — the 2-means split
+    *    ([[splitPlan]]'s mirror);
+    *  - `idmap(cell, side, new_cell)` — side 0 keeps the id, side 1 =
+    *    max(cell)+rank;
+    *  - `newcv(cell, side, cvec)` / `splitc(cell, cvec, cnrm)` — the
+    *    exact-decimal-mean sub-centroids (derived from `asg`, so an
+    *    EMPTY side contributes no row — the same invariant the Spark
+    *    build has, which a closed-form `nlist + |over|` count would
+    *    miss when a split's members all tie to side 0);
+    *  - `cb2(cell, cvec, cnrm)` / `idx2(vec_id, emb, nrm, cell)` — the
+    *    generation-2 codebook and index.
+    *
+    * Columns are the UNION of what the five consumers project; carrying
+    * the superset changes no row contents.
+    */
+  private[graft] val gen2LifecycleSql: String = """
+      sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
+      ), over_cells AS (
+        SELECT cell, n_cell FROM pops, nl
+        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), members AS (
+        SELECT a.cell, o.n_cell, a.vec_id, a.emb, a.nrm
+        FROM assigned a JOIN over_cells o USING (cell)
+      ), seeds AS (
+        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
+          SELECT cell, emb,
+            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM members)
+        WHERE rk <= 2
+      ), asg AS (
+        SELECT cell, n_cell, vec_id, emb, nrm, side FROM (
+          SELECT m.cell, m.n_cell, m.vec_id, m.emb, m.nrm, s.side,
+            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
+              ROUND(list_inner_product(m.emb, m.emb)
+                    - 2.0 * list_inner_product(m.emb, s.semb)
+                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
+          FROM members m JOIN seeds s USING (cell))
+        WHERE rn = 1
+      ), ranked AS (
+        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
+        FROM over_cells
+      ), idmap AS (
+        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
+        UNION ALL
+        SELECT r.cell, CAST(1 AS BIGINT) AS side,
+          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
+      ), cdim AS (
+        SELECT cell, side, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cell, side, UNNEST(emb) AS v,
+                UNNEST(range(len(emb))) AS pos FROM asg)
+        GROUP BY cell, side, pos
+      ), newcv AS (
+        SELECT cell, side, LIST(c ORDER BY pos) AS cvec
+        FROM cdim GROUP BY cell, side
+      ), splitc AS (
+        SELECT i.new_cell AS cell, n.cvec,
+          SQRT(list_inner_product(n.cvec, n.cvec)) AS cnrm
+        FROM newcv n JOIN idmap i USING (cell, side)
+      ), cb2 AS (
+        SELECT c.cell, c.cvec, c.cnrm FROM centn c
+        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT cell, cvec, cnrm FROM splitc
+      ), idx2 AS (
+        SELECT a.vec_id, a.emb, a.nrm, a.cell FROM assigned a
+        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
+        UNION ALL
+        SELECT g.vec_id, g.emb, g.nrm, i.new_cell AS cell
+        FROM asg g JOIN idmap i USING (cell, side)
+      )"""
+
   /** Row-local PQ encode at (row, subspace) granularity — the fast path
     * every exploding consumer uses (`vec_pq_encode`, `vec_pq_adc_topk`,
     * [[annIvfpqTopK]], [[pqLloydRound]]): the input fans out ×4 with a
@@ -2352,53 +2445,13 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $ivfCodebookSql, sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
-        SELECT a.cell, o.n_cell, a.vec_id, a.emb
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
-        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
-          SELECT cell, emb,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
-        WHERE rk <= 2
-      ), asg AS (
-        SELECT cell, n_cell, vec_id, emb, side FROM (
-          SELECT m.cell, m.n_cell, m.vec_id, m.emb, s.side,
-            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
-              ROUND(list_inner_product(m.emb, m.emb)
-                    - 2.0 * list_inner_product(m.emb, s.semb)
-                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
-        WHERE rn = 1
-      ), sides AS (
+      ), $ivfCodebookSql,$gen2LifecycleSql, sides AS (
         SELECT cell, n_cell, side, COUNT(*) AS n_side
         FROM asg GROUP BY cell, n_cell, side
-      ), cdim AS (
-        SELECT cell, side, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT cell, side, UNNEST(emb) AS v,
-                UNNEST(range(len(emb))) AS pos FROM asg)
-        GROUP BY cell, side, pos
       ), newc AS (
         SELECT cell, side,
-          ROUND(SQRT(list_inner_product(LIST(c ORDER BY pos),
-                                        LIST(c ORDER BY pos))), 6) AS cnrm_new
-        FROM cdim GROUP BY cell, side
+          ROUND(SQRT(list_inner_product(cvec, cvec)), 6) AS cnrm_new
+        FROM newcv
       )
       SELECT s.cell, s.n_cell, s.side, s.n_side, n.cnrm_new
       FROM sides s JOIN newc n USING (cell, side)
@@ -2443,71 +2496,7 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $ivfCodebookSql, sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
-        SELECT a.cell, o.n_cell, a.vec_id, a.emb
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
-        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
-          SELECT cell, emb,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
-        WHERE rk <= 2
-      ), asg AS (
-        SELECT cell, n_cell, vec_id, emb, side FROM (
-          SELECT m.cell, m.n_cell, m.vec_id, m.emb, s.side,
-            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
-              ROUND(list_inner_product(m.emb, m.emb)
-                    - 2.0 * list_inner_product(m.emb, s.semb)
-                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
-        WHERE rn = 1
-      ), ranked AS (
-        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
-        FROM over_cells
-      ), idmap AS (
-        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
-        UNION ALL
-        SELECT r.cell, CAST(1 AS BIGINT) AS side,
-          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
-      ), cdim AS (
-        SELECT cell, side, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT cell, side, UNNEST(emb) AS v,
-                UNNEST(range(len(emb))) AS pos FROM asg)
-        GROUP BY cell, side, pos
-      ), splitc AS (
-        SELECT i.new_cell AS cell,
-          SQRT(list_inner_product(n.cvec, n.cvec)) AS cnrm
-        FROM (SELECT cell, side, LIST(c ORDER BY pos) AS cvec
-              FROM cdim GROUP BY cell, side) n
-        JOIN idmap i USING (cell, side)
-      ), cb2 AS (
-        SELECT c.cell, c.cnrm FROM centn c
-        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT cell, cnrm FROM splitc
-      ), idx2 AS (
-        SELECT a.vec_id, a.cell FROM assigned a
-        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT g.vec_id, i.new_cell AS cell
-        FROM asg g JOIN idmap i USING (cell, side)
-      ), pops2 AS (
+      ), $ivfCodebookSql,$gen2LifecycleSql, pops2 AS (
         SELECT cell, COUNT(*) AS n_cell FROM idx2 GROUP BY cell
       )
       SELECT p.cell, p.n_cell, ROUND(b.cnrm, 6) AS cnrm
@@ -2561,71 +2550,7 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $ivfCodebookSql, sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, nrm, cell FROM (
-          SELECT vec_id, emb, nrm, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
-        SELECT a.cell, a.vec_id, a.emb, a.nrm
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
-        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
-          SELECT cell, emb,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
-        WHERE rk <= 2
-      ), asg AS (
-        SELECT cell, vec_id, emb, nrm, side FROM (
-          SELECT m.cell, m.vec_id, m.emb, m.nrm, s.side,
-            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
-              ROUND(list_inner_product(m.emb, m.emb)
-                    - 2.0 * list_inner_product(m.emb, s.semb)
-                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
-        WHERE rn = 1
-      ), ranked AS (
-        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
-        FROM over_cells
-      ), idmap AS (
-        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
-        UNION ALL
-        SELECT r.cell, CAST(1 AS BIGINT) AS side,
-          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
-      ), cdim AS (
-        SELECT cell, side, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT cell, side, UNNEST(emb) AS v,
-                UNNEST(range(len(emb))) AS pos FROM asg)
-        GROUP BY cell, side, pos
-      ), splitc AS (
-        SELECT i.new_cell AS cell, n.cvec,
-          SQRT(list_inner_product(n.cvec, n.cvec)) AS cnrm
-        FROM (SELECT cell, side, LIST(c ORDER BY pos) AS cvec
-              FROM cdim GROUP BY cell, side) n
-        JOIN idmap i USING (cell, side)
-      ), cb2 AS (
-        SELECT c.cell, c.cvec, c.cnrm FROM centn c
-        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT cell, cvec, cnrm FROM splitc
-      ), idx2 AS (
-        SELECT a.vec_id, a.emb, a.nrm, a.cell FROM assigned a
-        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT g.vec_id, g.emb, g.nrm, i.new_cell AS cell
-        FROM asg g JOIN idmap i USING (cell, side)
-      ), qsims AS (
+      ), $ivfCodebookSql,$gen2LifecycleSql, qsims AS (
         SELECT e.vec_id, e.emb, e.nrm, b.cell,
           ROUND(list_inner_product(e.emb, b.cvec) / (e.nrm * b.cnrm), 6) AS csim
         FROM e CROSS JOIN cb2 b
@@ -2685,57 +2610,10 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $ivfCodebookSql, sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
-        SELECT a.cell, a.vec_id, a.emb
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
-        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
-          SELECT cell, emb,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
-        WHERE rk <= 2
-      ), asg AS (
-        SELECT cell, vec_id, side FROM (
-          SELECT m.cell, m.vec_id, s.side,
-            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
-              ROUND(list_inner_product(m.emb, m.emb)
-                    - 2.0 * list_inner_product(m.emb, s.semb)
-                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
-        WHERE rn = 1
-      ), ranked AS (
-        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
-        FROM over_cells
-      ), idmap AS (
-        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
-        UNION ALL
-        SELECT r.cell, CAST(1 AS BIGINT) AS side,
-          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
-      ), idx2 AS (
-        SELECT a.vec_id, a.cell FROM assigned a
-        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT g.vec_id, i.new_cell AS cell
-        FROM asg g JOIN idmap i USING (cell, side)
-      ), nc2 AS (
+      ), $ivfCodebookSql,$gen2LifecycleSql, nc2 AS (
         SELECT (SELECT COUNT(*) FROM centn)
              - (SELECT COUNT(*) FROM over_cells)
-             + 2 * (SELECT COUNT(*) FROM over_cells) AS n_cells
+             + (SELECT COUNT(*) FROM splitc) AS n_cells
       ), g1 AS (
         SELECT CAST(1 AS BIGINT) AS generation,
           (SELECT COUNT(*) FROM centn) AS n_cells,
@@ -2791,69 +2669,7 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $ivfCodebookSql, sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, cell FROM (
-          SELECT vec_id, emb, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
-        SELECT a.cell, a.vec_id, a.emb
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
-        SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
-          SELECT cell, emb,
-            ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
-        WHERE rk <= 2
-      ), asg AS (
-        SELECT cell, vec_id, emb, side FROM (
-          SELECT m.cell, m.vec_id, m.emb, s.side,
-            ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
-              ROUND(list_inner_product(m.emb, m.emb)
-                    - 2.0 * list_inner_product(m.emb, s.semb)
-                    + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
-        WHERE rn = 1
-      ), ranked AS (
-        SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
-        FROM over_cells
-      ), idmap AS (
-        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
-        UNION ALL
-        SELECT r.cell, CAST(1 AS BIGINT) AS side,
-          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
-      ), cdim AS (
-        SELECT cell, side, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-        FROM (SELECT cell, side, UNNEST(emb) AS v,
-                UNNEST(range(len(emb))) AS pos FROM asg)
-        GROUP BY cell, side, pos
-      ), newcv AS (
-        SELECT cell, side, LIST(c ORDER BY pos) AS cvec
-        FROM cdim GROUP BY cell, side
-      ), cb2 AS (
-        SELECT c.cell, c.cvec FROM centn c
-        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT i.new_cell AS cell, n.cvec
-        FROM newcv n JOIN idmap i USING (cell, side)
-      ), idx2 AS (
-        SELECT a.vec_id, a.emb, a.cell FROM assigned a
-        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
-        UNION ALL
-        SELECT g.vec_id, g.emb, i.new_cell AS cell
-        FROM asg g JOIN idmap i USING (cell, side)
-      ), rese AS (
+      ), $ivfCodebookSql,$gen2LifecycleSql, rese AS (
         SELECT a.vec_id,
           list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
         FROM assigned a JOIN centn c USING (cell)

@@ -126,7 +126,6 @@ class NearestCentroidSpec extends SparkSpecBase {
       .withNearestCells(e.limit(5), cents, keep = 2, rounded = true)
       .select($"vec_id", $"cell", $"csim")
     // SQL reference: the row_number-over-csim-DESC formulation
-    out.createOrReplaceTempView("nan_fast")
     e.limit(5).select($"vec_id", $"emb", $"nrm").createOrReplaceTempView("nan_q")
     cents.createOrReplaceTempView("nan_cb")
     // ANSI mode turns a 0/0 double division into an error, so the IEEE
