@@ -86,17 +86,19 @@ private[functions] trait CodebookCache { self: Expression =>
 
   /** Decode (id, vec, aux) structs once per physical buffer. The cache
     * key is the buffer identity PLUS content guards (total byte size and
-    * the FIRST and LAST structs' aux-field bits — r9 ADVICE, widened by
-    * the r10 review): a reused buffer with different contents (a
+    * a rotate-XOR fold of EVERY struct's aux-field bits — r9 ADVICE,
+    * widened to first/last by the r10 review, widened to all m entries
+    * by the r10 advisor): a reused buffer with different contents (a
     * hypothetical non-broadcast, per-row codebook) re-decodes instead of
-    * silently serving a stale codebook. The guard is deliberately O(1) —
-    * it SAMPLES the contents, it does not hash them; a same-size buffer
-    * differing only in interior structs with identical first/last aux
-    * bits would still hit. That residual hole is acceptable because
-    * every call site passes a BROADCAST one-row-array codebook, whose
-    * buffer is immutable for the lifetime of the partition — the guard
-    * exists to turn a violated assumption into a re-decode (or a loud
-    * wrong answer in tests), not to checksum per row on the hot path.
+    * silently serving a stale codebook, including one differing only in
+    * interior entries. The fold is O(m) aux reads per row — against the
+    * m × dim multiply-adds the candidate loop then performs, ~1/dim
+    * relative overhead; id/vec fields remain unguarded (aux is derived
+    * from vec at every call site, so a vec change moves aux too). Every
+    * call site passes a BROADCAST one-row-array codebook, whose buffer
+    * is immutable for the lifetime of the partition — the guard exists
+    * to turn a violated assumption into a re-decode, not to be a
+    * cryptographic checksum.
     */
   protected final def load(arr: ArrayData): Unit = {
     val (obj, off, size) = arr match {
@@ -104,11 +106,13 @@ private[functions] trait CodebookCache { self: Expression =>
       case other => (other.asInstanceOf[AnyRef], 0L, -1L)
     }
     val m = arr.numElements()
-    val bits = if (m > 0) {
-      java.lang.Double.doubleToRawLongBits(arr.getStruct(0, 3).getDouble(2)) ^
-        java.lang.Long.rotateLeft(
-          java.lang.Double.doubleToRawLongBits(arr.getStruct(m - 1, 3).getDouble(2)), 17)
-    } else 0L
+    var bits = 0L
+    var j = 0
+    while (j < m) {
+      bits = java.lang.Long.rotateLeft(bits, 17) ^
+        java.lang.Double.doubleToRawLongBits(arr.getStruct(j, 3).getDouble(2))
+      j += 1
+    }
     if ((obj eq keyObj) && off == keyOff && m == keyLen &&
       size == keySize && bits == keyBits) return
     val newIds = new Array[Any](m)

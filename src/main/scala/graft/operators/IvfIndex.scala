@@ -155,6 +155,35 @@ object IvfIndex {
   def indexG2Table(dir: String): String = s"graft_ivf_index_g2_${tag(dir)}"
   def codebookG2Table(dir: String): String = s"graft_ivf_codebook_g2_${tag(dir)}"
 
+  /** Are the GENERATION-1 index artifacts current on disk? The
+    * `fp|noop` generation-2 markers ALIAS the generation-1 directories
+    * (metadata-only publish), so every freshness check that trusts a
+    * noop marker must also verify the aliased data still exists — if
+    * gen-1 was removed externally while the marker persisted, the check
+    * must fail back to a rebuild instead of registering catalog entries
+    * over missing files (r10 ADVICE).
+    */
+  private def gen1IndexOnDisk(spark: SparkSession, dir: String): Boolean = {
+    val wh = warehouseDir(spark)
+    val metaFile = new java.io.File(wh, s"${indexTable(dir)}.fingerprint")
+    metaFile.isFile &&
+      Files.readString(metaFile.toPath).trim == fingerprint(dir, IvfAlgo) &&
+      new java.io.File(wh, indexTable(dir)).isDirectory &&
+      new java.io.File(wh, codebookTable(dir)).isDirectory
+  }
+
+  /** Gen-1 residual-codes twin of [[gen1IndexOnDisk]], for the codes
+    * noop marker in [[ensurePqrG2]].
+    */
+  private def gen1PqrOnDisk(spark: SparkSession, dir: String): Boolean = {
+    val wh = warehouseDir(spark)
+    val metaFile = new java.io.File(wh, s"${pqrCodesTable(dir)}.fingerprint")
+    metaFile.isFile &&
+      Files.readString(metaFile.toPath).trim == fingerprint(dir, PqrAlgo) &&
+      new java.io.File(wh, pqrCodesTable(dir)).isDirectory &&
+      new java.io.File(wh, pqrCodebookTable(dir)).isDirectory
+  }
+
   /** Generation-2 freshness key: the generation-1 fingerprint (corpus
     * identity + algo revision) plus the split recipe's own marker, so a
     * rebuilt generation 1 — new corpus or new algo — invalidates the
@@ -212,8 +241,10 @@ object IvfIndex {
     val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
     // "<fp>|noop" records an EMPTY split plan: generation 2 was published
     // as metadata only, over the generation-1 files — at 100 TB a
-    // verbatim index copy for a no-op nightly apply would be the bug
-    val noop = metaRaw == s"$fp|noop"
+    // verbatim index copy for a no-op nightly apply would be the bug.
+    // A noop marker is only as fresh as the gen-1 data it aliases
+    // (r10 ADVICE): gen-1 gone → rebuild, don't register over nothing.
+    val noop = metaRaw == s"$fp|noop" && gen1IndexOnDisk(spark, dir)
     val onDisk = noop || (metaRaw == fp && idxLoc.isDirectory && cbLoc.isDirectory)
     val inCatalog = spark.catalog.tableExists(idxT) && spark.catalog.tableExists(cbT)
     def register(iLoc: java.io.File, cLoc: java.io.File): Unit = {
@@ -237,7 +268,14 @@ object IvfIndex {
     } else if (!onDisk) {
       val (idx, cb) = ensure(spark, dir)
       val (over, asg) = VectorOps.splitPlan(spark, idx, cb)
-      if (over.isEmpty) {
+      // the split-cell list is bounded by the overload predicate (a
+      // handful of rows, kilobytes) — collect it once and derive the
+      // deterministic id map driver-side instead of ranking through an
+      // unpartitioned window (r10 ADVICE: Window.orderBy with no
+      // partition spec funnels through a single partition and warns on
+      // every apply)
+      val splitCells = over.select(col("cell")).collect().map(_.getLong(0)).sorted
+      if (splitCells.isEmpty) {
         // EMPTY plan: publish generation 2 as catalog metadata over the
         // generation-1 files — no copy, no shuffle, nothing to roll back
         Files.deleteIfExists(metaFile.toPath)
@@ -248,18 +286,15 @@ object IvfIndex {
         Files.writeString(metaFile.toPath, s"$fp|noop"): Unit
         return (spark.table(idxT), spark.table(cbT))
       }
-      // deterministic new ids: rank split cells by cell id (a handful of
-      // broadcast-small rows — the single-partition window is bounded by
-      // the split-cell count, never the corpus)
-      val ranked = over
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("cell"))).cast("long"))
-        .crossJoin(broadcast(cb.agg(max(col("cell")).as("maxc"))))
-      val idMap = ranked
-        .select(col("cell"), explode(array(
-          struct(lit(0L).as("side"), col("cell").as("new_cell")),
-          struct(lit(1L).as("side"), (col("maxc") + col("rk")).as("new_cell")))).as("m"))
-        .select(col("cell"), col("m.side").as("side"), col("m.new_cell").as("new_cell"))
+      // deterministic new ids: rank split cells by cell id — side 0
+      // keeps the id, side 1 gets max(gen-1 cell) + 1-based rank. Built
+      // driver-side from the collected bounded list (plus the one-row
+      // codebook max), then broadcast back — no window, no crossJoin.
+      val maxc = cb.agg(max(col("cell"))).head.getLong(0)
+      val idMap = spark.createDataFrame(
+        splitCells.zipWithIndex.flatMap { case (c, i) =>
+          Seq((c, 0L, c), (c, 1L, maxc + i + 1L))
+        }.toSeq).toDF("cell", "side", "new_cell")
       // split sub-centroids: exact per-dimension decimal means (the
       // vec_kmeans_lloyd update rule), re-keyed to the new cell ids
       val splitCents = asg
@@ -274,12 +309,15 @@ object IvfIndex {
         .join(broadcast(idMap), Seq("cell", "side"))
         .select(col("new_cell").as("cell"), col("cvec"),
           sqrt(GraftFunctions.dot(col("cvec"), col("cvec"))).as("cnrm"))
-      val cb2 = cb.join(broadcast(over.select(col("cell"))), Seq("cell"), "left_anti")
+      // the collected list also serves the two anti joins — the plan's
+      // `over` aggregation is not recomputed per consumer
+      val overCells = spark.createDataFrame(splitCells.toSeq.map(Tuple1(_))).toDF("cell")
+      val cb2 = cb.join(broadcast(overCells), Seq("cell"), "left_anti")
         .select(col("cell"), col("cvec"), col("cnrm"))
         .unionByName(splitCents)
       // gen-2 index: unsplit rows pass through; split-cell members take
       // their side's new id (side 0 keeps the id, so only side-1 rows move)
-      val keep = idx.join(broadcast(over.select(col("cell"))), Seq("cell"), "left_anti")
+      val keep = idx.join(broadcast(overCells), Seq("cell"), "left_anti")
         .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
       val moved = asg.join(broadcast(idMap), Seq("cell", "side"))
         .select(col("vec_id"), col("emb"), col("nrm"), col("new_cell").as("cell"))
@@ -339,8 +377,9 @@ object IvfIndex {
     val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
     val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
     // same no-op contract as [[ensureRebalanced]]: an empty refresh set
-    // publishes the gen-2 codes as metadata over the gen-1 codes files
-    val noop = metaRaw == s"$fp|noop"
+    // publishes the gen-2 codes as metadata over the gen-1 codes files —
+    // which must therefore still exist for the marker to count (r10 ADVICE)
+    val noop = metaRaw == s"$fp|noop" && gen1PqrOnDisk(spark, dir)
     val onDisk = noop || (metaRaw == fp && codesLoc.isDirectory)
     val inCatalog = spark.catalog.tableExists(codesT)
     def register(loc: java.io.File): Unit = {
@@ -412,9 +451,12 @@ object IvfIndex {
     val metaFile = new java.io.File(wh, s"${indexG2Table(dir)}.fingerprint")
     val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
     val fp = g2Fingerprint(dir)
-    val g2Fresh = metaRaw == s"$fp|noop" || (metaRaw == fp &&
-      new java.io.File(wh, indexG2Table(dir)).isDirectory &&
-      new java.io.File(wh, codebookG2Table(dir)).isDirectory)
+    // a noop marker aliases gen-1 files, so it is only fresh while the
+    // gen-1 artifacts it points at still exist (r10 ADVICE)
+    val g2Fresh = (metaRaw == s"$fp|noop" && gen1IndexOnDisk(spark, dir)) ||
+      (metaRaw == fp &&
+        new java.io.File(wh, indexG2Table(dir)).isDirectory &&
+        new java.io.File(wh, codebookG2Table(dir)).isDirectory)
     if (g2Fresh) ensureRebalanced(spark, dir) else ensure(spark, dir)
   }
 
