@@ -73,9 +73,16 @@ object RecallProbe {
 
     // 3. end-to-end, residual PQ ADC (persisted, k = VectorOps.PqrK)
     val (resCodes, resCb) = IvfIndex.ensurePqResidual(spark, dir)
+    val resCand = adcCand(resCodes, resCb, probes, rawLut = false, ivfCb,
+      VectorOps.PqrM, VectorOps.PqrW)
     report(s"end-to-end ADC, residual PQ (persisted, k=${VectorOps.PqrK}, m=${VectorOps.PqrM})",
-      adcCand(resCodes, resCb, probes, rawLut = false, ivfCb,
-        VectorOps.PqrM, VectorOps.PqrW), exact, nQ)
+      resCand, exact, nQ)
+
+    // 3b. REFINED end-to-end (VERDICT r10 #1, the declared
+    //     `vec_ann_refine_serve` recipe): ADC shortlist R=20 per query,
+    //     exact rounded-L2 re-rank of only those R full vectors
+    reportRefined("refined end-to-end (ADC shortlist R=20 -> exact re-rank)",
+      resCand, e, q, exact, nQ)
 
     // 4. generation-2 lifecycle: the same measurements after the applied
     //    rebalance + incremental residual-code refresh — the number that
@@ -98,9 +105,11 @@ object RecallProbe {
     report("cell-stage GEN-2 (post-rebalance, exact L2 in probed cells)",
       cellCand2, exact, nQ)
     val (codes2, _) = IvfIndex.ensurePqrG2(spark, dir)
-    report("end-to-end ADC GEN-2 (refreshed residual codes)",
-      adcCand(codes2, resCb, probes2, rawLut = false, cb2,
-        VectorOps.PqrM, VectorOps.PqrW), exact, nQ)
+    val resCand2 = adcCand(codes2, resCb, probes2, rawLut = false, cb2,
+      VectorOps.PqrM, VectorOps.PqrW)
+    report("end-to-end ADC GEN-2 (refreshed residual codes)", resCand2, exact, nQ)
+    reportRefined("refined GEN-2 (ADC shortlist R=20 -> exact re-rank)",
+      resCand2, e, q, exact, nQ)
 
     // 5. optional in-plan sweep: extra args are residual-PQ geometries
     //    as "k" (4×16-dim subspaces) or "k:m" (m subspaces of 64/m dims)
@@ -191,6 +200,47 @@ object RecallProbe {
       .agg(sum(col("qd2").cast(DecimalType(18, 6))).as("ad"))
       .withColumn("adist", col("ad").cast(DoubleType))
       .select(col("q_id"), col("vec_id"), col("cr"), col("adist"))
+  }
+
+  /** Recall after the exact REFINE stage: per nprobe, the top-`r` ADC
+    * shortlist is re-ranked by exact rounded-L2 against the corpus
+    * vectors before the @3/@5 cut — the `vec_ann_refine_serve` serve
+    * recipe at every curve point.
+    */
+  private def reportRefined(label: String, cand: DataFrame, e: DataFrame,
+      q: DataFrame, exact: DataFrame, nQ: Long, r: Int = 20): Unit = {
+    val wNp = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val shortlist = cand
+      .withColumn("nprobe", explode(array(NPs.map(lit): _*)))
+      .filter(col("cr") <= col("nprobe"))
+      .withColumn("srn", row_number().over(wNp))
+      .filter(col("srn") <= r)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+    val qq = q.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val refined = shortlist
+      .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(qq), Seq("q_id"))
+      .withColumn("d2", round(
+        GraftFunctions.dot(col("emb"), col("emb"))
+          - lit(2.0) * GraftFunctions.dot(col("emb"), col("q_emb"))
+          + GraftFunctions.dot(col("q_emb"), col("q_emb")), 6))
+      .withColumn("a_rn", row_number().over(wTop))
+      .filter(col("a_rn") <= K)
+    val byNp = refined.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("nprobe"))
+      .agg(
+        sum(when(col("a_rn") <= 3 && col("e_rn") <= 3, 1L).otherwise(0L)).as("h3"),
+        count(lit(1)).as("h5"))
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    println(s"== $label (nQ=$nQ) ==")
+    NPs.foreach { np =>
+      val (h3, h5) = byNp.getOrElse(np, (0L, 0L))
+      println(f"nprobe=$np%d recall@3=${h3.toDouble / (nQ * 3)}%.3f recall@5=${h5.toDouble / (nQ * 5)}%.3f")
+    }
   }
 
   /** Print recall@3/@5 per nprobe for a candidate set. */

@@ -2926,8 +2926,9 @@ object VectorOps extends QueryModule {
     * pruning) and never shuffles; on a real cluster the sorted-bucket
     * layout makes each lookup a bucket-local binary search. Recall
     * rises to the cell-stage ceiling wherever the true neighbor
-    * survives the shortlist — measured 0.593 @3 at nprobe=8 (RECALL.md
-    * r11), 94% of the 0.640 ceiling, vs 0.420 unrefined.
+    * survives the shortlist — measured 0.627 @3 at nprobe=8 (RECALL.md
+    * r11), 98% of the 0.640 ceiling vs 0.420 unrefined, and EQUAL to
+    * the ceiling at nprobe ≤ 3 where R=20 admits every candidate.
     */
   val vecAnnRefineServe = Q(
     "vec_ann_refine_serve",

@@ -795,6 +795,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"broadcast-only curve path:\n$p")
   }
 
+  test("vec_ann_refine_serve: shortlist from codes, index read only for the R lookups") {
+    val df = operators.VectorOps.vecAnnRefineServe.fn(spark, sfDir)
+    val p = planString(df)
+    // stage 1 (shortlist) reads the persisted residual codes +
+    // codebook; stage 2 (exact re-rank) reads the full-vector index —
+    // BOTH tables must appear, unlike the unrefined serve/curve rows
+    assert(p.contains(operators.IvfIndex.pqrCodesTable(sfDir)),
+      s"refine plan does not read the persisted residual codes table:\n$p")
+    assert(p.contains(operators.IvfIndex.pqrCodebookTable(sfDir)),
+      s"refine plan does not read the persisted residual codebook:\n$p")
+    assert(p.contains(operators.IvfIndex.indexTable(sfDir)),
+      s"refine plan does not read the full-vector index for the R lookups:\n$p")
+    // probes/LUT/shortlist all broadcast: no cell shuffle, no
+    // sort-merge join — the index side never moves for the refine
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the refine path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast-only refine path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shortlist/probe/LUT sides must broadcast:\n$p")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
