@@ -167,46 +167,51 @@ object VectorOps extends QueryModule {
     * [[IvfLloydIters]] Lloyd rounds are UNROLLED programmatically so the
     * mirror can never drift from the Spark build by one iteration.
     */
-  val ivfCodebookSql: String = {
-    val seed = """
-      nl AS (
+  private[graft] def ivfCodebookSqlGen(src: String = "e", p: String = "",
+      countSrc: String = "embeddings"): String = {
+    // alias non-default sources as `e` so the round bodies read uniformly
+    val srcE = if (src == "e") "e" else s"$src e"
+    val seed = s"""
+      ${p}nl AS (
         SELECT nlist, GREATEST(n // nlist, 1) AS stride FROM (
           SELECT COUNT(*) AS n, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
-          FROM embeddings)
-      ), cent0 AS (
-        SELECT vec_id // stride AS cid, emb AS cemb FROM e, nl
+          FROM $countSrc)
+      ), ${p}cent0 AS (
+        SELECT vec_id // stride AS cid, emb AS cemb FROM $src, ${p}nl
         WHERE vec_id % stride = 0 AND vec_id // stride < nlist
       )"""
     val rounds = (1 to IvfLloydIters).map { i =>
-      s""", asg$i AS (
+      s""", ${p}asg$i AS (
         SELECT vec_id, cid, emb FROM (
           SELECT e.vec_id, c.cid, e.emb,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ROUND(list_inner_product(e.emb, e.emb)
                     - 2.0 * list_inner_product(e.emb, c.cemb)
                     + list_inner_product(c.cemb, c.cemb), 6), c.cid) AS rn
-          FROM e CROSS JOIN cent${i - 1} c)
+          FROM $srcE CROSS JOIN ${p}cent${i - 1} c)
         WHERE rn = 1
-      ), cd$i AS (
+      ), ${p}cd$i AS (
         SELECT cid, pos,
           CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
         FROM (SELECT cid, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos
-              FROM asg$i)
+              FROM ${p}asg$i)
         GROUP BY cid, pos
-      ), cent$i AS (
+      ), ${p}cent$i AS (
         SELECT p.cid, COALESCE(m.cemb, p.cemb) AS cemb
-        FROM cent${i - 1} p LEFT JOIN
-          (SELECT cid, LIST(c ORDER BY pos) AS cemb FROM cd$i GROUP BY cid) m
+        FROM ${p}cent${i - 1} p LEFT JOIN
+          (SELECT cid, LIST(c ORDER BY pos) AS cemb FROM ${p}cd$i GROUP BY cid) m
           ON p.cid = m.cid
       )"""
     }.mkString
-    val fin = s""", centn AS (
+    val fin = s""", ${p}centn AS (
         SELECT CAST(cid AS BIGINT) AS cell, cemb AS cvec,
           SQRT(list_inner_product(cemb, cemb)) AS cnrm
-        FROM cent$IvfLloydIters
+        FROM ${p}cent$IvfLloydIters
       )"""
     seed + rounds + fin
   }
+
+  val ivfCodebookSql: String = ivfCodebookSqlGen()
 
   /** The DuckDB mirror of the ENTIRE rebalance lifecycle — one shared
     * fragment (the [[ivfCodebookSql]] discipline applied to the gen-2
@@ -413,11 +418,11 @@ object VectorOps extends QueryModule {
     * count reads `embeddings` directly (source rows are 1:1 with the
     * corpus in both instantiations).
     */
-  private def pqCodebookSqlGen(src: String, p: String, k: Int = PqK,
-      m: Int = 4, w: Int = 16): String = {
+  private[graft] def pqCodebookSqlGen(src: String, p: String, k: Int = PqK,
+      m: Int = 4, w: Int = 16, countSrc: String = "embeddings"): String = {
     val seed = s"""
       ${p}pn AS (
-        SELECT GREATEST(COUNT(*) // $k, 1) AS pstride FROM embeddings
+        SELECT GREATEST(COUNT(*) // $k, 1) AS pstride FROM $countSrc
       ), ${p}s AS (
         SELECT vec_id, sub, list_slice(emb, sub*$w + 1, sub*$w + $w) AS v
         FROM $src, (SELECT UNNEST(range($m)) AS sub)
@@ -3085,7 +3090,210 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** Shared DuckDB mirror of the incremental-ADD lifecycle
+    * ([[IvfIndex.ensureBase]] / [[IvfIndex.ensureAppended]]) — the
+    * [[gen2LifecycleSql]] discipline applied to the append family so
+    * its three declared rows cannot drift from each other. Expects
+    * `e(vec_id, label, emb, nrm)` in scope; ends with:
+    *
+    *  - `be` — the base slice (vec_id % 10 != 3, [[IvfIndex.isAppendBatch]]);
+    *  - `bcentn(cell, cvec, cnrm)` — the codebook TRAINED ON THE BASE
+    *    SLICE (nlist/stride from the base count, stride seeds from base
+    *    ids — [[ivfCodebookSqlGen]] pointed at `be`);
+    *  - `bsims` — every corpus row's rounded cosine to every base cell;
+    *  - `ball(vec_id, emb, nrm, cell)` — the UNION assignment: base
+    *    rows as the base build assigned them, batch rows as the append
+    *    assigned them — one rule, one codebook, so the mirror derives
+    *    both in one pass.
+    */
+  private[graft] val baseAppendLifecycleSql: String = s"""
+      be AS (
+        SELECT vec_id, label, emb, nrm FROM e WHERE vec_id % 10 <> 3
+      ), ${ivfCodebookSqlGen("be", "b", "be")}, bsims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN bcentn c
+      ), ball AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM bsims)
+        WHERE cr = 1
+      )"""
+
+  /** INCREMENTAL ADD to the persisted IVF index (SURVEY §2 I-duodec,
+    * VERDICT r10 #2) — the most common production index operation: a
+    * NEW vector batch joins the index without a rebuild.
+    * [[IvfIndex.ensureAppended]] assigns the batch (vec_id ≡ 3 mod 10)
+    * ROW-LOCALLY to the BASE generation's cells (broadcast codebook,
+    * compiled argmin — the codebook is NOT retrained, FAISS add()
+    * semantics) and APPENDS correctly-bucketed files; existing files
+    * are byte-untouched (IvfIndexSpec) and a replayed append is a
+    * metadata no-op (fingerprint commits last). Declared output audits
+    * the post-append index read back from the persisted table: per
+    * cell, total members and appended members. The oracle re-derives
+    * the BASE codebook from the base slice and assigns base + batch
+    * rows from scratch — a pass certifies both halves of the union.
+    *
+    * Scale notes (100 TB): append work ∝ batch size (one batch scan,
+    * row-local assignment, one batch-sized cell-hash shuffle,
+    * ≤ NBuckets new files — PlanSpec pins zero Exchange in the
+    * assignment frame); this row's read side aggregates the bucketed
+    * table per cell with zero Exchange. The base→appended clone is an
+    * oracle-freeze artifact only (the registry v1→v2 rule) —
+    * production appends in place.
+    */
+  val vecIvfAppendIncremental = Q(
+    "vec_ivf_append_incremental",
+    (spark, dir) => {
+      import spark.implicits._
+      val (appIdx, _) = IvfIndex.ensureAppended(spark, dir)
+      appIdx.groupBy($"cell")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(IvfIndex.isAppendBatch($"vec_id"), 1)).as("n_appended"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $baseAppendLifecycleSql
+      SELECT cell, COUNT(*) AS n_total,
+        COUNT(CASE WHEN vec_id % 10 = 3 THEN 1 END) AS n_appended
+      FROM ball GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
+  /** ANN SERVE from the POST-APPEND index (SURVEY §2 I-duodec) — the
+    * proof the appended rows are LIVE for retrieval the moment the
+    * append lands: 50 disjoint-sample probes (vec_id ≡ 7 mod 10,
+    * < 500 — disjoint from the appended batch ≡ 3) answered
+    * nprobe=3/k=3 from the persisted appended table, ranked by the
+    * UNCHANGED base codebook. Results legitimately include appended
+    * vectors wherever they are true near neighbors; the oracle
+    * re-derives base training, the full union assignment, probes and
+    * top-k from scratch, so a pass certifies the append preserved
+    * retrieval semantics exactly.
+    *
+    * Scale notes (100 TB): identical plan shape to `vec_ann_ivf_serve`
+    * — bucketed appended-index scan (zero Exchange), broadcast probes,
+    * per-query top-k window over ~nprobe/nlist of the corpus.
+    */
+  val vecAnnIvfServeApp = Q(
+    "vec_ann_ivf_serve_app",
+    (spark, dir) => {
+      import spark.implicits._
+      val (appIdx, baseCb) = IvfIndex.ensureAppended(spark, dir)
+      val q = withNorm(spark, dir).filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      val probes = withNearestCells(q, baseCb, keep = 3, rounded = true)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      appIdx
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $baseAppendLifecycleSql, probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM bsims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 3
+      ), cand AS (
+        SELECT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM ball a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
+  /** INCREMENTAL residual-CODE append beside the index append (SURVEY
+    * §2 I-duodec) — the codes-table half of the ADD lifecycle
+    * ([[IvfIndex.ensurePqrAppended]]): batch rows' residuals (vs their
+    * row-locally assigned base cell) encode with the UNCHANGED
+    * base-trained residual-PQ codebook and APPEND into the cloned base
+    * codes generation as cell-bucketed files. Declared output = per
+    * cell the member count and exact sum of code ids read back from
+    * the persisted appended codes. The oracle re-encodes EVERY code
+    * from scratch at the base geometry (base codebook → union
+    * assignment → residuals → base-residual-trained PQ codebook → full
+    * encode), so a pass proves incremental append == full rebuild.
+    *
+    * Scale notes (100 TB): encode work ∝ batch size (broadcast
+    * kilobyte codebooks, row-local slicing/argmin); the clone is the
+    * oracle-freeze artifact; this row's read side aggregates the
+    * bucketed codes per cell with zero Exchange.
+    */
+  val vecPqrAppendIncremental = Q(
+    "vec_pqr_append_incremental",
+    (spark, dir) => {
+      import spark.implicits._
+      val (appCodes, _) = IvfIndex.ensurePqrAppended(spark, dir)
+      appCodes.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vec"),
+          sum(expr("aggregate(codes, 0L, (a, x) -> a + x)")).as("codes_sum"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $baseAppendLifecycleSql, brese AS (
+        SELECT a.vec_id,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM ball a JOIN bcentn c USING (cell)
+        WHERE a.vec_id % 10 <> 3
+      ), ${pqCodebookSqlGen("brese", "r", PqrK, PqrM, PqrW, countSrc = "be")}, resall AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM ball a JOIN bcentn c USING (cell)
+      ), ras AS (
+        SELECT vec_id, cell, sub,
+          list_slice(emb, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM resall, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), rad AS (
+        SELECT s.vec_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM ras s JOIN rpqcb c ON s.sub = c.sub
+      ), racodes AS (
+        SELECT vec_id, cell, sub, cid FROM (
+          SELECT vec_id, cell, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM rad)
+        WHERE rn = 1
+      ), vsum AS (
+        SELECT vec_id, cell, SUM(cid) AS cs FROM racodes GROUP BY vec_id, cell
+      )
+      SELECT cell, COUNT(*) AS n_vec, CAST(SUM(cs) AS BIGINT) AS codes_sum
+      FROM vsum GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecIvfAppendIncremental,
+    vecAnnIvfServeApp,
+    vecPqrAppendIncremental,
     vecAnnRefineServe,
     vecAnnRecallCurve,
     vecIvfCellRebalance,

@@ -75,6 +75,80 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(a == b, "persisted residual codes diverge from the in-plan encode")
   }
 
+  test("incremental add: base files byte-untouched, appended = base + batch, replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val baseName = operators.IvfIndex.baseIndexTable(sfDir)
+    val appName = operators.IvfIndex.appendedIndexTable(sfDir)
+
+    val (baseIdx, baseCb) = operators.IvfIndex.ensureBase(spark, sfDir)
+    val nBase = baseIdx.count()
+    val baseFiles = mtimes(baseName)
+    assert(baseFiles.nonEmpty, "base index wrote no data files")
+    // the base slice excludes the batch entirely
+    assert(baseIdx.filter(operators.IvfIndex.isAppendBatch($"vec_id")).count() == 0,
+      "base generation must not contain batch rows")
+
+    val (appIdx, _) = operators.IvfIndex.ensureAppended(spark, sfDir)
+    val appFiles = mtimes(appName)
+    val nBatch = Tables.embeddings(spark, sfDir)
+      .filter(operators.IvfIndex.isAppendBatch($"vec_id")).count()
+    // 1. base generation byte-untouched by the append
+    assert(mtimes(baseName) == baseFiles,
+      "append rewrote base-generation files")
+    // 2. appended = base ∪ batch exactly, ids disjoint
+    assert(appIdx.count() == nBase + nBatch,
+      "appended index must hold base + batch rows")
+    assert(appIdx.select($"vec_id").distinct().count() == nBase + nBatch,
+      "appended index duplicated a vec_id")
+    assert(appIdx.filter(operators.IvfIndex.isAppendBatch($"vec_id")).count() == nBatch,
+      "appended index must hold every batch row")
+    // 3. appended rows sit in the cell the row-local assignment picks
+    //    against the UNCHANGED base codebook
+    val expect = operators.IvfIndex.appendAssigned(spark, sfDir, baseCb)
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = appIdx.filter(operators.IvfIndex.isAppendBatch($"vec_id"))
+      .select($"vec_id", $"cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "appended rows landed in the wrong cells")
+    // 4. the append added files next to the clone's (never rewrote them)
+    assert(appFiles.size > operators.IvfIndex.NBuckets.min(baseFiles.size),
+      s"append should add files beyond the clone's (got ${appFiles.size})")
+    // 5. replay: same session ensure is a pure lookup; catalog-dropped
+    //    re-ensure is metadata-only — no data file moves either way
+    operators.IvfIndex.ensureAppended(spark, sfDir)
+    assert(mtimes(appName) == appFiles, "replayed append rewrote data files")
+    spark.sql(s"DROP TABLE $appName")
+    val (again, _) = operators.IvfIndex.ensureAppended(spark, sfDir)
+    assert(mtimes(appName) == appFiles,
+      "catalog re-registration of the appended table must be metadata-only")
+    assert(again.count() == nBase + nBatch)
+
+    // 6. codes-table half: base codes untouched, appended codes cover
+    //    the union, batch codes equal a from-scratch encode
+    val baseCodesName = operators.IvfIndex.pqrBaseCodesTable(sfDir)
+    val (baseCodes, rcb) = operators.IvfIndex.ensurePqrBase(spark, sfDir)
+    val baseCodeFiles = mtimes(baseCodesName)
+    val (appCodes, _) = operators.IvfIndex.ensurePqrAppended(spark, sfDir)
+    assert(mtimes(baseCodesName) == baseCodeFiles,
+      "codes append rewrote base-generation code files")
+    assert(appCodes.count() == nBase + nBatch,
+      "appended codes must cover base + batch rows")
+    val batchResid = operators.VectorOps.withResiduals(
+        operators.IvfIndex.appendAssigned(spark, sfDir, baseCb), baseCb)
+      .select(col("vec_id"), col("cell"), col("remb").as("emb"))
+    val expectCodes = operators.VectorOps
+      .withPqStructs(batchResid, rcb.select(col("sub"), col("cid"), col("cv")),
+        operators.VectorOps.PqrM, operators.VectorOps.PqrW)
+      .select(col("vec_id"), col("cell"),
+        expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    val gotCodes = appCodes.filter(operators.IvfIndex.isAppendBatch(col("vec_id")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotCodes == expectCodes,
+      "appended codes diverge from the from-scratch batch encode")
+  }
+
   test("generation-2 rebalance: writes forward, gen-1 untouched, moves only split-cell members") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -816,6 +816,41 @@ class PlanSpec extends SparkSpecBase {
       s"shortlist/probe/LUT sides must broadcast:\n$p")
   }
 
+  test("incremental add: only the new batch moves — assignment frame is Exchange-free") {
+    // the frame ensureAppended appends: batch scan → broadcast codebook
+    // → row-local assignment. ZERO Exchange of any kind (the only
+    // shuffle in the whole append is the batch-sized cell-hash
+    // repartition the bucketed write adds outside this frame), and
+    // neither persisted table is read — base data never moves
+    val (_, baseCb) = operators.IvfIndex.ensureBase(spark, sfDir)
+    val frame = operators.IvfIndex.appendAssigned(spark, sfDir, baseCb)
+    val p = planString(frame)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"append assignment frame shuffles:\n$p")
+    assert(!p.contains(operators.IvfIndex.baseIndexTable(sfDir)),
+      s"append assignment must not read the base index table:\n$p")
+    assert(!p.contains(operators.IvfIndex.appendedIndexTable(sfDir)),
+      s"append assignment must not read the appended table:\n$p")
+  }
+
+  test("append-family reads: bucketed appended tables, broadcast probes, no cell shuffle") {
+    for (df <- Seq(operators.VectorOps.vecIvfAppendIncremental.fn(spark, sfDir),
+                   operators.VectorOps.vecAnnIvfServeApp.fn(spark, sfDir))) {
+      val p = planString(df)
+      assert(p.contains(operators.IvfIndex.appendedIndexTable(sfDir)),
+        s"must read the persisted appended index table:\n$p")
+      assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+        s"cell-keyed shuffle against the bucketed appended index:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"kilobyte codebook/probe joins must broadcast, not sort-merge:\n$p")
+    }
+    val pc = planString(operators.VectorOps.vecPqrAppendIncremental.fn(spark, sfDir))
+    assert(pc.contains(operators.IvfIndex.pqrAppendedCodesTable(sfDir)),
+      s"must read the persisted appended codes table:\n$pc")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(pc).isDefined,
+      s"cell-keyed shuffle against the bucketed appended codes:\n$pc")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
