@@ -152,8 +152,18 @@ object IvfIndex {
     (spark.table(idx), spark.table(cb))
   }
 
-  def indexG2Table(dir: String): String = s"graft_ivf_index_g2_${tag(dir)}"
-  def codebookG2Table(dir: String): String = s"graft_ivf_codebook_g2_${tag(dir)}"
+  /** Generation-g table names. Generation 1 IS the base [[ensure]]
+    * layout; generation g ≥ 2 appends the ordinal — g = 2 reproduces
+    * the round-10 `_g2_` names, so existing artifacts, declared rows
+    * and specs are untouched by the r11 chain generalization.
+    */
+  def indexGenTable(dir: String, g: Int): String =
+    if (g <= 1) indexTable(dir) else s"graft_ivf_index_g${g}_${tag(dir)}"
+  def codebookGenTable(dir: String, g: Int): String =
+    if (g <= 1) codebookTable(dir) else s"graft_ivf_codebook_g${g}_${tag(dir)}"
+
+  def indexG2Table(dir: String): String = indexGenTable(dir, 2)
+  def codebookG2Table(dir: String): String = codebookGenTable(dir, 2)
 
   /** Are the GENERATION-1 index artifacts current on disk? The
     * `fp|noop` generation-2 markers ALIAS the generation-1 directories
@@ -184,13 +194,51 @@ object IvfIndex {
       new java.io.File(wh, pqrCodebookTable(dir)).isDirectory
   }
 
-  /** Generation-2 freshness key: the generation-1 fingerprint (corpus
-    * identity + algo revision) plus the split recipe's own marker, so a
-    * rebuilt generation 1 — new corpus or new algo — invalidates the
-    * applied rebalance with it.
+  /** Generation-g freshness key: the generation-1 fingerprint (corpus
+    * identity + algo revision) plus the split recipe's own marker and
+    * the ordinal, so a rebuilt generation 1 — new corpus or new algo —
+    * invalidates every applied rebalance down the chain with it. g = 2
+    * reproduces the round-10 key exactly.
     */
-  private def g2Fingerprint(dir: String): String =
-    s"${fingerprint(dir, IvfAlgo)}|gen2-split2means"
+  private def genFingerprint(dir: String, g: Int): String =
+    s"${fingerprint(dir, IvfAlgo)}|gen$g-split2means"
+
+  private def g2Fingerprint(dir: String): String = genFingerprint(dir, 2)
+
+  /** Is generation g current on disk? Generation 1 = the base
+    * artifacts; a gen-g noop marker counts only while the generation it
+    * aliases is itself current (resolved recursively — a noop chain
+    * bottoms out at generation 1, r10 ADVICE).
+    */
+  private def genOnDisk(spark: SparkSession, dir: String, g: Int): Boolean =
+    if (g <= 1) gen1IndexOnDisk(spark, dir)
+    else {
+      val wh = warehouseDir(spark)
+      val metaFile = new java.io.File(wh, s"${indexGenTable(dir, g)}.fingerprint")
+      val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+      val fp = genFingerprint(dir, g)
+      (metaRaw == s"$fp|noop" && genOnDisk(spark, dir, g - 1)) ||
+        (metaRaw == fp &&
+          new java.io.File(wh, indexGenTable(dir, g)).isDirectory &&
+          new java.io.File(wh, codebookGenTable(dir, g)).isDirectory)
+    }
+
+  /** Physical (index, codebook) directories generation g serves from:
+    * its own when the apply wrote data, the aliased older generation's
+    * when its marker says noop — resolved recursively down the chain.
+    */
+  private def servingLocs(spark: SparkSession, dir: String, g: Int): (java.io.File, java.io.File) = {
+    val wh = warehouseDir(spark)
+    if (g <= 1)
+      (new java.io.File(wh, indexTable(dir)), new java.io.File(wh, codebookTable(dir)))
+    else {
+      val metaFile = new java.io.File(wh, s"${indexGenTable(dir, g)}.fingerprint")
+      val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+      if (metaRaw == s"${genFingerprint(dir, g)}|noop") servingLocs(spark, dir, g - 1)
+      else (new java.io.File(wh, indexGenTable(dir, g)),
+        new java.io.File(wh, codebookGenTable(dir, g)))
+    }
+  }
 
   /** Gen-2 CODES freshness: the refreshed codes derive from the split
     * (IVF segment) AND the residual-PQ recipe, so both scope in.
@@ -230,21 +278,34 @@ object IvfIndex {
     * bucketed write needs, same as the gen-1 build); the id map and the
     * split codebook rows are kilobytes.
     */
-  def ensureRebalanced(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
-    val idxT = indexG2Table(dir)
-    val cbT = codebookG2Table(dir)
-    val fp = g2Fingerprint(dir)
+  def ensureRebalanced(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ensureGen(spark, dir, 2)
+
+  /** Generation-g find-or-build (r10 VERDICT #3 — the ordinal is now a
+    * parameter, so the nightly chain stats → plan → apply → refresh →
+    * serve keeps running): generation g derives from generation g−1 by
+    * one [[VectorOps.splitPlan]] apply, recursively ensuring the chain
+    * below it. All the [[ensureRebalanced]] contracts hold per link —
+    * write-forward, older generations byte-untouched, empty plans
+    * publish metadata over the SERVING files of the previous link
+    * ([[servingLocs]] resolves noop chains), fingerprints commit last.
+    */
+  def ensureGen(spark: SparkSession, dir: String, gen: Int): (DataFrame, DataFrame) = synchronized {
+    if (gen <= 1) return ensure(spark, dir)
+    val idxT = indexGenTable(dir, gen)
+    val cbT = codebookGenTable(dir, gen)
+    val fp = genFingerprint(dir, gen)
     val wh = warehouseDir(spark)
     val idxLoc = new java.io.File(wh, idxT)
     val cbLoc = new java.io.File(wh, cbT)
     val metaFile = new java.io.File(wh, s"$idxT.fingerprint")
     val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
-    // "<fp>|noop" records an EMPTY split plan: generation 2 was published
-    // as metadata only, over the generation-1 files — at 100 TB a
-    // verbatim index copy for a no-op nightly apply would be the bug.
-    // A noop marker is only as fresh as the gen-1 data it aliases
-    // (r10 ADVICE): gen-1 gone → rebuild, don't register over nothing.
-    val noop = metaRaw == s"$fp|noop" && gen1IndexOnDisk(spark, dir)
+    // "<fp>|noop" records an EMPTY split plan: generation g was published
+    // as metadata only, over the previous generation's serving files —
+    // at 100 TB a verbatim index copy for a no-op nightly apply would be
+    // the bug. A noop marker is only as fresh as the chain it aliases
+    // (r10 ADVICE): aliased data gone → rebuild, don't register nothing.
+    val noop = metaRaw == s"$fp|noop" && genOnDisk(spark, dir, gen - 1)
     val onDisk = noop || (metaRaw == fp && idxLoc.isDirectory && cbLoc.isDirectory)
     val inCatalog = spark.catalog.tableExists(idxT) && spark.catalog.tableExists(cbT)
     def register(iLoc: java.io.File, cLoc: java.io.File): Unit = {
@@ -261,12 +322,12 @@ object IvfIndex {
     }
     if (onDisk && !inCatalog) {
       if (noop) {
-        ensure(spark, dir) // make sure gen-1 data + catalog are current
-        register(new java.io.File(wh, indexTable(dir)),
-          new java.io.File(wh, codebookTable(dir)))
+        ensureGen(spark, dir, gen - 1) // data + catalog current below us
+        val (il, cl) = servingLocs(spark, dir, gen - 1)
+        register(il, cl)
       } else register(idxLoc, cbLoc)
     } else if (!onDisk) {
-      val (idx, cb) = ensure(spark, dir)
+      val (idx, cb) = ensureGen(spark, dir, gen - 1)
       val (over, asg) = VectorOps.splitPlan(spark, idx, cb)
       // the split-cell list is bounded by the overload predicate (a
       // handful of rows, kilobytes) — collect it once and derive the
@@ -276,21 +337,23 @@ object IvfIndex {
       // every apply)
       val splitCells = over.select(col("cell")).collect().map(_.getLong(0)).sorted
       if (splitCells.isEmpty) {
-        // EMPTY plan: publish generation 2 as catalog metadata over the
-        // generation-1 files — no copy, no shuffle, nothing to roll back
+        // EMPTY plan: publish generation g as catalog metadata over the
+        // previous generation's SERVING files (noop chains resolve
+        // recursively) — no copy, no shuffle, nothing to roll back
         Files.deleteIfExists(metaFile.toPath)
         rmTree(idxLoc)
         rmTree(cbLoc)
-        register(new java.io.File(wh, indexTable(dir)),
-          new java.io.File(wh, codebookTable(dir)))
+        val (il, cl) = servingLocs(spark, dir, gen - 1)
+        register(il, cl)
         Files.writeString(metaFile.toPath, s"$fp|noop"): Unit
         return (spark.table(idxT), spark.table(cbT))
       }
       // deterministic new ids: rank split cells by cell id — side 0
-      // keeps the id, side 1 gets max(gen-1 cell) + 1-based rank. Built
+      // keeps the id, side 1 gets max(input-generation cell) + 1-based
+      // rank. Built
       // driver-side from the collected bounded list (plus the one-row
       // codebook max), then broadcast back — no window, no crossJoin.
-      val maxc = cb.agg(max(col("cell"))).head.getLong(0)
+      val maxc = cb.agg(max(col("cell"))).head().getLong(0)
       val idMap = spark.createDataFrame(
         splitCells.zipWithIndex.flatMap { case (c, i) =>
           Seq((c, 0L, c), (c, 1L, maxc + i + 1L))
@@ -439,25 +502,24 @@ object IvfIndex {
     (spark.table(codesT), rcb)
   }
 
-  /** Read-side generation policy: serve the FRESHEST index generation on
-    * disk — generation 2 when a current applied rebalance exists
-    * ([[g2Fingerprint]] matches), generation 1 otherwise. Pure read: a
-    * serve path never builds generation 2 inline (maintenance does, via
-    * [[ensureRebalanced]]); it only re-registers catalog metadata when a
-    * new JVM finds current artifacts, exactly like [[ensure]].
+  /** Read-side generation policy: serve the FRESHEST index generation
+    * on disk — the highest ordinal whose fingerprint chain is current
+    * ([[genOnDisk]], which also validates what noop markers alias),
+    * generation 1 otherwise. Pure read: a serve path never builds a
+    * generation inline (maintenance does, via [[ensureGen]]); it only
+    * re-registers catalog metadata when a new JVM finds current
+    * artifacts, exactly like [[ensure]].
     */
   def serveLatest(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val wh = warehouseDir(spark)
-    val metaFile = new java.io.File(wh, s"${indexG2Table(dir)}.fingerprint")
-    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
-    val fp = g2Fingerprint(dir)
-    // a noop marker aliases gen-1 files, so it is only fresh while the
-    // gen-1 artifacts it points at still exist (r10 ADVICE)
-    val g2Fresh = (metaRaw == s"$fp|noop" && gen1IndexOnDisk(spark, dir)) ||
-      (metaRaw == fp &&
-        new java.io.File(wh, indexG2Table(dir)).isDirectory &&
-        new java.io.File(wh, codebookG2Table(dir)).isDirectory)
-    if (g2Fresh) ensureRebalanced(spark, dir) else ensure(spark, dir)
+    val pat = ("graft_ivf_index_g(\\d+)_" +
+      java.util.regex.Pattern.quote(tag(dir)) + "\\.fingerprint").r
+    val gens = Option(wh.listFiles()).toSeq.flatten.map(_.getName).flatMap {
+      case pat(g) => Some(g.toInt)
+      case _ => None
+    }
+    val fresh = gens.filter(g => genOnDisk(spark, dir, g))
+    if (fresh.nonEmpty) ensureGen(spark, dir, fresh.max) else ensure(spark, dir)
   }
 
   // ------------------------------------------------------------------

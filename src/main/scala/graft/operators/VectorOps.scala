@@ -238,73 +238,87 @@ object VectorOps extends QueryModule {
     * Columns are the UNION of what the five consumers project; carrying
     * the superset changes no row contents.
     */
-  private[graft] val gen2LifecycleSql: String = """
-      sims AS (
-        SELECT e.vec_id, e.emb, e.nrm, c.cell,
-          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
-        FROM e CROSS JOIN centn c
-      ), assigned AS (
-        SELECT vec_id, emb, nrm, cell FROM (
-          SELECT vec_id, emb, nrm, cell,
-            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-          FROM sims)
-        WHERE cr = 1
-      ), pops AS (
-        SELECT cell, COUNT(*) AS n_cell FROM assigned GROUP BY cell
-      ), over_cells AS (
-        SELECT cell, n_cell FROM pops, nl
-        WHERE n_cell * nl.nlist * 4 > (SELECT COUNT(*) FROM e) * 5
-      ), members AS (
+  /** ONE rebalance step of the generation chain (r10 VERDICT #3 made
+    * the chain a parameter): consumes generation g−1 as `$inIdx(vec_id,
+    * emb, nrm, cell)` + `$inCb(cell, cvec, cnrm)` and emits generation
+    * g as `${p}cb2` / `${p}idx2` (plus every intermediate, all
+    * p-prefixed so two steps instantiate in one query). The overload
+    * gate reads nlist as COUNT(*) of the INPUT codebook — exactly
+    * [[splitPlan]]'s `cbTab.count()`, which is what makes the step
+    * generation-agnostic (for generation 1 it equals the trained
+    * ⌈√n⌉ the old `nl.nlist` form read).
+    */
+  private[graft] def rebalanceStepSqlGen(p: String, inIdx: String,
+      inCb: String): String = s"""
+      ${p}pops AS MATERIALIZED (
+        SELECT cell, COUNT(*) AS n_cell FROM $inIdx GROUP BY cell
+      ), ${p}over_cells AS MATERIALIZED (
+        SELECT cell, n_cell FROM ${p}pops
+        WHERE n_cell * (SELECT COUNT(*) FROM $inCb) * 4 > (SELECT COUNT(*) FROM e) * 5
+      ), ${p}members AS MATERIALIZED (
         SELECT a.cell, o.n_cell, a.vec_id, a.emb, a.nrm
-        FROM assigned a JOIN over_cells o USING (cell)
-      ), seeds AS (
+        FROM $inIdx a JOIN ${p}over_cells o USING (cell)
+      ), ${p}seeds AS (
         SELECT cell, CAST(rk - 1 AS BIGINT) AS side, emb AS semb FROM (
           SELECT cell, emb,
             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
-          FROM members)
+          FROM ${p}members)
         WHERE rk <= 2
-      ), asg AS (
+      ), ${p}asg AS MATERIALIZED (
         SELECT cell, n_cell, vec_id, emb, nrm, side FROM (
           SELECT m.cell, m.n_cell, m.vec_id, m.emb, m.nrm, s.side,
             ROW_NUMBER() OVER (PARTITION BY m.cell, m.vec_id ORDER BY
               ROUND(list_inner_product(m.emb, m.emb)
                     - 2.0 * list_inner_product(m.emb, s.semb)
                     + list_inner_product(s.semb, s.semb), 6), s.side) AS rn
-          FROM members m JOIN seeds s USING (cell))
+          FROM ${p}members m JOIN ${p}seeds s USING (cell))
         WHERE rn = 1
-      ), ranked AS (
+      ), ${p}ranked AS (
         SELECT cell, CAST(ROW_NUMBER() OVER (ORDER BY cell) AS BIGINT) AS rk
-        FROM over_cells
-      ), idmap AS (
-        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ranked
+        FROM ${p}over_cells
+      ), ${p}idmap AS MATERIALIZED (
+        SELECT cell, CAST(0 AS BIGINT) AS side, cell AS new_cell FROM ${p}ranked
         UNION ALL
         SELECT r.cell, CAST(1 AS BIGINT) AS side,
-          (SELECT MAX(cell) FROM centn) + r.rk AS new_cell FROM ranked r
-      ), cdim AS (
+          (SELECT MAX(cell) FROM $inCb) + r.rk AS new_cell FROM ${p}ranked r
+      ), ${p}cdim AS (
         SELECT cell, side, pos,
           CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
         FROM (SELECT cell, side, UNNEST(emb) AS v,
-                UNNEST(range(len(emb))) AS pos FROM asg)
+                UNNEST(range(len(emb))) AS pos FROM ${p}asg)
         GROUP BY cell, side, pos
-      ), newcv AS (
+      ), ${p}newcv AS (
         SELECT cell, side, LIST(c ORDER BY pos) AS cvec
-        FROM cdim GROUP BY cell, side
-      ), splitc AS (
+        FROM ${p}cdim GROUP BY cell, side
+      ), ${p}splitc AS MATERIALIZED (
         SELECT i.new_cell AS cell, n.cvec,
           SQRT(list_inner_product(n.cvec, n.cvec)) AS cnrm
-        FROM newcv n JOIN idmap i USING (cell, side)
-      ), cb2 AS (
-        SELECT c.cell, c.cvec, c.cnrm FROM centn c
-        WHERE c.cell NOT IN (SELECT cell FROM over_cells)
+        FROM ${p}newcv n JOIN ${p}idmap i USING (cell, side)
+      ), ${p}cb2 AS MATERIALIZED (
+        SELECT c.cell, c.cvec, c.cnrm FROM $inCb c
+        WHERE c.cell NOT IN (SELECT cell FROM ${p}over_cells)
         UNION ALL
-        SELECT cell, cvec, cnrm FROM splitc
-      ), idx2 AS (
-        SELECT a.vec_id, a.emb, a.nrm, a.cell FROM assigned a
-        WHERE a.cell NOT IN (SELECT cell FROM over_cells)
+        SELECT cell, cvec, cnrm FROM ${p}splitc
+      ), ${p}idx2 AS MATERIALIZED (
+        SELECT a.vec_id, a.emb, a.nrm, a.cell FROM $inIdx a
+        WHERE a.cell NOT IN (SELECT cell FROM ${p}over_cells)
         UNION ALL
         SELECT g.vec_id, g.emb, g.nrm, i.new_cell AS cell
-        FROM asg g JOIN idmap i USING (cell, side)
+        FROM ${p}asg g JOIN ${p}idmap i USING (cell, side)
       )"""
+
+  private[graft] val gen2LifecycleSql: String = """
+      sims AS MATERIALIZED (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS MATERIALIZED (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), """ + rebalanceStepSqlGen("", "assigned", "centn")
 
   /** Row-local PQ encode at (row, subspace) granularity — the fast path
     * every exploding consumer uses (`vec_pq_encode`, `vec_pq_adc_topk`,
@@ -2509,19 +2523,24 @@ object VectorOps extends QueryModule {
       ORDER BY p.cell
     """.stripMargin.trim))
 
-  /** ANN SERVE FROM THE FRESHEST GENERATION — the read end of the
-    * rebalance lifecycle (build gen-1 → audit plan → apply gen-2 →
-    * THIS): maintenance makes generation 2 current
-    * ([[IvfIndex.ensureRebalanced]], find-or-build), then the serve
-    * policy ([[IvfIndex.serveLatest]]) picks the freshest on-disk
-    * generation and answers 50 disjoint-sample probes (nprobe=3, k=3)
-    * reading ONLY its persisted tables — proving post-rebalance
-    * retrieval end-to-end: DuckDB re-derives the ENTIRE lifecycle from
-    * scratch (trained codebook → assignment → overload → 2-means split
-    * → new ids → gen-2 index/codebook → probes → top-k) and must match
-    * the served answer bit-for-bit. Queries are the vec_id ≡ 7 (mod 10)
+  /** ANN SERVE FROM GENERATION 2 — the read end of the rebalance
+    * lifecycle (build gen-1 → audit plan → apply gen-2 → THIS):
+    * maintenance makes generation 2 current
+    * ([[IvfIndex.ensureRebalanced]], find-or-build) and 50
+    * disjoint-sample probes (nprobe=3, k=3) are answered reading ONLY
+    * its persisted tables — proving post-rebalance retrieval
+    * end-to-end: DuckDB re-derives the ENTIRE lifecycle from scratch
+    * (trained codebook → assignment → overload → 2-means split → new
+    * ids → gen-2 index/codebook → probes → top-k) and must match the
+    * served answer bit-for-bit. Queries are the vec_id ≡ 7 (mod 10)
     * sample — disjoint from the codebook's stride-seed set, the honest
-    * population per RECALL.md.
+    * population per RECALL.md. The row PINS generation 2 (its declared
+    * contract — the oracle derives exactly one apply); the
+    * freshest-ordinal read policy is [[IvfIndex.serveLatest]], whose
+    * chain behavior `vec_ivf_generation_chain` + IvfIndexSpec own —
+    * since r11 the chain row persists generation 3 in the same
+    * warehouse, so serving "latest" here would race with whichever row
+    * ran first (declared outputs must not depend on sibling rows).
     *
     * Scale notes (100 TB): identical plan shape to `vec_ann_ivf_serve`
     * — the gen-2 index side is a cell-bucketed scan with NO Exchange,
@@ -2533,8 +2552,7 @@ object VectorOps extends QueryModule {
     "vec_ann_ivf_serve_g2",
     (spark, dir) => {
       import spark.implicits._
-      IvfIndex.ensureRebalanced(spark, dir)
-      val (idx2, cb2) = IvfIndex.serveLatest(spark, dir)
+      val (idx2, cb2) = IvfIndex.ensureRebalanced(spark, dir)
       val q = withNorm(spark, dir).filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
       val probes = withNearestCells(q, cb2, keep = 3, rounded = true)
         .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
@@ -3290,7 +3308,72 @@ object VectorOps extends QueryModule {
       FROM vsum GROUP BY cell ORDER BY cell
     """.stripMargin.trim))
 
+  /** GENERATION CHAIN audit (SURVEY §2 I-duodec, VERDICT r10 #3) — the
+    * rebalance lifecycle as a NIGHTLY chain instead of a single step:
+    * [[IvfIndex.ensureGen]] parameterizes the generation ordinal
+    * (generation g derives from g−1 by one [[splitPlan]] apply,
+    * recursively ensuring the chain below; [[IvfIndex.serveLatest]]
+    * serves the highest current ordinal). This row ensures GENERATION 3
+    * — the second nightly apply, splitting any cell the first apply
+    * left (or created) above the 1.25× overload gate — and reports the
+    * balance audit across all three generations. Where apply-2 finds no
+    * overloaded cell it publishes generation 3 as metadata over the
+    * generation-2 serving files (zero copy) and the gen-3 stats row
+    * equals gen-2 — both outcomes reproduce in the oracle, which
+    * instantiates the SAME parameterized rebalance-step SQL twice
+    * ([[rebalanceStepSqlGen]] — one implementation, mirror and engine
+    * cannot drift per link).
+    *
+    * Scale notes (100 TB): each link's work ∝ its overloaded-cell
+    * membership (bounded); noop links are metadata-only; this row's
+    * read side is three bucketed per-cell count aggregations with zero
+    * Exchange plus kilobyte codebook counts.
+    */
+  val vecIvfGenerationChain = Q(
+    "vec_ivf_generation_chain",
+    (spark, dir) => {
+      import spark.implicits._
+      val gens = (1 to 3).map(g => (g.toLong, IvfIndex.ensureGen(spark, dir, g)))
+      gens.map { case (g, (idx, cb)) =>
+        idx.groupBy($"cell").agg(count(lit(1)).as("n_cell"))
+          .agg(sum($"n_cell").as("n_vecs"), max($"n_cell").as("max_cell"))
+          .crossJoin(broadcast(cb.agg(count(lit(1)).as("n_cells"))))
+          .select(lit(g).as("generation"), $"n_cells", $"n_vecs", $"max_cell",
+            round($"max_cell" * $"n_cells" / $"n_vecs".cast(DoubleType), 6).as("skew"))
+      }.reduce(_ unionByName _).orderBy($"generation")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql,$gen2LifecycleSql, ${rebalanceStepSqlGen("c3", "idx2", "cb2")}, g1 AS (
+        SELECT CAST(1 AS BIGINT) AS generation,
+          (SELECT COUNT(*) FROM centn) AS n_cells,
+          CAST(SUM(n_cell) AS BIGINT) AS n_vecs, MAX(n_cell) AS max_cell
+        FROM pops
+      ), g2 AS (
+        SELECT CAST(2 AS BIGINT) AS generation,
+          (SELECT COUNT(*) FROM cb2) AS n_cells,
+          CAST(SUM(n_cell) AS BIGINT) AS n_vecs, MAX(n_cell) AS max_cell
+        FROM c3pops
+      ), g3pops AS (
+        SELECT cell, COUNT(*) AS n_cell FROM c3idx2 GROUP BY cell
+      ), g3 AS (
+        SELECT CAST(3 AS BIGINT) AS generation,
+          (SELECT COUNT(*) FROM c3cb2) AS n_cells,
+          CAST(SUM(n_cell) AS BIGINT) AS n_vecs, MAX(n_cell) AS max_cell
+        FROM g3pops
+      )
+      SELECT generation, n_cells, n_vecs, max_cell,
+        ROUND(max_cell * n_cells / CAST(n_vecs AS DOUBLE), 6) AS skew
+      FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+      ORDER BY generation
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecIvfGenerationChain,
     vecIvfAppendIncremental,
     vecAnnIvfServeApp,
     vecPqrAppendIncremental,

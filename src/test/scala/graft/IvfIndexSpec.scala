@@ -220,10 +220,14 @@ class IvfIndexSpec extends SparkSpecBase {
       splitCells.contains(p1(k)) || splitCells.contains(p2(k)) || newIds.contains(p2(k))),
       s"a probe flipped between two UNSPLIT cells: ${flips.map(k => (k, p1(k), p2(k)))}")
 
-    // read-side policy: freshest generation on disk wins
+    // read-side policy: freshest generation on disk wins. Sibling
+    // suites may have built a LATER generation for sfDir in the shared
+    // warehouse (DeterminismSpec executes vec_ivf_generation_chain), so
+    // assert the policy outcome — some generation ≥ 2, never gen-1 —
+    // rather than pinning the ordinal
     val (srvIdx, _) = operators.IvfIndex.serveLatest(spark, sfDir)
-    assert(srvIdx.inputFiles.head.contains(operators.IvfIndex.indexG2Table(sfDir)),
-      "serveLatest must read generation 2 once a current rebalance exists")
+    assert(srvIdx.inputFiles.head.contains("graft_ivf_index_g"),
+      "serveLatest must read an applied generation once a current rebalance exists")
   }
 
   test("incremental residual-code refresh: copies unsplit codes verbatim, re-encodes only split geometry") {
@@ -332,6 +336,79 @@ class IvfIndexSpec extends SparkSpecBase {
     val (srv, _) = operators.IvfIndex.serveLatest(spark, dir)
     assert(srv.inputFiles.head.contains(operators.IvfIndex.indexTable(dir)),
       "serveLatest must treat the published no-op generation as freshest")
+  }
+
+  test("generation chain: apply-2 splits a cell CREATED by apply-1, serveLatest picks gen-3") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ivf_chain").toString
+    // 16 vectors, nlist = 4, stride seeds at ids {0, 4, 8, 12}. Cluster
+    // A (10 members around e0, ids 0,1,2,3,5,6,7,9,10,11) holds three
+    // tight sub-clusters at angles 0 / 0.2 / 0.4 rad; B/C/D are
+    // orthogonal pairs seeded by ids 4/8/12. Gen-1 overload gate
+    // (n_cell·nlist·4 > 5·N ⇔ n_cell ≥ 6 here) fires on A alone;
+    // apply-1's 2-means (seeds = ids 0, 1) puts {0,2,3,9} on side 0 and
+    // {1,5,6,7,10,11} on the NEW cell; at gen-2 (nlist 5, gate ≥ 5) that
+    // new 6-member cell — created by apply-1 — is the only overload, and
+    // apply-2's seeds (ids 1, 5) split it {1,6,7} / {5,10,11}.
+    def vec(axis: Int, theta: Double, noiseDim: Int, noise: Double): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(axis) = math.cos(theta).toFloat
+      if (theta != 0.0) a(axis + 1) = math.sin(theta).toFloat
+      if (noise != 0.0) a(noiseDim) = noise.toFloat
+      a.toSeq
+    }
+    val rows: Seq[(Long, Seq[Float], Int)] = Seq(
+      (0L, vec(0, 0.0, 2, 0.0), 0), (2L, vec(0, 0.0, 2, 0.01), 0),
+      (3L, vec(0, 0.0, 3, 0.01), 0), (9L, vec(0, 0.0, 2, 0.02), 0),
+      (1L, vec(0, 0.2, 2, 0.0), 0), (6L, vec(0, 0.2, 2, 0.01), 0),
+      (7L, vec(0, 0.2, 3, 0.01), 0),
+      (5L, vec(0, 0.4, 2, 0.0), 0), (10L, vec(0, 0.4, 2, 0.01), 0),
+      (11L, vec(0, 0.4, 3, 0.01), 0),
+      (4L, vec(16, 0.0, 17, 0.0), 1), (13L, vec(16, 0.0, 17, 0.01), 1),
+      (8L, vec(32, 0.0, 33, 0.0), 2), (14L, vec(32, 0.0, 33, 0.01), 2),
+      (12L, vec(48, 0.0, 49, 0.0), 3), (15L, vec(48, 0.0, 49, 0.01), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def cells(cb: org.apache.spark.sql.DataFrame): Set[Long] =
+      cb.select($"cell").collect().map(_.getLong(0)).toSet
+    def members(idx: org.apache.spark.sql.DataFrame, cell: Long): Set[Long] =
+      idx.filter($"cell" === cell).select($"vec_id").collect().map(_.getLong(0)).toSet
+
+    val (idx1, cb1) = operators.IvfIndex.ensure(spark, dir)
+    assert(cb1.count() == 4, "gen-1 must train 4 cells")
+    val g1Files = mtimes(operators.IvfIndex.indexTable(dir))
+
+    val (idx2, cb2) = operators.IvfIndex.ensureGen(spark, dir, 2)
+    val created2 = cells(cb2) -- cells(cb1)
+    assert(created2.size == 1, s"apply-1 must create exactly one cell, got $created2")
+    val a1 = created2.head
+    assert(members(idx2, a1) == Set(1L, 5L, 6L, 7L, 10L, 11L),
+      "apply-1 side-1 members wrong")
+    val g2Files = mtimes(operators.IvfIndex.indexGenTable(dir, 2))
+
+    val (idx3, cb3) = operators.IvfIndex.ensureGen(spark, dir, 3)
+    val created3 = cells(cb3) -- cells(cb2)
+    assert(created3.size == 1, s"apply-2 must create exactly one cell, got $created3")
+    val a2 = created3.head
+    // apply-2 split THE CELL APPLY-1 CREATED: side 0 keeps its id
+    assert(members(idx3, a1) == Set(1L, 6L, 7L),
+      "apply-2 side-0 must keep the apply-1 cell id with the near-seed half")
+    assert(members(idx3, a2) == Set(5L, 10L, 11L),
+      "apply-2 side-1 members wrong")
+    assert(idx3.count() == 16 && cb3.count() == 6)
+
+    // older generations byte-untouched; serve picks the chain head
+    assert(mtimes(operators.IvfIndex.indexTable(dir)) == g1Files,
+      "apply-2 touched generation-1 files")
+    assert(mtimes(operators.IvfIndex.indexGenTable(dir, 2)) == g2Files,
+      "apply-2 touched generation-2 files")
+    val (srv, _) = operators.IvfIndex.serveLatest(spark, dir)
+    assert(srv.inputFiles.head.contains(operators.IvfIndex.indexGenTable(dir, 3)),
+      "serveLatest must serve generation 3")
   }
 
   test("rewritten corpus at the same path invalidates and rebuilds") {
