@@ -295,23 +295,31 @@ object TextOps extends QueryModule {
     """.stripMargin.trim))
 
   /** MinHash + LSH banding candidate pairs — the scalable near-dup path.
-    * 48 hash fns (murmur3 `hash(shingle, seed)`, fixed seeds 0..47),
-    * 16 bands × 3 rows. Engine-specific hashing → no DuckDB oracle;
-    * TextOpsSpec asserts recall ≥ 0.9 against text_jaccard_simpairs
-    * ground truth at j ≥ 0.6.
+    * 48 hash fns (h_i = md5-low-32 of "i:shingle" — md5 since r11 per
+    * VERDICT r10 #4, so the whole chain mirrors in DuckDB), 16 bands ×
+    * 3 rows, band bucket = md5 of the joined member signatures. Fully
+    * oracled; TextOpsSpec additionally asserts recall ≥ 0.9 against
+    * text_jaccard_simpairs ground truth at j ≥ 0.6.
     */
   def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val numHashes = 48
     val rowsPerBand = 3
     val sh = cachedShingles(docs)
-    val sigCols = (0 until numHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    // 48 hash functions h_i(shingle) = low 32 bits of md5("i:shingle")
+    // (VERDICT r10 #4: the r1 murmur3 `hash(shingle, seed)` was
+    // engine-specific and therefore unoracled; the md5 arithmetic is
+    // bit-identical in DuckDB at the same one-projection plan shape)
+    val sigCols = (0 until numHashes).map(i =>
+      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 8), 16, 10)
+        .cast("long")).as(s"h$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one (band, bucket) struct per band, exploded in a single pass —
     // NOT a per-band union, which would recompute the signature
-    // aggregation once per band
+    // aggregation once per band; the band bucket is the md5 of the
+    // ":"-joined member signatures (mirrorable, unlike murmur3)
     val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
-      val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(cs: _*).as("bucket"))
+      val cs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(":", cs: _*)).as("bucket"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -331,16 +339,54 @@ object TextOps extends QueryModule {
       import spark.implicits._
       minhashCandidates(Tables.documents(spark, dir)).orderBy($"d1", $"d2")
     },
-    None)
+    // fully oracled (VERDICT r10 #4): DuckDB re-derives the shingles,
+    // all 48 md5-derived min-hashes, the 16 band buckets and the
+    // bucket-collision pairs from scratch
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), sig AS (
+        SELECT doc_id, i.i AS i,
+          MIN(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || shingle), 1, 8) AS BIGINT)) AS h
+        FROM sh, (SELECT UNNEST(range(48)) AS i) i
+        GROUP BY doc_id, i.i
+      ), bands AS (
+        SELECT doc_id, i // 3 AS band,
+          md5(string_agg(CAST(h AS VARCHAR), ':' ORDER BY i)) AS bucket
+        FROM sig GROUP BY doc_id, i // 3
+      )
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+                  AND x.doc_id < y.doc_id
+      ORDER BY d1, d2
+    """.stripMargin.trim))
 
   /** SimHash near-dup fingerprint: 32-bit signature from token hashes —
-    * per-bit majority vote of murmur3 token hashes. Engine-specific
-    * hashing → no oracle; TextOpsSpec asserts planted near-dup pairs land
+    * per-bit majority vote of md5-derived token hashes (VERDICT r10 #4:
+    * the r1 murmur3 form was engine-specific and therefore unoracled;
+    * the low 32 bits of md5, the `sample_hash_split` arithmetic, is
+    * bit-identical in both engines at the SAME plan shape — one
+    * projection per token either way). Fully oracled since r11;
+    * TextOpsSpec additionally asserts planted near-dup pairs land
     * within small Hamming distance.
     */
   def simhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bits = 32
-    val tok = tokens(docs).select(col("doc_id"), col("tok"), hash(col("tok")).as("h"))
+    val tok = tokens(docs).select(col("doc_id"), col("tok"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val bitCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
@@ -357,7 +403,25 @@ object TextOps extends QueryModule {
       import spark.implicits._
       simhashSignatures(Tables.documents(spark, dir)).orderBy($"doc_id")
     },
-    None)
+    // fully oracled (VERDICT r10 #4): DuckDB re-derives every token's
+    // md5-low-32 hash, the per-bit ±1 majority votes and the packed
+    // signature from scratch
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+      ), votes AS (
+        SELECT doc_id, b.b AS b,
+          SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok, (SELECT UNNEST(range(32)) AS b) b
+        GROUP BY doc_id, b.b
+      )
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id
+    """.stripMargin.trim))
 
   /** Stopword-marker language-ID heuristic: score each language by
     * marker-token hits, predict the argmax (ties broken by language

@@ -839,13 +839,16 @@ object VectorOps extends QueryModule {
       ORDER BY label, d1, d2
     """.stripMargin.trim))
 
-  /** ANN via random-hyperplane LSH: 12-bit sign-pattern bucket from
-    * fixed pseudo-random hyperplanes, candidates share a bucket, exact
-    * cosine re-rank within bucket (top-3 per query, queries vec_id<50).
-    * Bucketing is engine-specific only in the sense that the hyperplanes
-    * are code constants — but cosine tie-rounding keeps it deterministic.
-    * No oracle (candidate sets are formulation-specific); VectorOpsSpec
-    * asserts recall against brute-force ground truth.
+  /** ANN via random-hyperplane LSH: 6-bit sign-pattern bucket per hash
+    * table (3 tables) from fixed pseudo-random hyperplanes, candidates
+    * share a bucket, exact cosine re-rank within bucket (top-3 per
+    * query, queries vec_id<50). The hyperplanes are a pure-integer LCG
+    * of (table, plane, dim) — expressible in SQL — and the sign test
+    * reads the 6 dp-rounded projection, so since r11 (VERDICT r10 #4)
+    * the WHOLE chain is oracled: DuckDB regenerates the planes from the
+    * same LCG, re-buckets every vector and re-ranks from scratch.
+    * VectorOpsSpec additionally asserts recall against brute-force
+    * ground truth.
     */
   /** Bucketed corpus + per-query top-k within shared buckets. `emb` must
     * be (vec_id, emb: array<double>, nrm); queries are `vec_id < nQueries`.
@@ -867,7 +870,10 @@ object VectorOps extends QueryModule {
       val bucketExpr = (0 until planesPerTable)
         .map { i =>
           val planeCol = array(plane(t, i).map(lit): _*)
-          val dot = GraftFunctions.dot(col("emb"), planeCol)
+          // 6 dp round before the sign test (§2.0 rule): both engines
+          // sum the projection in the same order, and the round puts
+          // any knife-edge ulp divergence below the decision threshold
+          val dot = round(GraftFunctions.dot(col("emb"), planeCol), 6)
           when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
         }
         .reduce(_ + _)
@@ -903,7 +909,49 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       annLshTopK(withNorm(spark, dir), nQueries = 50, k = 3).orderBy($"q_id", $"rn")
     },
-    None)
+    // fully oracled (VERDICT r10 #4): DuckDB regenerates the LCG
+    // hyperplanes, re-buckets every vector per table, and re-ranks the
+    // bucket collisions from scratch
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), planes AS (
+        SELECT t, i,
+          LIST(CAST(((t*7919 + i)*2654435761 + j*40503 + 12345) % 2000 AS DOUBLE)
+               / 1000.0 - 1.0 ORDER BY j) AS pv
+        FROM (SELECT UNNEST(range(3)) AS t),
+             (SELECT UNNEST(range(6)) AS i),
+             (SELECT UNNEST(range(64)) AS j)
+        GROUP BY t, i
+      ), buckets AS (
+        SELECT e.vec_id, p.t AS tbl,
+          CAST(SUM(CASE WHEN ROUND(list_inner_product(e.emb, p.pv), 6) >= 0
+                   THEN CAST(1 AS BIGINT) << p.i ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes p
+        GROUP BY e.vec_id, p.t
+      ), tb AS (
+        SELECT b.vec_id, e.emb, e.nrm, b.tbl, b.bucket
+        FROM buckets b JOIN e USING (vec_id)
+      ), qs AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, tbl, bucket
+        FROM tb WHERE vec_id < 50
+      ), cand AS (
+        SELECT q.q_id, t.vec_id,
+          MAX(ROUND(list_inner_product(t.emb, q.q_emb) / (t.nrm * q.q_nrm), 6)) AS cos
+        FROM tb t JOIN qs q USING (tbl, bucket)
+        WHERE t.vec_id <> q.q_id
+        GROUP BY q.q_id, t.vec_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
 
   /** ANN via IVF-style coarse quantization — the other standard ANN
     * family next to LSH. The codebook is the data-driven ⌈√n⌉-cell
