@@ -93,6 +93,15 @@ object VectorOps extends QueryModule {
     // rows, same once-per-corpus discipline
     IvfIndex.ensureRebalanced(spark, dir)
     IvfIndex.ensurePqrG2(spark, dir)
+    // r11 lifecycle artifacts: the generation-3 chain link and the
+    // incremental-ADD family (base generation + appended index + base/
+    // appended residual codes) — all once-per-corpus builds the chain /
+    // append / serve-app rows then find on disk
+    IvfIndex.ensureGen(spark, dir, 3)
+    IvfIndex.ensureBase(spark, dir)
+    IvfIndex.ensureAppended(spark, dir)
+    IvfIndex.ensurePqrBase(spark, dir)
+    IvfIndex.ensurePqrAppended(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
