@@ -809,6 +809,105 @@ object IvfIndex {
     (spark.table(name), rcb)
   }
 
+  // ------------------------------------------------------------------
+  // Tombstone DELETE lifecycle — the remaining CRUD corner (r11): a
+  // delete batch lands as a PERSISTED kilobyte tombstone table beside
+  // the index (index files byte-untouched — the FAISS remove_ids-
+  // without-rebuild discipline); serve paths exclude tombstoned rows
+  // with a broadcast anti join the moment the tombstones land; a
+  // write-forward COMPACTION generation physically drops them later.
+  // The codebook never changes: deletes do not move centroids —
+  // geometry drift is the rebalance chain's job, which runs on the
+  // compacted population next.
+  // ------------------------------------------------------------------
+
+  /** Deterministic delete-batch rule, shared by builds, declared rows
+    * and mirrors: vec_id ≡ 9 (mod 10) — disjoint from the append batch
+    * (≡ 3) and the disjoint query sample (≡ 7).
+    */
+  def isDeleted(vecId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    vecId % 10 === 9
+
+  def tombstoneTable(dir: String): String = s"graft_ivf_tombstones_${tag(dir)}"
+  def compactedIndexTable(dir: String): String = s"graft_ivf_index_c1_${tag(dir)}"
+
+  /** Find-or-build the persisted tombstone table: (vec_id, cell) of
+    * every deleted row — kilobytes (ids + cells only, broadcast at
+    * serve time), one file, fingerprint freshness like every artifact.
+    * Carrying the cell lets audits and compaction prune to affected
+    * cells without consulting the index.
+    */
+  def ensureTombstones(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val name = tombstoneTable(dir)
+    val fp = s"${fingerprint(dir, IvfAlgo)}|tombstones-mod9"
+    val wh = warehouseDir(spark)
+    val loc = new java.io.File(wh, name)
+    val metaFile = new java.io.File(wh, s"$name.fingerprint")
+    val onDisk = metaFile.isFile && loc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    if (onDisk && !spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"""CREATE TABLE $name (vec_id BIGINT, cell BIGINT)
+           |USING PARQUET LOCATION '${loc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val (idx, _) = ensure(spark, dir)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(loc)
+      idx.filter(isDeleted(col("vec_id")))
+        .select(col("vec_id"), col("cell"))
+        .coalesce(1)
+        .write
+        .option("path", loc.getAbsolutePath)
+        .saveAsTable(name)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    spark.table(name)
+  }
+
+  /** Find-or-build the COMPACTED generation: the live rows (gen-1 minus
+    * tombstones, broadcast anti join) written forward as a cell-bucketed
+    * generation; gen-1 and the tombstone table stay byte-untouched (a
+    * failed compaction leaves the tombstone-filtered serve path intact).
+    * Returns (compacted index, gen-1 codebook) — compaction never moves
+    * a centroid.
+    */
+  def ensureCompacted(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val name = compactedIndexTable(dir)
+    val fp = s"${fingerprint(dir, IvfAlgo)}|compact1-mod9"
+    val wh = warehouseDir(spark)
+    val loc = new java.io.File(wh, name)
+    val metaFile = new java.io.File(wh, s"$name.fingerprint")
+    val onDisk = metaFile.isFile && loc.isDirectory &&
+      Files.readString(metaFile.toPath).trim == fp
+    val (_, cb) = ensure(spark, dir)
+    if (onDisk && !spark.catalog.tableExists(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+           |LOCATION '${loc.toURI}'""".stripMargin)
+    } else if (!onDisk) {
+      val (idx, _) = ensure(spark, dir)
+      val ts = ensureTombstones(spark, dir)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Files.deleteIfExists(metaFile.toPath)
+      rmTree(loc)
+      idx.join(broadcast(ts.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", loc.getAbsolutePath)
+        .saveAsTable(name)
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+    (spark.table(name), cb)
+  }
+
   def pqCodesTable(dir: String): String = s"graft_pq_codes_${tag(dir)}"
   def pqCodebookTable(dir: String): String = s"graft_pq_codebook_${tag(dir)}"
 

@@ -102,6 +102,9 @@ object VectorOps extends QueryModule {
     IvfIndex.ensureAppended(spark, dir)
     IvfIndex.ensurePqrBase(spark, dir)
     IvfIndex.ensurePqrAppended(spark, dir)
+    // delete lifecycle artifacts (tombstone table + compacted generation)
+    IvfIndex.ensureTombstones(spark, dir)
+    IvfIndex.ensureCompacted(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -3429,7 +3432,181 @@ object VectorOps extends QueryModule {
       ORDER BY generation
     """.stripMargin.trim))
 
+  /** TOMBSTONE DELETE audit (SURVEY §2 I-duodec) — the write half of
+    * the delete lifecycle: [[IvfIndex.ensureTombstones]] lands the
+    * delete batch (vec_id ≡ 9 mod 10, [[IvfIndex.isDeleted]]) as a
+    * persisted kilobyte (vec_id, cell) table BESIDE the index — index
+    * files byte-untouched, the FAISS remove_ids-without-rebuild
+    * discipline. Declared output audits the deletion state per cell:
+    * total members, tombstoned members, and the exact-integer
+    * compaction gate 10·n_deleted ≥ n_total (≥10% of the cell dead →
+    * due for the physical rewrite `vec_ivf_compact_apply` performs).
+    *
+    * Scale notes (100 TB): the tombstone build is one bucketed index
+    * scan filtered to the delete rule (ids + cells only — kilobytes
+    * out); the audit is a zero-Exchange bucketed count per cell joined
+    * to the broadcast tombstone counts.
+    */
+  val vecIvfDeleteTombstone = Q(
+    "vec_ivf_delete_tombstone",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx, _) = IvfIndex.ensure(spark, dir)
+      val ts = IvfIndex.ensureTombstones(spark, dir)
+      idx.groupBy($"cell").agg(count(lit(1)).as("n_total"))
+        .join(broadcast(ts.groupBy($"cell").agg(count(lit(1)).as("n_del"))),
+          Seq("cell"), "left")
+        .select($"cell", $"n_total",
+          coalesce($"n_del", lit(0L)).as("n_deleted"),
+          (coalesce($"n_del", lit(0L)) * 10 >= $"n_total").as("compact_due"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), pops AS (
+        SELECT cell, COUNT(*) AS n_total FROM assigned GROUP BY cell
+      ), dels AS (
+        SELECT cell, COUNT(*) AS n_del FROM assigned
+        WHERE vec_id % 10 = 9 GROUP BY cell
+      )
+      SELECT p.cell, p.n_total, COALESCE(d.n_del, 0) AS n_deleted,
+        COALESCE(d.n_del, 0) * 10 >= p.n_total AS compact_due
+      FROM pops p LEFT JOIN dels d USING (cell)
+      ORDER BY p.cell
+    """.stripMargin.trim))
+
+  /** ANN SERVE WITH DELETES LIVE (SURVEY §2 I-duodec) — the read path
+    * between a delete and its compaction: tombstoned rows are excluded
+    * by a broadcast anti join against the kilobyte tombstone table, so
+    * a deleted vector stops surfacing THE MOMENT the tombstone lands —
+    * no index rewrite on the serve path. Results differ from
+    * `vec_ann_ivf_serve` exactly where a deleted vector was a top-3
+    * hit. Queries are the 50 disjoint-sample probes (≡ 7 mod 10,
+    * < 500 — disjoint from the delete batch ≡ 9).
+    *
+    * Scale notes (100 TB): the anti join prunes BEFORE the probe join
+    * (broadcast hash, no shuffle of the bucketed scan); everything else
+    * is the `vec_ann_ivf_serve` plan — probes broadcast, per-query work
+    * ~nprobe/nlist of the corpus, zero cell Exchange.
+    */
+  val vecAnnIvfServeTombstoned = Q(
+    "vec_ann_ivf_serve_tombstoned",
+    (spark, dir) => {
+      import spark.implicits._
+      val (idx, cb) = IvfIndex.ensure(spark, dir)
+      val ts = IvfIndex.ensureTombstones(spark, dir)
+      val q = withNorm(spark, dir).filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      val probes = withNearestCells(q, cb, keep = 3, rounded = true)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      idx
+        .join(broadcast(ts.select($"vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, emb, nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      ), probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 3
+      ), cand AS (
+        SELECT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id AND a.vec_id % 10 <> 9
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
+  /** TOMBSTONE COMPACTION (SURVEY §2 I-duodec) — the write-forward
+    * apply dropping deleted rows physically once tombstones accumulate
+    * ([[IvfIndex.ensureCompacted]]): the compacted generation holds
+    * exactly the live rows, cell-bucketed like every generation; gen-1
+    * and the tombstone table stay byte-untouched (IvfIndexSpec), so a
+    * failed compaction leaves the tombstone-filtered serve path
+    * serving. The codebook is UNCHANGED — deletes do not move
+    * centroids; geometry drift is the rebalance chain's job, run on
+    * the compacted population next. Declared output = per-cell live
+    * count + exact vec_id sum read back from the persisted compacted
+    * generation; the oracle re-derives the live set from scratch.
+    */
+  val vecIvfCompactApply = Q(
+    "vec_ivf_compact_apply",
+    (spark, dir) => {
+      import spark.implicits._
+      val (cidx, _) = IvfIndex.ensureCompacted(spark, dir)
+      cidx.groupBy($"cell")
+        .agg(count(lit(1)).as("n_vec"), sum($"vec_id").as("id_sum"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $ivfCodebookSql, sims AS (
+        SELECT e.vec_id, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN centn c
+      ), assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM sims)
+        WHERE cr = 1
+      )
+      SELECT cell, COUNT(*) AS n_vec, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM assigned WHERE vec_id % 10 <> 9
+      GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecIvfDeleteTombstone,
+    vecAnnIvfServeTombstoned,
+    vecIvfCompactApply,
     vecIvfGenerationChain,
     vecIvfAppendIncremental,
     vecAnnIvfServeApp,

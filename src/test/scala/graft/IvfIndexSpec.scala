@@ -338,6 +338,55 @@ class IvfIndexSpec extends SparkSpecBase {
       "serveLatest must treat the published no-op generation as freshest")
   }
 
+  test("tombstone delete: index untouched, serve excludes, compaction drops exactly the dead") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idxName = operators.IvfIndex.indexTable(sfDir)
+    val (idx, _) = operators.IvfIndex.ensure(spark, sfDir)
+    val n = idx.count()
+    val g1Files = mtimes(idxName)
+
+    val ts = operators.IvfIndex.ensureTombstones(spark, sfDir)
+    val deleted = ts.select($"vec_id").collect().map(_.getLong(0)).toSet
+    // 1. tombstones = exactly the delete rule's rows; index untouched
+    val expected = idx.filter(operators.IvfIndex.isDeleted($"vec_id"))
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(deleted == expected, "tombstone table must hold exactly the delete batch")
+    assert(deleted.nonEmpty, "fixture must contain deleted rows")
+    assert(mtimes(idxName) == g1Files, "landing tombstones rewrote index files")
+
+    // 2. the filtered serve path never surfaces a deleted id, and the
+    //    exclusion BITES: wherever the unfiltered serve row returned a
+    //    deleted id, the filtered row returns something else
+    val unfiltered = operators.VectorOps.vecAnnIvfServe.fn(spark, sfDir)
+    val filtered = operators.VectorOps.vecAnnIvfServeTombstoned.fn(spark, sfDir)
+    val filteredIds = filtered.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(filteredIds.intersect(deleted).isEmpty,
+      "tombstoned ids surfaced on the filtered serve path")
+    val unfilteredHitDeleted = unfiltered
+      .filter($"vec_id".isin(deleted.toSeq: _*)).count()
+    if (unfilteredHitDeleted > 0)
+      assert(unfiltered.collect().map(_.toString).toSet !=
+        filtered.collect().map(_.toString).toSet,
+        "a deleted top hit must change the filtered answer")
+
+    // 3. compaction: live rows only, gen-1 + tombstones byte-untouched,
+    //    replay is a pure lookup
+    val tsFiles = mtimes(operators.IvfIndex.tombstoneTable(sfDir))
+    val (cidx, _) = operators.IvfIndex.ensureCompacted(spark, sfDir)
+    assert(cidx.count() == n - deleted.size,
+      "compacted generation must hold exactly the live rows")
+    assert(cidx.filter(operators.IvfIndex.isDeleted($"vec_id")).count() == 0,
+      "compacted generation still holds deleted rows")
+    assert(mtimes(idxName) == g1Files, "compaction rewrote gen-1 files")
+    assert(mtimes(operators.IvfIndex.tombstoneTable(sfDir)) == tsFiles,
+      "compaction rewrote the tombstone table")
+    val cFiles = mtimes(operators.IvfIndex.compactedIndexTable(sfDir))
+    operators.IvfIndex.ensureCompacted(spark, sfDir)
+    assert(mtimes(operators.IvfIndex.compactedIndexTable(sfDir)) == cFiles,
+      "repeat compaction must not rewrite data files")
+  }
+
   test("generation chain: apply-2 splits a cell CREATED by apply-1, serveLatest picks gen-3") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -851,6 +851,26 @@ class PlanSpec extends SparkSpecBase {
       s"cell-keyed shuffle against the bucketed appended codes:\n$pc")
   }
 
+  test("delete lifecycle reads: bucketed scans, broadcast tombstones, no cell shuffle") {
+    // serve-with-deletes: the tombstone anti join must broadcast against
+    // the bucketed gen-1 scan; no cell shuffle, no sort-merge anywhere
+    val p = planString(operators.VectorOps.vecAnnIvfServeTombstoned.fn(spark, sfDir))
+    assert(p.contains(operators.IvfIndex.indexTable(sfDir)),
+      s"must read the persisted gen-1 index:\n$p")
+    assert(p.contains(operators.IvfIndex.tombstoneTable(sfDir)),
+      s"must read the persisted tombstone table:\n$p")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the tombstone-filtered serve path:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"tombstone/probe sides must broadcast:\n$p")
+    // compaction audit reads the compacted generation with zero Exchange
+    val pc = planString(operators.VectorOps.vecIvfCompactApply.fn(spark, sfDir))
+    assert(pc.contains(operators.IvfIndex.compactedIndexTable(sfDir)),
+      s"must read the persisted compacted generation:\n$pc")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(pc).isDefined,
+      s"cell-keyed shuffle against the bucketed compacted generation:\n$pc")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
