@@ -220,7 +220,7 @@ object RecallProbe {
     val qq = q.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
       .orderBy(col("d2"), col("vec_id"))
-    val refined = shortlist
+    val refined = broadcast(shortlist)
       .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
       .join(broadcast(qq), Seq("q_id"))
       .withColumn("d2", round(

@@ -98,7 +98,11 @@ private[functions] trait CodebookCache { self: Expression =>
     * call site passes a BROADCAST one-row-array codebook, whose buffer
     * is immutable for the lifetime of the partition — the guard exists
     * to turn a violated assumption into a re-decode, not to be a
-    * cryptographic checksum.
+    * cryptographic checksum. On allocation (r11 review): `getStruct`
+    * returns a short-lived row wrapper per entry, but it never escapes
+    * the loop (one `getDouble` and discard), so C2's scalar replacement
+    * elides it in the steady state; even allocated, the fold is O(m)
+    * reads against the candidate loop's O(m·dim) multiply-adds.
     */
   protected final def load(arr: ArrayData): Unit = {
     val (obj, off, size) = arr match {

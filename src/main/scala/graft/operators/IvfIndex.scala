@@ -89,6 +89,89 @@ object IvfIndex {
     f.delete(): Unit
   }
 
+  // ---- shared find-or-build skeleton (r11 review: the per-family
+  // copies of this contract had already needed one hand-replicated fix
+  // — the r10 noop-alias guard — so the contract now lives ONCE) ----
+
+  private type Ddl = (String, java.io.File) => String
+
+  /** DDL renderers for the four physical table shapes every artifact
+    * family is built from.
+    */
+  private def bucketedIndexDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
+       |USING PARQUET
+       |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+       |LOCATION '${loc.toURI}'""".stripMargin
+  private def cellCodebookDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (cell BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE)
+       |USING PARQUET LOCATION '${loc.toURI}'""".stripMargin
+  private def bucketedCodesDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
+       |USING PARQUET
+       |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+       |LOCATION '${loc.toURI}'""".stripMargin
+  private def subCodebookDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
+       |USING PARQUET LOCATION '${loc.toURI}'""".stripMargin
+  private def tombstoneDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (vec_id BIGINT, cell BIGINT)
+       |USING PARQUET LOCATION '${loc.toURI}'""".stripMargin
+
+  /** The fingerprint-marker content beside `table`, "" when absent. */
+  private def readMarker(spark: SparkSession, table: String): String = {
+    val metaFile = new java.io.File(warehouseDir(spark), s"$table.fingerprint")
+    if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+  }
+
+  /** THE canonical freshness predicate — marker equals fp and every
+    * table directory exists. [[findOrBuild]] and the generation-chain
+    * guards ([[genOnDisk]], the noop-alias validation) share it, so a
+    * freshness-rule change can never make the two diverge (r11 review).
+    */
+  private def artifactsFresh(spark: SparkSession, fp: String,
+      names: Seq[String]): Boolean = {
+    val wh = warehouseDir(spark)
+    readMarker(spark, names.head) == fp &&
+      names.forall(n => new java.io.File(wh, n).isDirectory)
+  }
+
+  /** Find-or-build skeleton shared by every persisted artifact family:
+    * data current + catalog entries present → pure lookup; data
+    * current, catalog missing (a new JVM) → metadata-only
+    * re-registration; stale or absent → drop everything, run `build`
+    * (which writes the data files under warehouse/<name>), then COMMIT
+    * the fingerprint LAST — a crashed build leaves no marker and the
+    * next run rebuilds, which is the job-level replay idempotence every
+    * family relies on. Generation-chain noop aliasing stays bespoke in
+    * [[ensureGen]]/[[ensurePqrG2]] (essential complexity); they reuse
+    * [[artifactsFresh]] and the DDL renderers.
+    */
+  private def findOrBuild(spark: SparkSession, fp: String,
+      specs: Seq[(String, Ddl)])(build: () => Unit): Unit = {
+    val wh = warehouseDir(spark)
+    val names = specs.map(_._1)
+    val metaFile = new java.io.File(wh, s"${names.head}.fingerprint")
+    val onDisk = artifactsFresh(spark, fp, names)
+    val inCatalog = names.forall(spark.catalog.tableExists)
+    if (onDisk && !inCatalog) {
+      specs.foreach { case (n, ddl) =>
+        spark.sql(s"DROP TABLE IF EXISTS $n")
+        spark.sql(ddl(n, new java.io.File(wh, n)))
+      }
+    } else if (!onDisk) {
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      Files.deleteIfExists(metaFile.toPath)
+      names.foreach(n => rmTree(new java.io.File(wh, n)))
+      build()
+      Files.writeString(metaFile.toPath, fp): Unit
+    }
+  }
+
+  /** warehouse/<name> — where `build` closures write their data. */
+  private def tableLoc(spark: SparkSession, name: String): java.io.File =
+    new java.io.File(warehouseDir(spark), name)
+
   /** Find-or-build: returns (index, codebook) frames reading the
     * PERSISTED tables. Build runs only when the on-disk artifacts are
     * absent or stale vs the corpus fingerprint; a fresh session over
@@ -97,28 +180,8 @@ object IvfIndex {
   def ensure(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val idx = indexTable(dir)
     val cb = codebookTable(dir)
-    val fp = fingerprint(dir, IvfAlgo)
-    val wh = warehouseDir(spark)
-    val idxLoc = new java.io.File(wh, idx)
-    val cbLoc = new java.io.File(wh, cb)
-    val metaFile = new java.io.File(wh, s"$idx.fingerprint")
-    val onDisk = metaFile.isFile && idxLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val inCatalog = spark.catalog.tableExists(idx) && spark.catalog.tableExists(cb)
-    if (onDisk && !inCatalog) {
-      // cross-job serve: data is current, only the (session-scoped)
-      // catalog entries are missing — metadata-only re-registration
-      spark.sql(s"DROP TABLE IF EXISTS $idx")
-      spark.sql(s"DROP TABLE IF EXISTS $cb")
-      spark.sql(
-        s"""CREATE TABLE $idx (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${idxLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cb (cell BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, fingerprint(dir, IvfAlgo),
+      Seq[(String, Ddl)](idx -> bucketedIndexDdl, cb -> cellCodebookDdl)) { () =>
       val e = VectorOps.withNorm(spark, dir)
       val cents = VectorOps.ivfCodebook(e)
       // row-local nearest-cell assignment (VERDICT r8 #1): zero Exchange
@@ -126,11 +189,6 @@ object IvfIndex {
       // the build is the cell-hash repartition the bucketed write needs
       val assigned = VectorOps.withNearestCells(e, cents, keep = 1, rounded = true)
         .select(col("vec_id").cast("long").as("vec_id"), col("emb"), col("nrm"), col("cell"))
-      spark.sql(s"DROP TABLE IF EXISTS $idx")
-      spark.sql(s"DROP TABLE IF EXISTS $cb")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(idxLoc)
-      rmTree(cbLoc)
       assigned
         // cell-hash repartition matches the bucket hash, so each task
         // holds exactly one bucket's rows → NBuckets files, no small-file
@@ -139,15 +197,14 @@ object IvfIndex {
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", idxLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, idx).getAbsolutePath)
         .saveAsTable(idx)
       cents
         .select(col("cell"), col("cvec"), col("cnrm"))
         .coalesce(1)
         .write
-        .option("path", cbLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, cb).getAbsolutePath)
         .saveAsTable(cb)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(idx), spark.table(cb))
   }
@@ -173,26 +230,16 @@ object IvfIndex {
     * must fail back to a rebuild instead of registering catalog entries
     * over missing files (r10 ADVICE).
     */
-  private def gen1IndexOnDisk(spark: SparkSession, dir: String): Boolean = {
-    val wh = warehouseDir(spark)
-    val metaFile = new java.io.File(wh, s"${indexTable(dir)}.fingerprint")
-    metaFile.isFile &&
-      Files.readString(metaFile.toPath).trim == fingerprint(dir, IvfAlgo) &&
-      new java.io.File(wh, indexTable(dir)).isDirectory &&
-      new java.io.File(wh, codebookTable(dir)).isDirectory
-  }
+  private def gen1IndexOnDisk(spark: SparkSession, dir: String): Boolean =
+    artifactsFresh(spark, fingerprint(dir, IvfAlgo),
+      Seq(indexTable(dir), codebookTable(dir)))
 
   /** Gen-1 residual-codes twin of [[gen1IndexOnDisk]], for the codes
     * noop marker in [[ensurePqrG2]].
     */
-  private def gen1PqrOnDisk(spark: SparkSession, dir: String): Boolean = {
-    val wh = warehouseDir(spark)
-    val metaFile = new java.io.File(wh, s"${pqrCodesTable(dir)}.fingerprint")
-    metaFile.isFile &&
-      Files.readString(metaFile.toPath).trim == fingerprint(dir, PqrAlgo) &&
-      new java.io.File(wh, pqrCodesTable(dir)).isDirectory &&
-      new java.io.File(wh, pqrCodebookTable(dir)).isDirectory
-  }
+  private def gen1PqrOnDisk(spark: SparkSession, dir: String): Boolean =
+    artifactsFresh(spark, fingerprint(dir, PqrAlgo),
+      Seq(pqrCodesTable(dir), pqrCodebookTable(dir)))
 
   /** Generation-g freshness key: the generation-1 fingerprint (corpus
     * identity + algo revision) plus the split recipe's own marker and
@@ -213,32 +260,24 @@ object IvfIndex {
   private def genOnDisk(spark: SparkSession, dir: String, g: Int): Boolean =
     if (g <= 1) gen1IndexOnDisk(spark, dir)
     else {
-      val wh = warehouseDir(spark)
-      val metaFile = new java.io.File(wh, s"${indexGenTable(dir, g)}.fingerprint")
-      val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
       val fp = genFingerprint(dir, g)
-      (metaRaw == s"$fp|noop" && genOnDisk(spark, dir, g - 1)) ||
-        (metaRaw == fp &&
-          new java.io.File(wh, indexGenTable(dir, g)).isDirectory &&
-          new java.io.File(wh, codebookGenTable(dir, g)).isDirectory)
+      (readMarker(spark, indexGenTable(dir, g)) == s"$fp|noop" &&
+        genOnDisk(spark, dir, g - 1)) ||
+        artifactsFresh(spark, fp,
+          Seq(indexGenTable(dir, g), codebookGenTable(dir, g)))
     }
 
   /** Physical (index, codebook) directories generation g serves from:
     * its own when the apply wrote data, the aliased older generation's
     * when its marker says noop — resolved recursively down the chain.
     */
-  private def servingLocs(spark: SparkSession, dir: String, g: Int): (java.io.File, java.io.File) = {
-    val wh = warehouseDir(spark)
+  private def servingLocs(spark: SparkSession, dir: String, g: Int): (java.io.File, java.io.File) =
     if (g <= 1)
-      (new java.io.File(wh, indexTable(dir)), new java.io.File(wh, codebookTable(dir)))
-    else {
-      val metaFile = new java.io.File(wh, s"${indexGenTable(dir, g)}.fingerprint")
-      val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
-      if (metaRaw == s"${genFingerprint(dir, g)}|noop") servingLocs(spark, dir, g - 1)
-      else (new java.io.File(wh, indexGenTable(dir, g)),
-        new java.io.File(wh, codebookGenTable(dir, g)))
-    }
-  }
+      (tableLoc(spark, indexTable(dir)), tableLoc(spark, codebookTable(dir)))
+    else if (readMarker(spark, indexGenTable(dir, g)) == s"${genFingerprint(dir, g)}|noop")
+      servingLocs(spark, dir, g - 1)
+    else
+      (tableLoc(spark, indexGenTable(dir, g)), tableLoc(spark, codebookGenTable(dir, g)))
 
   /** Gen-2 CODES freshness: the refreshed codes derive from the split
     * (IVF segment) AND the residual-PQ recipe, so both scope in.
@@ -299,26 +338,20 @@ object IvfIndex {
     val idxLoc = new java.io.File(wh, idxT)
     val cbLoc = new java.io.File(wh, cbT)
     val metaFile = new java.io.File(wh, s"$idxT.fingerprint")
-    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+    val metaRaw = readMarker(spark, idxT)
     // "<fp>|noop" records an EMPTY split plan: generation g was published
     // as metadata only, over the previous generation's serving files —
     // at 100 TB a verbatim index copy for a no-op nightly apply would be
     // the bug. A noop marker is only as fresh as the chain it aliases
     // (r10 ADVICE): aliased data gone → rebuild, don't register nothing.
     val noop = metaRaw == s"$fp|noop" && genOnDisk(spark, dir, gen - 1)
-    val onDisk = noop || (metaRaw == fp && idxLoc.isDirectory && cbLoc.isDirectory)
+    val onDisk = noop || artifactsFresh(spark, fp, Seq(idxT, cbT))
     val inCatalog = spark.catalog.tableExists(idxT) && spark.catalog.tableExists(cbT)
     def register(iLoc: java.io.File, cLoc: java.io.File): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $idxT")
       spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      spark.sql(
-        s"""CREATE TABLE $idxT (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${iLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cbT (cell BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE)
-           |USING PARQUET LOCATION '${cLoc.toURI}'""".stripMargin)
+      spark.sql(bucketedIndexDdl(idxT, iLoc))
+      spark.sql(cellCodebookDdl(cbT, cLoc))
     }
     if (onDisk && !inCatalog) {
       if (noop) {
@@ -438,20 +471,16 @@ object IvfIndex {
     val wh = warehouseDir(spark)
     val codesLoc = new java.io.File(wh, codesT)
     val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
-    val metaRaw = if (metaFile.isFile) Files.readString(metaFile.toPath).trim else ""
+    val metaRaw = readMarker(spark, codesT)
     // same no-op contract as [[ensureRebalanced]]: an empty refresh set
     // publishes the gen-2 codes as metadata over the gen-1 codes files —
     // which must therefore still exist for the marker to count (r10 ADVICE)
     val noop = metaRaw == s"$fp|noop" && gen1PqrOnDisk(spark, dir)
-    val onDisk = noop || (metaRaw == fp && codesLoc.isDirectory)
+    val onDisk = noop || artifactsFresh(spark, fp, Seq(codesT))
     val inCatalog = spark.catalog.tableExists(codesT)
     def register(loc: java.io.File): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(
-        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${loc.toURI}'""".stripMargin)
+      spark.sql(bucketedCodesDdl(codesT, loc))
     }
     if (onDisk && !inCatalog) {
       if (noop) {
@@ -574,49 +603,25 @@ object IvfIndex {
   def ensureBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val idx = baseIndexTable(dir)
     val cb = baseCodebookTable(dir)
-    val fp = fingerprint(dir, BaseAlgo)
-    val wh = warehouseDir(spark)
-    val idxLoc = new java.io.File(wh, idx)
-    val cbLoc = new java.io.File(wh, cb)
-    val metaFile = new java.io.File(wh, s"$idx.fingerprint")
-    val onDisk = metaFile.isFile && idxLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val inCatalog = spark.catalog.tableExists(idx) && spark.catalog.tableExists(cb)
-    if (onDisk && !inCatalog) {
-      spark.sql(s"DROP TABLE IF EXISTS $idx")
-      spark.sql(s"DROP TABLE IF EXISTS $cb")
-      spark.sql(
-        s"""CREATE TABLE $idx (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${idxLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cb (cell BIGINT, cvec ARRAY<DOUBLE>, cnrm DOUBLE)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, fingerprint(dir, BaseAlgo),
+      Seq[(String, Ddl)](idx -> bucketedIndexDdl, cb -> cellCodebookDdl)) { () =>
       val e = VectorOps.withNorm(spark, dir).filter(!isAppendBatch(col("vec_id")))
       val cents = VectorOps.ivfCodebook(e)
       val assigned = VectorOps.withNearestCells(e, cents, keep = 1, rounded = true)
         .select(col("vec_id").cast("long").as("vec_id"), col("emb"), col("nrm"), col("cell"))
-      spark.sql(s"DROP TABLE IF EXISTS $idx")
-      spark.sql(s"DROP TABLE IF EXISTS $cb")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(idxLoc)
-      rmTree(cbLoc)
       assigned
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", idxLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, idx).getAbsolutePath)
         .saveAsTable(idx)
       cents
         .select(col("cell"), col("cvec"), col("cnrm"))
         .coalesce(1)
         .write
-        .option("path", cbLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, cb).getAbsolutePath)
         .saveAsTable(cb)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(idx), spark.table(cb))
   }
@@ -650,31 +655,15 @@ object IvfIndex {
     */
   def ensureAppended(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val name = appendedIndexTable(dir)
-    val fp = appFingerprint(dir)
-    val wh = warehouseDir(spark)
-    val loc = new java.io.File(wh, name)
-    val metaFile = new java.io.File(wh, s"$name.fingerprint")
-    val onDisk = metaFile.isFile && loc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val (_, baseCb) = ensureBase(spark, dir)
-    if (onDisk && !spark.catalog.tableExists(name)) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${loc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
-      val (baseIdx, _) = ensureBase(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(loc)
+    val (baseIdx, baseCb) = ensureBase(spark, dir)
+    findOrBuild(spark, appFingerprint(dir),
+      Seq[(String, Ddl)](name -> bucketedIndexDdl)) { () =>
       baseIdx
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", loc.getAbsolutePath)
+        .option("path", tableLoc(spark, name).getAbsolutePath)
         .saveAsTable(name)
       // THE append: batch only — assigned row-locally, appended as
       // correctly-bucketed files; the clone's files are not touched
@@ -685,7 +674,6 @@ object IvfIndex {
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
         .saveAsTable(name)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(name), baseCb)
   }
@@ -704,53 +692,27 @@ object IvfIndex {
   def ensurePqrBase(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqrBaseCodesTable(dir)
     val cbT = pqrBaseCodebookTable(dir)
-    val fp = fingerprint(dir, PqrBaseAlgo)
-    val wh = warehouseDir(spark)
-    val codesLoc = new java.io.File(wh, codesT)
-    val cbLoc = new java.io.File(wh, cbT)
-    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
-    val onDisk = metaFile.isFile && codesLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val inCatalog = spark.catalog.tableExists(codesT) && spark.catalog.tableExists(cbT)
-    if (onDisk && !inCatalog) {
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      spark.sql(
-        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${codesLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cbT (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, fingerprint(dir, PqrBaseAlgo),
+      Seq[(String, Ddl)](codesT -> bucketedCodesDdl, cbT -> subCodebookDdl)) { () =>
       val (idx, ivfCb) = ensureBase(spark, dir)
       val cents = VectorOps.trainPqResidualCodebook(idx, ivfCb)
       val resid = VectorOps.withResiduals(idx, ivfCb)
         .select(col("vec_id"), col("cell"), col("remb").as("emb"))
-      val codes = VectorOps.withPqStructs(resid, cents,
-          VectorOps.PqrM, VectorOps.PqrW)
+      VectorOps.withPqStructs(resid, cents, VectorOps.PqrM, VectorOps.PqrW)
         .select(col("vec_id"), col("cell"),
           expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(codesLoc)
-      rmTree(cbLoc)
-      codes
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", codesLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, codesT).getAbsolutePath)
         .saveAsTable(codesT)
       cents
         .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
         .coalesce(1)
         .write
-        .option("path", cbLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, cbT).getAbsolutePath)
         .saveAsTable(cbT)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(codesT), spark.table(cbT))
   }
@@ -764,32 +726,16 @@ object IvfIndex {
     */
   def ensurePqrAppended(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val name = pqrAppendedCodesTable(dir)
-    val fp = s"${fingerprint(dir, PqrBaseAlgo)}|append-mod3"
-    val wh = warehouseDir(spark)
-    val loc = new java.io.File(wh, name)
-    val metaFile = new java.io.File(wh, s"$name.fingerprint")
-    val onDisk = metaFile.isFile && loc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val (_, rcb) = ensurePqrBase(spark, dir)
-    if (onDisk && !spark.catalog.tableExists(name)) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"""CREATE TABLE $name (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${loc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
-      val (baseCodes, _) = ensurePqrBase(spark, dir)
+    val (baseCodes, rcb) = ensurePqrBase(spark, dir)
+    findOrBuild(spark, s"${fingerprint(dir, PqrBaseAlgo)}|append-mod3",
+      Seq[(String, Ddl)](name -> bucketedCodesDdl)) { () =>
       val (_, baseCb) = ensureBase(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(loc)
       baseCodes
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", loc.getAbsolutePath)
+        .option("path", tableLoc(spark, name).getAbsolutePath)
         .saveAsTable(name)
       // batch codes: residual vs the assigned base cell, base codebook
       val batchResid = VectorOps.withResiduals(
@@ -804,7 +750,6 @@ object IvfIndex {
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
         .saveAsTable(name)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(name), rcb)
   }
@@ -839,29 +784,15 @@ object IvfIndex {
     */
   def ensureTombstones(spark: SparkSession, dir: String): DataFrame = synchronized {
     val name = tombstoneTable(dir)
-    val fp = s"${fingerprint(dir, IvfAlgo)}|tombstones-mod9"
-    val wh = warehouseDir(spark)
-    val loc = new java.io.File(wh, name)
-    val metaFile = new java.io.File(wh, s"$name.fingerprint")
-    val onDisk = metaFile.isFile && loc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    if (onDisk && !spark.catalog.tableExists(name)) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"""CREATE TABLE $name (vec_id BIGINT, cell BIGINT)
-           |USING PARQUET LOCATION '${loc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, s"${fingerprint(dir, IvfAlgo)}|tombstones-mod9",
+      Seq[(String, Ddl)](name -> tombstoneDdl)) { () =>
       val (idx, _) = ensure(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(loc)
       idx.filter(isDeleted(col("vec_id")))
         .select(col("vec_id"), col("cell"))
         .coalesce(1)
         .write
-        .option("path", loc.getAbsolutePath)
+        .option("path", tableLoc(spark, name).getAbsolutePath)
         .saveAsTable(name)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     spark.table(name)
   }
@@ -875,35 +806,18 @@ object IvfIndex {
     */
   def ensureCompacted(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val name = compactedIndexTable(dir)
-    val fp = s"${fingerprint(dir, IvfAlgo)}|compact1-mod9"
-    val wh = warehouseDir(spark)
-    val loc = new java.io.File(wh, name)
-    val metaFile = new java.io.File(wh, s"$name.fingerprint")
-    val onDisk = metaFile.isFile && loc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val (_, cb) = ensure(spark, dir)
-    if (onDisk && !spark.catalog.tableExists(name)) {
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      spark.sql(
-        s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${loc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
-      val (idx, _) = ensure(spark, dir)
+    val (idx, cb) = ensure(spark, dir)
+    findOrBuild(spark, s"${fingerprint(dir, IvfAlgo)}|compact1-mod9",
+      Seq[(String, Ddl)](name -> bucketedIndexDdl)) { () =>
       val ts = ensureTombstones(spark, dir)
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(loc)
       idx.join(broadcast(ts.select(col("vec_id"))), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", loc.getAbsolutePath)
+        .option("path", tableLoc(spark, name).getAbsolutePath)
         .saveAsTable(name)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(name), cb)
   }
@@ -932,26 +846,8 @@ object IvfIndex {
   def ensurePq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqCodesTable(dir)
     val cbT = pqCodebookTable(dir)
-    val fp = fingerprint(dir, PqAlgo)
-    val wh = warehouseDir(spark)
-    val codesLoc = new java.io.File(wh, codesT)
-    val cbLoc = new java.io.File(wh, cbT)
-    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
-    val onDisk = metaFile.isFile && codesLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val inCatalog = spark.catalog.tableExists(codesT) && spark.catalog.tableExists(cbT)
-    if (onDisk && !inCatalog) {
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      spark.sql(
-        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${codesLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cbT (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, fingerprint(dir, PqAlgo),
+      Seq[(String, Ddl)](codesT -> bucketedCodesDdl, cbT -> subCodebookDdl)) { () =>
       val (idx, _) = ensure(spark, dir)
       // trained per-subspace codebook (VERDICT r8 #2): stride-sampled
       // seeds + fixed Lloyd rounds instead of first-4-vector slices
@@ -959,28 +855,21 @@ object IvfIndex {
       // row-local encode (VERDICT r8 #1): all 4 codes per vector come
       // out of one map pass over the bucketed index — no per-(vector,
       // subspace) window Exchange, no re-pack aggregation
-      val codes = VectorOps.withPqStructs(idx, cents)
+      VectorOps.withPqStructs(idx, cents)
         .select(col("vec_id"), col("cell"),
           expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(codesLoc)
-      rmTree(cbLoc)
-      codes
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", codesLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, codesT).getAbsolutePath)
         .saveAsTable(codesT)
       cents
         .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
         .coalesce(1)
         .write
-        .option("path", cbLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, cbT).getAbsolutePath)
         .saveAsTable(cbT)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(codesT), spark.table(cbT))
   }
@@ -1007,55 +896,29 @@ object IvfIndex {
   def ensurePqResidual(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val codesT = pqrCodesTable(dir)
     val cbT = pqrCodebookTable(dir)
-    val fp = fingerprint(dir, PqrAlgo)
-    val wh = warehouseDir(spark)
-    val codesLoc = new java.io.File(wh, codesT)
-    val cbLoc = new java.io.File(wh, cbT)
-    val metaFile = new java.io.File(wh, s"$codesT.fingerprint")
-    val onDisk = metaFile.isFile && codesLoc.isDirectory && cbLoc.isDirectory &&
-      Files.readString(metaFile.toPath).trim == fp
-    val inCatalog = spark.catalog.tableExists(codesT) && spark.catalog.tableExists(cbT)
-    if (onDisk && !inCatalog) {
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      spark.sql(
-        s"""CREATE TABLE $codesT (vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>)
-           |USING PARQUET
-           |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
-           |LOCATION '${codesLoc.toURI}'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE $cbT (sub BIGINT, cid BIGINT, cv ARRAY<DOUBLE>)
-           |USING PARQUET LOCATION '${cbLoc.toURI}'""".stripMargin)
-    } else if (!onDisk) {
+    findOrBuild(spark, fingerprint(dir, PqrAlgo),
+      Seq[(String, Ddl)](codesT -> bucketedCodesDdl, cbT -> subCodebookDdl)) { () =>
       val (idx, ivfCb) = ensure(spark, dir)
       val cents = VectorOps.trainPqResidualCodebook(idx, ivfCb)
       // row-local encode of the residuals — same one-map-pass plan as
       // the raw-PQ codes build, reading the persisted bucketed index
       val resid = VectorOps.withResiduals(idx, ivfCb)
         .select(col("vec_id"), col("cell"), col("remb").as("emb"))
-      val codes = VectorOps.withPqStructs(resid, cents,
-          VectorOps.PqrM, VectorOps.PqrW)
+      VectorOps.withPqStructs(resid, cents, VectorOps.PqrM, VectorOps.PqrW)
         .select(col("vec_id"), col("cell"),
           expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
-      spark.sql(s"DROP TABLE IF EXISTS $codesT")
-      spark.sql(s"DROP TABLE IF EXISTS $cbT")
-      Files.deleteIfExists(metaFile.toPath)
-      rmTree(codesLoc)
-      rmTree(cbLoc)
-      codes
         .repartition(NBuckets, col("cell"))
         .write
         .bucketBy(NBuckets, "cell")
         .sortBy("cell", "vec_id")
-        .option("path", codesLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, codesT).getAbsolutePath)
         .saveAsTable(codesT)
       cents
         .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
         .coalesce(1)
         .write
-        .option("path", cbLoc.getAbsolutePath)
+        .option("path", tableLoc(spark, cbT).getAbsolutePath)
         .saveAsTable(cbT)
-      Files.writeString(metaFile.toPath, fp): Unit
     }
     (spark.table(codesT), spark.table(cbT))
   }

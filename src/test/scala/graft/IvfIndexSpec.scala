@@ -460,6 +460,54 @@ class IvfIndexSpec extends SparkSpecBase {
       "serveLatest must serve generation 3")
   }
 
+  test("a noop marker whose aliased gen-1 data is gone triggers a rebuild, not registration over nothing") {
+    import spark.implicits._
+    // same balanced fixture as the noop test: 4 tight orthogonal
+    // clusters, empty split plan → gen-2 publishes as a noop marker
+    val dir = Files.createTempDirectory("graft_ivf_noopgone").toString
+    val rows = for (j <- 0 until 4; i <- 0 until 4) yield {
+      val emb = Array.fill(64)(0.0f)
+      emb(16 * j) = 1.0f
+      if (i > 0) emb(16 * j + i) = 0.01f * i
+      (4L * j + i, emb.toSeq, j)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    operators.IvfIndex.ensureRebalanced(spark, dir)
+    val g2Meta = new java.io.File(warehouse,
+      s"${operators.IvfIndex.indexG2Table(dir)}.fingerprint")
+    assert(g2Meta.isFile && Files.readString(g2Meta.toPath).endsWith("|noop"),
+      "fixture must publish generation 2 as a noop marker")
+
+    // externally remove the gen-1 data the marker aliases (and the
+    // catalog entries, as a new JVM would lack them)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    for (t <- Seq(operators.IvfIndex.indexTable(dir),
+                  operators.IvfIndex.codebookTable(dir),
+                  operators.IvfIndex.indexG2Table(dir),
+                  operators.IvfIndex.codebookG2Table(dir))) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(warehouse, t))
+    }
+    Files.deleteIfExists(java.nio.file.Paths.get(warehouse.getPath,
+      s"${operators.IvfIndex.indexTable(dir)}.fingerprint"))
+    // the r10-ADVICE guard: the surviving noop marker must NOT be
+    // trusted — ensureRebalanced rebuilds gen-1 and re-derives gen-2
+    val (idx2, cb2) = operators.IvfIndex.ensureRebalanced(spark, dir)
+    assert(idx2.count() == 16 && cb2.count() == 4,
+      "rebuild after aliased-data loss must serve the full corpus")
+    assert(new java.io.File(warehouse, operators.IvfIndex.indexTable(dir)).isDirectory,
+      "gen-1 data must be rebuilt, not assumed")
+    val (srv, _) = operators.IvfIndex.serveLatest(spark, dir)
+    assert(srv.count() == 16, "serveLatest must serve after the rebuild")
+  }
+
   test("rewritten corpus at the same path invalidates and rebuilds") {
     val dir = Files.createTempDirectory("graft_ivf_stale").toString
     def copyCorpus(): Path = Files.copy(
