@@ -295,10 +295,11 @@ object TextOps extends QueryModule {
     """.stripMargin.trim))
 
   /** MinHash + LSH banding candidate pairs — the scalable near-dup path.
-    * 48 hash fns (h_i = the leading-8-hex-chars word of md5("i:shingle")
-    * — the digest's HIGH 32 bits; md5 since r11 per
-    * VERDICT r10 #4, so the whole chain mirrors in DuckDB), 16 bands ×
-    * 3 rows, band bucket = md5 of the joined member signatures. Fully
+    * 48 hash fns from ONE md5 per shingle (the universal-hash family
+    * h_i = (a + i·b) mod p over the digest's two leading 32-bit words —
+    * md5-derived since r11 per VERDICT r10 #4 so the whole chain
+    * mirrors in DuckDB; one crypto hash per shingle, not 48), 16 bands
+    * × 3 rows, band bucket = md5 of the joined member signatures. Fully
     * oracled; TextOpsSpec additionally asserts recall ≥ 0.9 against
     * text_jaccard_simpairs ground truth at j ≥ 0.6.
     */
@@ -306,15 +307,20 @@ object TextOps extends QueryModule {
     val numHashes = 48
     val rowsPerBand = 3
     val sh = cachedShingles(docs)
-    // 48 hash functions h_i(shingle) = the leading 8 hex chars of
-    // md5("i:shingle") read as an integer (the digest's HIGH 32 bits)
-    // (VERDICT r10 #4: the r1 murmur3 `hash(shingle, seed)` was
-    // engine-specific and therefore unoracled; the md5 arithmetic is
-    // bit-identical in DuckDB at the same one-projection plan shape)
+    // 48 hash functions from ONE md5 per shingle (VERDICT r10 #4 made
+    // the hashing md5-derived so DuckDB mirrors it; the r11 review's
+    // bench showed 48 md5 calls per shingle cost ~2× the row, so the
+    // family is the textbook universal-hash construction instead:
+    // h_i = (a + i·b) mod p with a/b the digest's two leading 32-bit
+    // words and p = 4294967291 the largest 32-bit prime — exact integer
+    // arithmetic, bit-identical in both engines, one crypto hash per
+    // shingle)
+    val ha = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+    val hb = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
+    val shh = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
     val sigCols = (0 until numHashes).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 8), 16, 10)
-        .cast("long")).as(s"h$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967291L)).as(s"h$i"))
+    val sigs = shh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one (band, bucket) struct per band, exploded in a single pass —
     // NOT a per-band union, which would recompute the signature
     // aggregation once per band; the band bucket is the md5 of the
@@ -359,10 +365,14 @@ object TextOps extends QueryModule {
         FROM tok a
         JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), shh AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS ha,
+          CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS hb
+        FROM sh
       ), sig AS (
-        SELECT doc_id, i.i AS i,
-          MIN(CAST('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || shingle), 1, 8) AS BIGINT)) AS h
-        FROM sh, (SELECT UNNEST(range(48)) AS i) i
+        SELECT doc_id, i.i AS i, MIN((ha + i.i * hb) % 4294967291) AS h
+        FROM shh, (SELECT UNNEST(range(48)) AS i) i
         GROUP BY doc_id, i.i
       ), bands AS (
         SELECT doc_id, i // 3 AS band,
