@@ -241,14 +241,18 @@ object IvfIndex {
     artifactsFresh(spark, fingerprint(dir, PqrAlgo),
       Seq(pqrCodesTable(dir), pqrCodebookTable(dir)))
 
-  /** Generation-g freshness key: the generation-1 fingerprint (corpus
-    * identity + algo revision) plus the split recipe's own marker and
-    * the ordinal, so a rebuilt generation 1 — new corpus or new algo —
-    * invalidates every applied rebalance down the chain with it. g = 2
-    * reproduces the round-10 key exactly.
+  /** Generation-g freshness key: the PARENT generation's fingerprint
+    * plus this link's split-recipe segment — recursive, so invalidation
+    * propagates down the chain STRUCTURALLY (r11 ADVICE: with only the
+    * gen-1 fingerprint embedded, a recipe change at link g−1 would have
+    * left a stale generation g reading as fresh if the split ever took
+    * input-dependent parameters). g = 2 reproduces the round-10 key
+    * exactly (`<gen1 fp>|gen2-split2means`); g ≥ 3 embeds every link
+    * below it.
     */
   private def genFingerprint(dir: String, g: Int): String =
-    s"${fingerprint(dir, IvfAlgo)}|gen$g-split2means"
+    if (g <= 1) fingerprint(dir, IvfAlgo)
+    else s"${genFingerprint(dir, g - 1)}|gen$g-split2means"
 
   private def g2Fingerprint(dir: String): String = genFingerprint(dir, 2)
 
@@ -776,6 +780,15 @@ object IvfIndex {
   def tombstoneTable(dir: String): String = s"graft_ivf_tombstones_${tag(dir)}"
   def compactedIndexTable(dir: String): String = s"graft_ivf_index_c1_${tag(dir)}"
 
+  /** Tombstone-family freshness key — the compacted generation derives
+    * its own key FROM this one (r11 ADVICE): the compacted data is a
+    * function of the tombstone table, so a delete-rule or tombstone-fp
+    * bump must invalidate the compacted generation automatically, not
+    * by remembering to bump a parallel suffix.
+    */
+  private def tombstoneFingerprint(dir: String): String =
+    s"${fingerprint(dir, IvfAlgo)}|tombstones-mod9"
+
   /** Find-or-build the persisted tombstone table: (vec_id, cell) of
     * every deleted row — kilobytes (ids + cells only, broadcast at
     * serve time), one file, fingerprint freshness like every artifact.
@@ -784,7 +797,7 @@ object IvfIndex {
     */
   def ensureTombstones(spark: SparkSession, dir: String): DataFrame = synchronized {
     val name = tombstoneTable(dir)
-    findOrBuild(spark, s"${fingerprint(dir, IvfAlgo)}|tombstones-mod9",
+    findOrBuild(spark, tombstoneFingerprint(dir),
       Seq[(String, Ddl)](name -> tombstoneDdl)) { () =>
       val (idx, _) = ensure(spark, dir)
       idx.filter(isDeleted(col("vec_id")))
@@ -807,7 +820,10 @@ object IvfIndex {
   def ensureCompacted(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
     val name = compactedIndexTable(dir)
     val (idx, cb) = ensure(spark, dir)
-    findOrBuild(spark, s"${fingerprint(dir, IvfAlgo)}|compact1-mod9",
+    // keyed off the TOMBSTONE fingerprint (r11 ADVICE): the compacted
+    // rows derive from the tombstone table, so any tombstone-recipe
+    // bump invalidates the compacted generation structurally
+    findOrBuild(spark, s"${tombstoneFingerprint(dir)}|compact1",
       Seq[(String, Ddl)](name -> bucketedIndexDdl)) { () =>
       val ts = ensureTombstones(spark, dir)
       idx.join(broadcast(ts.select(col("vec_id"))), Seq("vec_id"), "left_anti")

@@ -315,9 +315,14 @@ object TextOps extends QueryModule {
     // words and p = 4294967291 the largest 32-bit prime — exact integer
     // arithmetic, bit-identical in both engines, one crypto hash per
     // shingle)
-    val ha = conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
-    val hb = conv(substring(md5(col("shingle")), 9, 8), 16, 10).cast("long")
-    val shh = sh.select(col("doc_id"), ha.as("ha"), hb.as("hb"))
+    // the digest is projected ONCE and ha/hb slice it, so the
+    // one-md5-per-shingle cost is structural — not dependent on the
+    // optimizer recognizing two md5(shingle) subexpressions (r11 ADVICE)
+    val shh = sh
+      .select(col("doc_id"), md5(col("shingle")).as("dig"))
+      .select(col("doc_id"),
+        conv(substring(col("dig"), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(col("dig"), 9, 8), 16, 10).cast("long").as("hb"))
     val sigCols = (0 until numHashes).map(i =>
       min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967291L)).as(s"h$i"))
     val sigs = shh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

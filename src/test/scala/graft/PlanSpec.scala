@@ -903,7 +903,7 @@ class PlanSpec extends SparkSpecBase {
       // (cell, side[, pos]) mean aggregations over overloaded-cell
       // members are bounded and allowed — cell alone would be the
       // corpus-scale re-bucketing this layout exists to avoid)
-      assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#]*\\)".r.findFirstIn(p).isDefined,
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#\\n)]*\\)".r.findFirstIn(p).isDefined,
         s"single-key cell shuffle against the bucketed index:\n$p")
     }
   }
@@ -915,7 +915,7 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains(operators.IvfIndex.indexG2Table(sfDir)),
         s"must read the persisted generation-2 index table:\n$p")
       // per-cell work rides the cell bucketing: no cell re-shuffle
-      assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#]*\\)".r.findFirstIn(p).isDefined,
+      assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#\\n)]*\\)".r.findFirstIn(p).isDefined,
         s"single-key cell shuffle against the bucketed gen-2 index:\n$p")
       assert(p.contains("BroadcastHashJoin"),
         s"gen-2 codebook/probe side must broadcast:\n$p")
@@ -931,7 +931,7 @@ class PlanSpec extends SparkSpecBase {
     // the population groupBy, the per-cell seed window, and the member
     // join all ride the cell bucketing; over/seed frames broadcast — the
     // reassignment plan is Exchange-free on the index side
-    assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#]*\\)".r.findFirstIn(p).isDefined,
+    assert(!"Exchange hashpartitioning\\(cell#\\d+L?,[^#\\n)]*\\)".r.findFirstIn(p).isDefined,
       s"splitPlan re-shuffled the bucketed index on cell:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"overloaded-cell membership must broadcast, not sort-merge:\n$p")
