@@ -111,6 +111,30 @@ object RecallProbe {
     reportRefined("refined GEN-2 (ADC shortlist R=20 -> exact re-rank)",
       resCand2, e, q, exact, nQ)
 
+    // 4b. build-time multi-assignment / finer-geometry sweep (VERDICT
+    //     r11 #2): raise the cell-stage ceiling past 0.640 within the
+    //     ≤20% scanned budget — spill each vector to its s nearest
+    //     cells and/or train factor·⌈√n⌉ cells
+    if (sys.env.get("SPILL_SWEEP").contains("1")) {
+      val corpusN = e.count()
+      spillSweep(e, q, exact, nQ, corpusN, factor = 1, spill = 1,
+        nps = Seq(2L, 3L, 4L, 8L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 1, spill = 2,
+        nps = Seq(2L, 3L, 4L, 8L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 2, spill = 1,
+        nps = Seq(4L, 8L, 12L, 16L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 2, spill = 2,
+        nps = Seq(4L, 8L, 12L, 16L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 3, spill = 2,
+        nps = Seq(8L, 12L, 16L, 24L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 4, spill = 2,
+        nps = Seq(12L, 16L, 20L, 24L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 3, spill = 3,
+        nps = Seq(6L, 8L, 10L, 12L))
+      spillSweep(e, q, exact, nQ, corpusN, factor = 4, spill = 3,
+        nps = Seq(8L, 12L, 14L, 16L))
+    }
+
     // 5. optional in-plan sweep: extra args are residual-PQ geometries
     //    as "k" (4×16-dim subspaces) or "k:m" (m subspaces of 64/m dims)
     args.drop(1).foreach { a =>
@@ -131,14 +155,15 @@ object RecallProbe {
     spark.stop()
   }
 
-  /** 8 ranked probe cells per query (the curve row's probe stage). */
-  private def rankedProbes(q: DataFrame, ivfCb: DataFrame): DataFrame = {
+  /** `keep` ranked probe cells per query (the curve row's probe stage). */
+  private def rankedProbes(q: DataFrame, ivfCb: DataFrame,
+      keep: Int = 8): DataFrame = {
     val cbArr = VectorOps.oneRowArray(ivfCb, "cbarr",
       col("cell"), col("cvec"), col("cnrm"))
     q.crossJoin(broadcast(cbArr))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         posexplode(graft.functions.NearestCentroidFunctions.nearestCells(
-          col("emb"), col("nrm"), col("cbarr"), 8, rounded = true)).as(Seq("pos", "tc")))
+          col("emb"), col("nrm"), col("cbarr"), keep, rounded = true)).as(Seq("pos", "tc")))
       .select(col("q_id"), col("q_emb"), (col("pos") + 1).cast("long").as("cr"),
         col("tc")("cell").as("cell"))
   }
@@ -243,13 +268,61 @@ object RecallProbe {
     }
   }
 
+  /** Build-time multi-assignment / finer-geometry sweep (VERDICT r11
+    * #2 — the IVF geometry ceiling): for (nlistFactor, spill) combos,
+    * train a factor·⌈√n⌉-cell codebook, assign every corpus vector to
+    * its `spill` nearest cells (the `dedup_embedding_ann` multi-probe
+    * trick applied at BUILD time — FAISS multi-assignment), and
+    * measure the CELL-STAGE ceiling (exact L2 within probed cells,
+    * duplicates deduped by min probe rank) plus the ACTUAL scanned
+    * fraction (spilled rows in the probed cells / corpus — the honest
+    * cost: spill stores each vector `spill` times).
+    */
+  private def spillSweep(e: DataFrame, q: DataFrame, exact: DataFrame,
+      nQ: Long, corpusN: Long, factor: Int, spill: Int,
+      nps: Seq[Long]): Unit = {
+    val cb = VectorOps.ivfCodebook(e, nlistFactor = factor)
+    val sidx = VectorOps.withNearestCells(e, cb, keep = spill, rounded = true)
+      .select(col("vec_id"), col("emb"), col("cell")).cache()
+    val probes = rankedProbes(q, cb, keep = nps.max.toInt)
+      .select(col("q_id"), col("cell"), col("cr"))
+    // scanned fraction per nprobe: spilled rows in the probed cells
+    val pops = sidx.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+    val scanned = probes.join(broadcast(pops), Seq("cell"))
+      .withColumn("nprobe", explode(array(nps.map(lit): _*)))
+      .filter(col("cr") <= col("nprobe"))
+      .groupBy(col("nprobe")).agg(sum(col("pop")).as("rows_scanned"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cell-stage candidates, deduped to the best probe rank per (q, vec)
+    val cand = sidx
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("cr")).as("cr"))
+      .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(q.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))),
+        Seq("q_id"))
+      .withColumn("adist", round(
+        GraftFunctions.dot(col("emb"), col("emb"))
+          - lit(2.0) * GraftFunctions.dot(col("emb"), col("q_emb"))
+          + GraftFunctions.dot(col("q_emb"), col("q_emb")), 6))
+      .select(col("q_id"), col("vec_id"), col("cr"), col("adist"))
+    val nlist = cb.count()
+    println(s"== spill sweep: nlistFactor=$factor (nlist=$nlist), spill=$spill (nQ=$nQ) ==")
+    report(s"cell-stage, factor=$factor spill=$spill", cand, exact, nQ, nps)
+    nps.foreach { np =>
+      val f = scanned.getOrElse(np, 0L).toDouble / (nQ * corpusN)
+      println(f"nprobe=$np%d scanned_fraction=$f%.3f")
+    }
+    sidx.unpersist(): Unit
+  }
+
   /** Print recall@3/@5 per nprobe for a candidate set. */
   private def report(label: String, cand: DataFrame, exact: DataFrame,
-      nQ: Long): Unit = {
+      nQ: Long, nps: Seq[Long] = NPs): Unit = {
     val wNp = Window.partitionBy(col("nprobe"), col("q_id"))
       .orderBy(col("adist"), col("vec_id"))
     val approx = cand
-      .withColumn("nprobe", explode(array(NPs.map(lit): _*)))
+      .withColumn("nprobe", explode(array(nps.map(lit): _*)))
       .filter(col("cr") <= col("nprobe"))
       .withColumn("a_rn", row_number().over(wNp))
       .filter(col("a_rn") <= K)
@@ -261,7 +334,7 @@ object RecallProbe {
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     println(s"== $label (nQ=$nQ) ==")
-    NPs.foreach { np =>
+    nps.foreach { np =>
       val (h3, h5) = byNp.getOrElse(np, (0L, 0L))
       println(f"nprobe=$np%d recall@3=${h3.toDouble / (nQ * 3)}%.3f recall@5=${h5.toDouble / (nQ * 5)}%.3f")
     }

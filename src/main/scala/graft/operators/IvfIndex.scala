@@ -838,6 +838,85 @@ object IvfIndex {
     (spark.table(name), cb)
   }
 
+  // ------------------------------------------------------------------
+  // BUILD-TIME MULTI-ASSIGNMENT family (r12, VERDICT r11 #2): the IVF
+  // geometry itself was the binding recall bound — cell-stage recall@3
+  // = 0.640 at 17.8% of the corpus scanned (RECALL.md). The FAISS
+  // multi-assignment discipline raises the ceiling WITHOUT touching
+  // ADC: train a FINER codebook ([[SpillFactor]]·⌈√n⌉ cells) and store
+  // every corpus vector in its [[SpillK]] nearest cells, so a query
+  // whose true neighbor sits just across a cell boundary still finds
+  // it in a probed cell. Measured on the sf0.1 sweep (RECALL.md r12):
+  // recall@3 at ≤20% scanned rises 0.640 → 0.760 (nprobe=16). The
+  // price is explicit: the index stores each vector SpillK times, and
+  // the scanned fraction counts those copies.
+  // ------------------------------------------------------------------
+
+  /** Multi-assignment arity: each vector lands in its 2 nearest cells. */
+  val SpillK = 2
+
+  /** Finer-geometry knob: nlist = SpillFactor·⌈√n⌉ trained cells. */
+  val SpillFactor = 4
+
+  def spillIndexTable(dir: String): String = s"graft_ivf_spill_${tag(dir)}"
+  def spillCodebookTable(dir: String): String = s"graft_ivf_spillcb_${tag(dir)}"
+
+  private val SpillAlgo =
+    s"ivf-lloyd${VectorOps.IvfLloydIters}-stride-f$SpillFactor|spill$SpillK"
+
+  private def spilledIndexDdl(name: String, loc: java.io.File): String =
+    s"""CREATE TABLE $name (vec_id BIGINT, emb ARRAY<DOUBLE>, nrm DOUBLE, cell BIGINT, crank BIGINT)
+       |USING PARQUET
+       |CLUSTERED BY (cell) SORTED BY (cell, vec_id) INTO $NBuckets BUCKETS
+       |LOCATION '${loc.toURI}'""".stripMargin
+
+  /** Find-or-build the SPILLED index: [[ensure]]'s contract (trained
+    * codebook, row-local assignment, cell-bucketed files, fingerprint
+    * freshness, metadata-only re-registration in a new JVM) at the
+    * multi-assignment geometry — nlist = [[SpillFactor]]·⌈√n⌉ cells,
+    * each vector stored under its [[SpillK]] nearest cells with its
+    * probe rank (`crank` 1..SpillK). Returns (spilled index, codebook).
+    *
+    * Scale notes (100 TB): build work is the same one fact-scale pass
+    * as [[ensure]] ×SpillK output rows (row-local compiled top-k
+    * assignment, one cell-hash shuffle into bucket files); the codebook
+    * stays kilobytes-to-megabytes (SpillFactor·√n rows) and broadcasts.
+    */
+  def ensureSpilled(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val idxT = spillIndexTable(dir)
+    val cbT = spillCodebookTable(dir)
+    findOrBuild(spark, fingerprint(dir, SpillAlgo),
+      Seq[(String, Ddl)](idxT -> spilledIndexDdl, cbT -> cellCodebookDdl)) { () =>
+      val e = VectorOps.withNorm(spark, dir)
+      val cents = VectorOps.ivfCodebook(e, nlistFactor = SpillFactor)
+      val cbArr = VectorOps.oneRowArray(cents, "cbarr",
+        col("cell"), col("cvec"), col("cnrm"))
+      // row-local top-SpillK assignment: posexplode keeps the probe
+      // rank (crank 1 = the cell [[ensure]] would have assigned)
+      val assigned = e.crossJoin(broadcast(cbArr))
+        .select(col("vec_id").cast("long").as("vec_id"), col("emb"), col("nrm"),
+          posexplode(graft.functions.NearestCentroidFunctions.nearestCells(
+            col("emb"), col("nrm"), col("cbarr"), SpillK, rounded = true))
+            .as(Seq("pos", "tc")))
+        .select(col("vec_id"), col("emb"), col("nrm"),
+          col("tc")("cell").as("cell"), (col("pos") + 1).cast("long").as("crank"))
+      assigned
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", tableLoc(spark, idxT).getAbsolutePath)
+        .saveAsTable(idxT)
+      cents
+        .select(col("cell"), col("cvec"), col("cnrm"))
+        .coalesce(1)
+        .write
+        .option("path", tableLoc(spark, cbT).getAbsolutePath)
+        .saveAsTable(cbT)
+    }
+    (spark.table(idxT), spark.table(cbT))
+  }
+
   def pqCodesTable(dir: String): String = s"graft_pq_codes_${tag(dir)}"
   def pqCodebookTable(dir: String): String = s"graft_pq_codebook_${tag(dir)}"
 

@@ -149,13 +149,18 @@ object VectorOps extends QueryModule {
     * lineage-cut per corpus ([[codebookCache]]).
     */
   def ivfCodebook(e: org.apache.spark.sql.DataFrame,
-                  nlistOverride: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+                  nlistOverride: Option[Int] = None,
+                  nlistFactor: Int = 1): org.apache.spark.sql.DataFrame = {
     val seeds = nlistOverride match {
       case Some(m) => e.filter(col("vec_id") < m)
         .select(col("vec_id").as("cid"), col("emb").as("cemb"))
       case None =>
+        // nlistFactor > 1 trains a FINER geometry (factor·⌈√n⌉ cells) —
+        // the r12 spilled family's knob; factor = 1 is the r8 default
+        // every existing artifact and mirror pins
         val nl = e.agg(count(lit(1)).as("n"))
-          .select(col("n"), ceil(sqrt(col("n"))).cast("long").as("nlist"))
+          .select(col("n"),
+            (ceil(sqrt(col("n"))).cast("long") * nlistFactor).as("nlist"))
           .select(col("nlist"), greatest(expr("n DIV nlist"), lit(1L)).as("stride"))
         e.crossJoin(broadcast(nl))
           .filter(col("vec_id") % col("stride") === 0 &&
@@ -180,13 +185,18 @@ object VectorOps extends QueryModule {
     * mirror can never drift from the Spark build by one iteration.
     */
   private[graft] def ivfCodebookSqlGen(src: String = "e", p: String = "",
-      countSrc: String = "embeddings"): String = {
+      countSrc: String = "embeddings", nlistFactor: Int = 1): String = {
     // alias non-default sources as `e` so the round bodies read uniformly
     val srcE = if (src == "e") "e" else s"$src e"
+    // factor emitted only when ≠ 1 so every factor-1 oracle's SQL text is
+    // byte-identical to the pre-r12 form
+    val nlistExpr =
+      if (nlistFactor == 1) "CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)"
+      else s"CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) * $nlistFactor"
     val seed = s"""
       ${p}nl AS (
         SELECT nlist, GREATEST(n // nlist, 1) AS stride FROM (
-          SELECT COUNT(*) AS n, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS nlist
+          SELECT COUNT(*) AS n, $nlistExpr AS nlist
           FROM $countSrc)
       ), ${p}cent0 AS (
         SELECT vec_id // stride AS cid, emb AS cemb FROM $src, ${p}nl
@@ -3603,7 +3613,137 @@ object VectorOps extends QueryModule {
       GROUP BY cell ORDER BY cell
     """.stripMargin.trim))
 
+  /** Shared DuckDB mirror of the multi-assignment family
+    * ([[IvfIndex.ensureSpilled]]) — the [[baseAppendLifecycleSql]]
+    * discipline applied to the spilled geometry. Expects
+    * `e(vec_id, label, emb, nrm)` in scope; ends with:
+    *
+    *  - `spcentn(cell, cvec, cnrm)` — the codebook trained at nlist =
+    *    [[IvfIndex.SpillFactor]]·⌈√n⌉ ([[ivfCodebookSqlGen]] with the
+    *    factor);
+    *  - `ssims` — every corpus row's rounded cosine to every cell;
+    *  - `sassign(vec_id, emb, nrm, cell, crank)` — the top-
+    *    [[IvfIndex.SpillK]] multi-assignment (crank = probe rank).
+    */
+  private[graft] val spillLifecycleSql: String = s"""
+      ${ivfCodebookSqlGen("e", "sp", "embeddings", IvfIndex.SpillFactor)}, ssims AS (
+        SELECT e.vec_id, e.emb, e.nrm, c.cell,
+          ROUND(list_inner_product(e.emb, c.cvec) / (e.nrm * c.cnrm), 6) AS csim
+        FROM e CROSS JOIN spcentn c
+      ), sassign AS (
+        SELECT vec_id, emb, nrm, cell, cr AS crank FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM ssims)
+        WHERE cr <= ${IvfIndex.SpillK}
+      )"""
+
+  /** BUILD-TIME MULTI-ASSIGNMENT index audit (SURVEY §2 I-tredec,
+    * VERDICT r11 #2 — the IVF geometry ceiling was the binding recall
+    * bound): [[IvfIndex.ensureSpilled]] persists the FAISS
+    * multi-assignment layout — nlist = [[IvfIndex.SpillFactor]]·⌈√n⌉
+    * trained cells, every vector stored in its [[IvfIndex.SpillK]]
+    * nearest cells with its probe rank. RECALL.md r12 sweep: at the
+    * same ≤20% scanned budget the cell-stage ceiling rises 0.640 →
+    * 0.760 recall@3 (nprobe=16). Declared output audits the spilled
+    * index per cell — members, primary (crank = 1) members, exact id
+    * sum — read back from the persisted bucketed table; the oracle
+    * trains the factor-4 codebook from scratch and ranks cr ≤ SpillK.
+    *
+    * Scale notes (100 TB): the build is [[IvfIndex.ensure]]'s one
+    * fact-scale pass with ×SpillK output rows (row-local compiled
+    * top-k, one cell-hash shuffle); this row's read side is a
+    * zero-Exchange bucketed per-cell aggregation.
+    */
+  val vecIvfSpillBuild = Q(
+    "vec_ivf_spill_build",
+    (spark, dir) => {
+      import spark.implicits._
+      val (sidx, _) = IvfIndex.ensureSpilled(spark, dir)
+      sidx.groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          count(when($"crank" === 1, 1)).as("n_primary"),
+          sum($"vec_id").as("id_sum"))
+        .orderBy($"cell")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $spillLifecycleSql
+      SELECT cell, COUNT(*) AS n_members,
+        COUNT(CASE WHEN crank = 1 THEN 1 END) AS n_primary,
+        CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM sassign GROUP BY cell ORDER BY cell
+    """.stripMargin.trim))
+
+  /** ANN SERVE FROM THE SPILLED INDEX (SURVEY §2 I-tredec) at the
+    * measured operating point — nprobe=16 of nlist = 4·⌈√n⌉ ≈ 17.7% of
+    * corpus ROWS scanned (the spilled copies are the honest cost):
+    * 50 disjoint-sample probes (vec_id ≡ 7 mod 10, < 500) ranked
+    * against the factor-4 codebook; candidates are the spilled members
+    * of the probed cells DEDUPED by (query, vector) — a vector spilled
+    * into two probed cells is scanned twice but scored once — exact
+    * rounded cosine, top-3 with id tiebreaks. Cell-stage recall@3 at
+    * this budget: 0.760 vs gen-1's 0.640 (RECALL.md r12).
+    *
+    * Scale notes (100 TB): identical serve shape to `vec_ann_ivf_serve`
+    * — bucketed spilled scan (zero cell Exchange), broadcast probes,
+    * candidate-bounded distinct + per-query top-k window; per-probe
+    * work is ~SpillK·nprobe/nlist of the corpus by construction.
+    */
+  val vecAnnIvfServeSpill = Q(
+    "vec_ann_ivf_serve_spill",
+    (spark, dir) => {
+      import spark.implicits._
+      val (sidx, scb) = IvfIndex.ensureSpilled(spark, dir)
+      val q = withNorm(spark, dir).filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      val probes = withNearestCells(q, scb, keep = 16, rounded = true)
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"), $"nrm".as("q_nrm"), $"cell")
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      sidx
+        .join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          round(GraftFunctions.dot($"emb", $"q_emb") / ($"nrm" * $"q_nrm"), 6))
+        .select($"q_id", $"vec_id", $"cos")
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"cos", $"rn")
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $spillLifecycleSql, probes AS (
+        SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, cell FROM (
+          SELECT vec_id, emb, nrm, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM ssims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 16
+      ), cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id,
+          ROUND(list_inner_product(a.emb, p.q_emb) / (a.nrm * p.q_nrm), 6) AS cos
+        FROM sassign a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.q_id
+      )
+      SELECT q_id, vec_id, cos, rn FROM (
+        SELECT q_id, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecIvfSpillBuild,
+    vecAnnIvfServeSpill,
     vecIvfDeleteTombstone,
     vecAnnIvfServeTombstoned,
     vecIvfCompactApply,

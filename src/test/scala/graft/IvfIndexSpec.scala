@@ -539,4 +539,39 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(mtimes(g2Name) != g2Built,
       "corpus rewrite must invalidate the applied rebalance too")
   }
+
+  test("spilled multi-assignment index: SpillK distinct cells per vector, crank 1 = primary, no rewrite on re-ensure") {
+    import org.apache.spark.sql.functions._
+    val idxName = operators.IvfIndex.spillIndexTable(sfDir)
+    val (sidx, scb) = operators.IvfIndex.ensureSpilled(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = operators.IvfIndex.SpillK
+    assert(sidx.count() == k * n,
+      s"spilled index must hold every vector exactly SpillK=$k times")
+    assert(scb.count() ==
+      operators.IvfIndex.SpillFactor * math.ceil(math.sqrt(n.toDouble)).toLong,
+      "spilled codebook must have SpillFactor * ceil(sqrt(n)) cells")
+    // every vector: exactly SpillK rows, all in DISTINCT cells, with
+    // crank values 1..SpillK
+    val per = sidx.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("cell")).as("cells"),
+        sort_array(collect_list(col("crank"))).as("cranks"))
+    assert(per.filter(col("rows") =!= k || col("cells") =!= k).count() == 0,
+      "every vector must spill into SpillK distinct cells")
+    assert(per.filter(col("cranks") =!= typedLit((1 to k).map(_.toLong))).count() == 0,
+      "crank must enumerate 1..SpillK per vector")
+    // crank-1 rows ARE the single-assignment argmax against the same
+    // codebook (the spilled primary equals what keep=1 would assign)
+    val primary = sidx.filter(col("crank") === 1).select(col("vec_id"), col("cell"))
+    val single = operators.VectorOps.withNearestCells(
+        operators.VectorOps.withNorm(spark, sfDir), scb, keep = 1, rounded = true)
+      .select(col("vec_id").cast("long").as("vec_id"), col("cell"))
+    assert(primary.exceptAll(single).isEmpty && single.exceptAll(primary).isEmpty,
+      "crank-1 rows must equal the keep=1 assignment")
+    // repeat ensure: pure lookup, no data rewrite
+    val built = mtimes(idxName)
+    operators.IvfIndex.ensureSpilled(spark, sfDir)
+    assert(mtimes(idxName) == built, "repeat ensureSpilled must not rewrite data")
+  }
 }

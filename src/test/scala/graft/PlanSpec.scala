@@ -871,6 +871,24 @@ class PlanSpec extends SparkSpecBase {
       s"cell-keyed shuffle against the bucketed compacted generation:\n$pc")
   }
 
+  test("spilled-family reads: bucketed spilled scan, broadcast probes, no cell shuffle") {
+    // multi-assignment serve: spilled index reads from its buckets, the
+    // probes broadcast, the (q, vec) dedup is candidate-bounded — no
+    // cell-keyed shuffle of the corpus-scale side anywhere
+    val p = planString(operators.VectorOps.vecAnnIvfServeSpill.fn(spark, sfDir))
+    assert(p.contains(operators.IvfIndex.spillIndexTable(sfDir)),
+      s"must read the persisted spilled index table:\n$p")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle against the bucketed spilled index:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"probe side must broadcast:\n$p")
+    val pb = planString(operators.VectorOps.vecIvfSpillBuild.fn(spark, sfDir))
+    assert(pb.contains(operators.IvfIndex.spillIndexTable(sfDir)),
+      s"audit must read the persisted spilled index table:\n$pb")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(pb).isDefined,
+      s"cell-keyed shuffle in the bucketed per-cell audit:\n$pb")
+  }
+
   test("dedup_incremental_registry: probe shuffles, bucketed registry side does not") {
     val df = operators.TextOps.dedupIncrementalRegistry.fn(spark, sfDir)
     val p = planString(df)
