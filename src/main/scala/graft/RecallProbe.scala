@@ -111,6 +111,30 @@ object RecallProbe {
     reportRefined("refined GEN-2 (ADC shortlist R=20 -> exact re-rank)",
       resCand2, e, q, exact, nQ)
 
+    // 4c. COMPOSED PRODUCTION PATH (r12, the `vec_ann_serve_production`
+    //     recipe): append family — freshest generation (base + appended
+    //     batch live), tombstones excluded from candidates AND from the
+    //     ground truth (a deleted vector is not servable), residual ADC
+    //     shortlist R=20, exact refine. The number that says the full
+    //     lifecycle composition preserves retrieval quality.
+    if (sys.env.get("PROD_PROBE").contains("1")) {
+      val (_, baseCb) = IvfIndex.ensureAppended(spark, dir)
+      val (appCodes, appRcb) = IvfIndex.ensurePqrAppended(spark, dir)
+      val tsApp = IvfIndex.ensureTombstonesApp(spark, dir)
+      val liveE = e.join(broadcast(tsApp.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      val exactLive = exactTopK(liveE, q)
+      val probesApp = rankedProbes(q, baseCb)
+      val liveCodes = appCodes.join(broadcast(tsApp.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      val prodCand = adcCand(liveCodes, appRcb, probesApp, rawLut = false,
+        baseCb, VectorOps.PqrM, VectorOps.PqrW)
+      report("composed production ADC (append family, tombstones excluded)",
+        prodCand, exactLive, nQ)
+      reportRefined("composed production REFINED (vec_ann_serve_production recipe)",
+        prodCand, liveE, q, exactLive, nQ)
+    }
+
     // 4b. build-time multi-assignment / finer-geometry sweep (VERDICT
     //     r11 #2): raise the cell-stage ceiling past 0.640 within the
     //     ≤20% scanned budget — spill each vector to its s nearest

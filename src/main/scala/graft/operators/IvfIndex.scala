@@ -682,6 +682,54 @@ object IvfIndex {
     (spark.table(name), baseCb)
   }
 
+  def appTombstoneTable(dir: String): String = s"graft_ivf_tombstones_app_${tag(dir)}"
+
+  /** Append-family tombstone fingerprint — derives from the APPENDED
+    * generation's fingerprint (the r11-ADVICE chaining discipline): a
+    * change to the append recipe invalidates the tombstones built over
+    * its assignment automatically.
+    */
+  private def appTombstoneFingerprint(dir: String): String =
+    s"${appFingerprint(dir)}|tombstones-mod9"
+
+  /** Find-or-build the append-family tombstone table: (vec_id, cell) of
+    * every deleted row (vec_id ≡ 9 mod 10, [[isDeleted]] — all base
+    * rows, since the append batch is ≡ 3) READ FROM THE APPENDED
+    * generation, so the cells match the geometry the production serve
+    * path probes. Kilobytes, one file, index files byte-untouched.
+    */
+  def ensureTombstonesApp(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val name = appTombstoneTable(dir)
+    findOrBuild(spark, appTombstoneFingerprint(dir),
+      Seq[(String, Ddl)](name -> tombstoneDdl)) { () =>
+      val (appIdx, _) = ensureAppended(spark, dir)
+      appIdx.filter(isDeleted(col("vec_id")))
+        .select(col("vec_id"), col("cell"))
+        .coalesce(1)
+        .write
+        .option("path", tableLoc(spark, name).getAbsolutePath)
+        .saveAsTable(name)
+    }
+    spark.table(name)
+  }
+
+  /** Read-side generation policy for the APPEND family — the
+    * [[serveLatest]] discipline: serve the freshest generation whose
+    * fingerprint chain is current. The appended generation is freshest
+    * when its own marker AND the base generation below it (whose
+    * codebook it serves with) are current; otherwise fall back to the
+    * base generation. Pure read — a serve path never builds a
+    * generation inline; it only re-registers catalog metadata when a
+    * new JVM finds current artifacts.
+    */
+  def serveFreshestApp(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val appCurrent =
+      artifactsFresh(spark, appFingerprint(dir), Seq(appendedIndexTable(dir))) &&
+        artifactsFresh(spark, fingerprint(dir, BaseAlgo),
+          Seq(baseIndexTable(dir), baseCodebookTable(dir)))
+    if (appCurrent) ensureAppended(spark, dir) else ensureBase(spark, dir)
+  }
+
   def pqrBaseCodesTable(dir: String): String = s"graft_pqr_base_codes_${tag(dir)}"
   def pqrBaseCodebookTable(dir: String): String = s"graft_pqr_base_cb_${tag(dir)}"
   def pqrAppendedCodesTable(dir: String): String = s"graft_pqr_codes_app_${tag(dir)}"

@@ -3209,6 +3209,45 @@ object VectorOps extends QueryModule {
         WHERE cr = 1
       )"""
 
+  /** DuckDB mirror of the append family's RESIDUAL-PQ codes
+    * ([[IvfIndex.ensurePqrBase]] / [[IvfIndex.ensurePqrAppended]]) —
+    * extracted from `vec_pqr_append_incremental`'s oracle so the
+    * composed production-serve row shares it verbatim. Expects `e` and
+    * the [[baseAppendLifecycleSql]] CTEs in scope; ends with:
+    *
+    *  - `rpqcb(sub, cid, cv)` — the residual codebook trained on the
+    *    BASE slice's residuals;
+    *  - `racodes(vec_id, cell, sub, cid)` — every row's (base + batch)
+    *    residual codes at the base geometry.
+    */
+  private[graft] val basePqrCodesSql: String = s"""
+      brese AS (
+        SELECT a.vec_id,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM ball a JOIN bcentn c USING (cell)
+        WHERE a.vec_id % 10 <> 3
+      ), ${pqCodebookSqlGen("brese", "r", PqrK, PqrM, PqrW, countSrc = "be")}, resall AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM ball a JOIN bcentn c USING (cell)
+      ), ras AS (
+        SELECT vec_id, cell, sub,
+          list_slice(emb, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM resall, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), rad AS (
+        SELECT s.vec_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM ras s JOIN rpqcb c ON s.sub = c.sub
+      ), racodes AS (
+        SELECT vec_id, cell, sub, cid FROM (
+          SELECT vec_id, cell, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+          FROM rad)
+        WHERE rn = 1
+      )"""
+
   /** INCREMENTAL ADD to the persisted IVF index (SURVEY §2 I-duodec,
     * VERDICT r10 #2) — the most common production index operation: a
     * NEW vector batch joins the index without a rebuild.
@@ -3346,32 +3385,7 @@ object VectorOps extends QueryModule {
           SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
                                   CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-      ), $baseAppendLifecycleSql, brese AS (
-        SELECT a.vec_id,
-          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
-        FROM ball a JOIN bcentn c USING (cell)
-        WHERE a.vec_id % 10 <> 3
-      ), ${pqCodebookSqlGen("brese", "r", PqrK, PqrM, PqrW, countSrc = "be")}, resall AS (
-        SELECT a.vec_id, a.cell,
-          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
-        FROM ball a JOIN bcentn c USING (cell)
-      ), ras AS (
-        SELECT vec_id, cell, sub,
-          list_slice(emb, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
-        FROM resall, (SELECT UNNEST(range($PqrM)) AS sub)
-      ), rad AS (
-        SELECT s.vec_id, s.cell, s.sub, c.cid,
-          ROUND(list_inner_product(s.v, s.v)
-                - 2.0 * list_inner_product(s.v, c.cv)
-                + list_inner_product(c.cv, c.cv), 6) AS d2
-        FROM ras s JOIN rpqcb c ON s.sub = c.sub
-      ), racodes AS (
-        SELECT vec_id, cell, sub, cid FROM (
-          SELECT vec_id, cell, sub, cid,
-            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-          FROM rad)
-        WHERE rn = 1
-      ), vsum AS (
+      ), $baseAppendLifecycleSql, $basePqrCodesSql, vsum AS (
         SELECT vec_id, cell, SUM(cid) AS cs FROM racodes GROUP BY vec_id, cell
       )
       SELECT cell, COUNT(*) AS n_vec, CAST(SUM(cs) AS BIGINT) AS codes_sum
@@ -3741,7 +3755,178 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** THE COMPOSED PRODUCTION SERVE PATH (SURVEY §2 I-tredec, VERDICT
+    * r11 #1): every index-lifecycle dimension proven separately in
+    * round 11 — freshest-generation resolution, append visibility,
+    * tombstone exclusion, ADC shortlist, exact refine — composed into
+    * ONE declared plan, because composition is where freshness and
+    * exclusion bugs live. The query path a production retrieval service
+    * actually runs:
+    *
+    *  1. [[IvfIndex.serveFreshestApp]] resolves the freshest current
+    *     generation of the append family (appended when its fingerprint
+    *     chain — incl. the base generation whose codebook it serves
+    *     with — is current; base otherwise);
+    *  2. appended vectors (≡ 3 mod 10) are LIVE in the scanned
+    *     generation and its persisted residual codes
+    *     ([[IvfIndex.ensurePqrAppended]]);
+    *  3. tombstoned rows (≡ 9 mod 10, [[IvfIndex.ensureTombstonesApp]])
+    *     are excluded by a broadcast anti join BEFORE the ADC scan — a
+    *     deleted vector never surfaces and never wastes a shortlist
+    *     slot;
+    *  4. ADC ranks the probed cells' codes (nprobe=8 ranked probes vs
+    *     the unchanged base codebook, per-(query, cell) residual LUT);
+    *  5. the top R=20 shortlist is EXACT-refined: only those R full
+    *     vectors are read back from the appended index (broadcast
+    *     lookup join), top-3 by rounded L2 with id tiebreaks.
+    *
+    * Queries are the 50 disjoint-sample vectors (≡ 7 mod 10, < 500 —
+    * outside the append batch, the delete batch and both codebooks'
+    * stride-seed sets). RecallProbe's composed gen-2+refine measurement
+    * (RECALL.md) already showed composition preserves quality; this row
+    * makes the composed PLAN a declared, fully-oracled contract.
+    *
+    * Scale notes (100 TB): the serve cost is the refine row's — codes
+    * ADC ∝ nprobe/nlist of the corpus (bucketed, zero cell Exchange),
+    * plus Q×R point lookups; the tombstone anti join broadcasts
+    * kilobytes; the generation resolution is metadata-only. Every
+    * maintenance artifact it reads is built OUTSIDE the serve clock.
+    */
+  val vecAnnServeProduction = Q(
+    "vec_ann_serve_production",
+    (spark, dir) => {
+      import spark.implicits._
+      val R = 20
+      // maintenance half (outside a production serve clock): make the
+      // freshest generation + codes + tombstones exist, deterministically
+      IvfIndex.ensureAppended(spark, dir)
+      val (rcodes, rcb) = IvfIndex.ensurePqrAppended(spark, dir)
+      val ts = IvfIndex.ensureTombstonesApp(spark, dir)
+      // serve half: freshest-generation resolution (appended is current
+      // here by construction; IvfIndexSpec proves the base fallback)
+      val (idx, baseCb) = IvfIndex.serveFreshestApp(spark, dir)
+      val e = withNorm(spark, dir)
+      val q = e.filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      // 8 ranked probe cells per query vs the unchanged base codebook
+      val cbArr = oneRowArray(baseCb, "cbarr", col("cell"), col("cvec"), col("cnrm"))
+      val probes = q.crossJoin(broadcast(cbArr))
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+          explode(graft.functions.NearestCentroidFunctions.nearestCells(
+            $"emb", $"nrm", $"cbarr", 8, rounded = true)).as("tc"))
+        .select($"q_id", $"q_emb", $"tc"("cell").as("cell"))
+      // per-(query, probed cell) residual LUT against the base-trained
+      // residual codebook
+      val lut = probes
+        .join(broadcast(baseCb.select($"cell", $"cvec")), Seq("cell"))
+        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
+        .select($"q_id", $"cell",
+          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
+        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
+          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
+        .join(broadcast(rcb), Seq("sub"))
+        .withColumn("qd2", round(
+          GraftFunctions.dot($"v", $"v")
+            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+            + GraftFunctions.dot($"cv", $"cv"), 6))
+        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // ADC over the appended codes with tombstones excluded UP FRONT
+      val wAdc = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      val shortlist = rcodes
+        .join(broadcast(ts.select($"vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(probes.select($"q_id", $"cell")), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"cell", $"vec_id",
+          posexplode($"codes").as(Seq("sub", "cid")))
+        .select($"q_id", $"cell", $"vec_id",
+          $"sub".cast("long").as("sub"), $"cid")
+        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .withColumn("adist", $"ad".cast(DoubleType))
+        .withColumn("srn", row_number().over(wAdc))
+        .filter($"srn" <= R)
+        .select($"q_id", $"vec_id")
+      // exact refine: only the R shortlisted rows leave the appended
+      // index (broadcast lookup join — the index side never shuffles)
+      val wTop = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      idx
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(q.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), Seq("q_id"))
+        .withColumn("d2", round(
+          GraftFunctions.dot($"emb", $"emb")
+            - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+            + GraftFunctions.dot($"q_emb", $"q_emb"), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"d2", $"rn".cast("long").as("rn"))
+        .orderBy($"q_id", $"rn")
+    },
+    // from-scratch mirror: base codebook + union assignment
+    // (baseAppendLifecycleSql) + base-residual PQ codes (basePqrCodesSql)
+    // + probes + per-(q,cell) LUT + tombstone-filtered ADC + shortlist
+    // + exact refine
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $baseAppendLifecycleSql, $basePqrCodesSql, qe AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e
+        WHERE vec_id % 10 = 7 AND vec_id < 500
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM bsims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 8
+      ), qres AS (
+        SELECT p.q_id, p.cell,
+          list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] - c.cvec[i]) AS qr
+        FROM probes p JOIN qe q ON p.q_id = q.q_id JOIN bcentn c USING (cell)
+      ), qsl AS (
+        SELECT q_id, cell, sub, list_slice(qr, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM qres, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), qlut AS (
+        SELECT s.q_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS qd2
+        FROM qsl s JOIN rpqcb c ON s.sub = c.sub
+      ), adists AS (
+        SELECT p.q_id, k.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM racodes k
+        JOIN probes p USING (cell)
+        JOIN qlut l ON l.q_id = p.q_id AND l.cell = k.cell
+                   AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id AND k.vec_id % 10 <> 9
+        GROUP BY p.q_id, k.vec_id
+      ), shortlist AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS srn
+          FROM adists)
+        WHERE srn <= 20
+      ), refined AS (
+        SELECT s.q_id, s.vec_id,
+          ROUND(list_inner_product(a.emb, a.emb)
+                - 2.0 * list_inner_product(a.emb, q.q_emb)
+                + list_inner_product(q.q_emb, q.q_emb), 6) AS d2
+        FROM shortlist s
+        JOIN ball a ON a.vec_id = s.vec_id
+        JOIN qe q ON q.q_id = s.q_id
+      )
+      SELECT q_id, vec_id, d2, rn FROM (
+        SELECT q_id, vec_id, d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+        FROM refined)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
+    vecAnnServeProduction,
     vecIvfSpillBuild,
     vecAnnIvfServeSpill,
     vecIvfDeleteTombstone,

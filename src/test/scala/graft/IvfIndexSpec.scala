@@ -540,6 +540,61 @@ class IvfIndexSpec extends SparkSpecBase {
       "corpus rewrite must invalidate the applied rebalance too")
   }
 
+  test("serveFreshestApp: appended generation when current, base fallback when its marker is retired") {
+    import org.apache.spark.sql.functions._
+    val (appIdx, _) = operators.IvfIndex.ensureAppended(spark, sfDir)
+    val appN = appIdx.count()
+    val (baseIdx, _) = operators.IvfIndex.ensureBase(spark, sfDir)
+    val baseN = baseIdx.count()
+    assert(appN > baseN, "appended generation must hold base + batch")
+    // freshest = appended while its fingerprint chain is current
+    val (srv1, _) = operators.IvfIndex.serveFreshestApp(spark, sfDir)
+    assert(srv1.count() == appN, "serveFreshestApp must pick the appended generation")
+    assert(srv1.filter(operators.IvfIndex.isAppendBatch(col("vec_id"))).count() > 0,
+      "appended rows must be live in the served generation")
+    // retire the appended marker (move aside, not delete — restored below
+    // so the shared artifacts never rebuild): resolution must fall back
+    // to the base generation, not fail and not rebuild anything
+    val marker = new java.io.File(warehouse,
+      s"${operators.IvfIndex.appendedIndexTable(sfDir)}.fingerprint")
+    val aside = new java.io.File(marker.getParentFile, marker.getName + ".aside")
+    val appBuilt = mtimes(operators.IvfIndex.appendedIndexTable(sfDir))
+    val baseBuilt = mtimes(operators.IvfIndex.baseIndexTable(sfDir))
+    assert(marker.renameTo(aside), "could not retire the appended marker")
+    try {
+      val (srv2, _) = operators.IvfIndex.serveFreshestApp(spark, sfDir)
+      assert(srv2.count() == baseN,
+        "with the appended marker retired, serveFreshestApp must fall back to base")
+      assert(srv2.filter(operators.IvfIndex.isAppendBatch(col("vec_id"))).count() == 0,
+        "base fallback must not contain batch rows")
+    } finally {
+      assert(aside.renameTo(marker), "could not restore the appended marker")
+    }
+    // restored marker: appended serves again, nothing was rewritten
+    val (srv3, _) = operators.IvfIndex.serveFreshestApp(spark, sfDir)
+    assert(srv3.count() == appN)
+    assert(mtimes(operators.IvfIndex.appendedIndexTable(sfDir)) == appBuilt &&
+      mtimes(operators.IvfIndex.baseIndexTable(sfDir)) == baseBuilt,
+      "generation resolution must be metadata-only — no data rewrite")
+  }
+
+  test("append-family tombstones: deleted base rows only, index files untouched") {
+    import org.apache.spark.sql.functions._
+    val (appIdx, _) = operators.IvfIndex.ensureAppended(spark, sfDir)
+    val appBuilt = mtimes(operators.IvfIndex.appendedIndexTable(sfDir))
+    val ts = operators.IvfIndex.ensureTombstonesApp(spark, sfDir)
+    // exactly the ≡9 rows of the appended generation, with their cells
+    val expected = appIdx.filter(operators.IvfIndex.isDeleted(col("vec_id")))
+      .select(col("vec_id"), col("cell"))
+    assert(ts.count() == expected.count() && ts.count() > 0)
+    assert(ts.exceptAll(expected).isEmpty && expected.exceptAll(ts).isEmpty,
+      "tombstones must be exactly the deleted rows' (vec_id, cell)")
+    assert(ts.filter(operators.IvfIndex.isAppendBatch(col("vec_id"))).count() == 0,
+      "the delete batch (mod 9) is disjoint from the append batch (mod 3)")
+    assert(mtimes(operators.IvfIndex.appendedIndexTable(sfDir)) == appBuilt,
+      "tombstone build must leave the index files byte-untouched")
+  }
+
   test("spilled multi-assignment index: SpillK distinct cells per vector, crank 1 = primary, no rewrite on re-ensure") {
     import org.apache.spark.sql.functions._
     val idxName = operators.IvfIndex.spillIndexTable(sfDir)

@@ -816,6 +816,33 @@ class PlanSpec extends SparkSpecBase {
       s"shortlist/probe/LUT sides must broadcast:\n$p")
   }
 
+  test("vec_ann_serve_production: composed serve reads all four artifacts, broadcast-only, no cell shuffle") {
+    val df = operators.VectorOps.vecAnnServeProduction.fn(spark, sfDir)
+    val p = planString(df)
+    // the composition must touch every lifecycle artifact: the appended
+    // codes (ADC), the residual codebook (LUT), the tombstone table
+    // (exclusion), and the appended full-vector index (refine lookups)
+    assert(p.contains(operators.IvfIndex.pqrAppendedCodesTable(sfDir)),
+      s"production plan does not read the appended residual codes:\n$p")
+    assert(p.contains(operators.IvfIndex.pqrBaseCodebookTable(sfDir)),
+      s"production plan does not read the base residual codebook:\n$p")
+    assert(p.contains(operators.IvfIndex.appTombstoneTable(sfDir)),
+      s"production plan does not read the append-family tombstones:\n$p")
+    assert(p.contains(operators.IvfIndex.appendedIndexTable(sfDir)),
+      s"production plan does not read the appended index for the R lookups:\n$p")
+    // no full-vector scan outside the shortlist lookup: the base index
+    // table (full vectors, pre-append) must NOT appear in the serve plan
+    assert(!p.contains(operators.IvfIndex.baseIndexTable(sfDir) + "]"),
+      s"production serve must not scan the base index:\n$p")
+    // probes/LUT/tombstones/shortlist all broadcast; bucketed sides
+    // never shuffle on cell
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the production serve path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast-only production path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/LUT/tombstone/shortlist sides must broadcast:\n$p")
+  }
+
   test("incremental add: only the new batch moves — assignment frame is Exchange-free") {
     // the frame ensureAppended appends: batch scan → broadcast codebook
     // → row-local assignment. ZERO Exchange of any kind (the only
