@@ -42,6 +42,7 @@ object RecallProbe {
       .appName("graft-recall-probe")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     import spark.implicits._

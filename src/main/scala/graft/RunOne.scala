@@ -16,6 +16,7 @@ object RunOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

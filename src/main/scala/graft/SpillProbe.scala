@@ -34,6 +34,7 @@ object SpillProbe {
       .master("local[4]")
       .appName("graft-spill-probe")
       .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // 64 MiB of execution+storage for a workload whose per-task

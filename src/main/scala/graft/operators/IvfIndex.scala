@@ -682,6 +682,60 @@ object IvfIndex {
     (spark.table(name), baseCb)
   }
 
+  /** Clone the given (vec_id, emb, nrm, cell) index frame into catalog
+    * table `name` (bucketed identically) — the seed step for a
+    * STREAM-MAINTAINED index generation, shared by the StreamingSpec
+    * foreachBatch drive (the [[ShingleRegistry.seedGeneration]]
+    * discipline applied to vectors).
+    */
+  def seedIndexGeneration(spark: SparkSession, idx: DataFrame, name: String,
+      loc: java.io.File): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    rmTree(loc)
+    idx
+      .repartition(NBuckets, col("cell"))
+      .write
+      .bucketBy(NBuckets, "cell")
+      .sortBy("cell", "vec_id")
+      .option("path", loc.getAbsolutePath)
+      .saveAsTable(name)
+  }
+
+  /** ONE idempotent append of a delivered embedding micro-batch into
+    * the index generation `name`: assign each arriving (vec_id, emb)
+    * row-locally to its nearest cell of the FROZEN codebook `cb`
+    * (broadcast, compiled argmin — never retrained mid-stream),
+    * anti-join the LIVE table on (cell, vec_id) — the cell equi-key
+    * keeps the bucketed side co-partitioned, so ONLY the arriving batch
+    * shuffles (PlanSpec-asserted) — and APPEND the survivors as
+    * correctly-bucketed files. Replays are no-ops BY CONSTRUCTION: a
+    * replayed delivery's rows are already in the table under the same
+    * (cell, vec_id), so the anti-join drops them — the row-level
+    * idempotence the at-least-once foreachBatch contract requires
+    * (unlike the batch [[ensureAppended]] job, whose replay protection
+    * is the job-level fingerprint-commits-last rule — a streaming sink
+    * replays PARTS of the work, so idempotence must be per row).
+    * Micro-batch boundaries don't matter: the final state equals the
+    * one-shot batch append (StreamingSpec proves it against
+    * [[ensureAppended]] with a forced double delivery and a restart).
+    */
+  def appendVecBatch(batch: DataFrame, name: String, cb: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.withColumn("nrm",
+      sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+    VectorOps.withNearestCells(b, cb, keep = 1, rounded = true)
+      .select(col("vec_id").cast("long").as("vec_id"), col("emb"), col("nrm"), col("cell"))
+      .join(spark.table(name).select(col("cell"), col("vec_id")).hint("merge"),
+        Seq("cell", "vec_id"), "left_anti")
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cell"))
+      .repartition(NBuckets, col("cell"))
+      .write
+      .mode("append")
+      .bucketBy(NBuckets, "cell")
+      .sortBy("cell", "vec_id")
+      .saveAsTable(name)
+  }
+
   def appTombstoneTable(dir: String): String = s"graft_ivf_tombstones_app_${tag(dir)}"
 
   /** Append-family tombstone fingerprint — derives from the APPENDED

@@ -583,10 +583,80 @@ object Streaming extends QueryModule {
       ORDER BY g.q_id
     """.stripMargin.trim))
 
+  /** STREAMING VECTOR INGEST (SURVEY §2 I-tredec, VERDICT r11 #3) —
+    * the vector analogue of `stream_incremental_dedup`, closing the
+    * text/vector symmetry: arriving embedding micro-batches (the
+    * deterministic ≡ 3 mod 10 batch, [[graft.operators.IvfIndex.isAppendBatch]])
+    * GATE against the persisted BASE index
+    * ([[graft.streaming.StreamTransforms.vecIngestGate]]: row-local
+    * assignment to the frozen base codebook — exactly the cell the
+    * append will land in — then per-vector ingest aggregates over that
+    * cell's existing members), and APPEND via an idempotent foreachBatch
+    * ([[graft.operators.IvfIndex.appendVecBatch]]: anti-join the live
+    * table on (cell, vec_id), co-partitioned with the bucketing, so
+    * replays drop out by construction and ONLY the batch shuffles).
+    * Declared through the batch gate equivalent (◐ like every stream
+    * row): gating against a FROZEN base generation makes the result
+    * independent of micro-batch boundaries, so run-to-completion stream
+    * ≡ batch; StreamingSpec drives the same transform + append from a
+    * real MemoryStream with a forced double delivery and a restart, and
+    * asserts gate rows ≡ batch AND final stream-maintained index state
+    * ≡ the one-shot [[graft.operators.IvfIndex.ensureAppended]]
+    * generation with base files byte-untouched. Fully oracled: the gate
+    * output is a deterministic function of the corpus, re-derived from
+    * scratch in DuckDB.
+    *
+    * Scale notes (100 TB): the index is the huge side — cell-bucketed,
+    * it feeds the stream-static merge join co-partitioned with ZERO
+    * Exchange (PlanSpec-asserted); only the arriving micro-batch
+    * shuffles (one cell-keyed Exchange). The append writes per-bucket
+    * files and never rewrites history; gate state is one counter
+    * struct per in-flight vector.
+    */
+  val streamVecAppend = Q(
+    "stream_vec_append",
+    (spark, dir) => {
+      import spark.implicits._
+      val (baseIdx, baseCb) = IvfIndex.ensureBase(spark, dir)
+      val batch = graft.operators.VectorOps.withNorm(spark, dir)
+        .filter(IvfIndex.isAppendBatch($"vec_id"))
+        .select($"vec_id", $"emb")
+      StreamTransforms.vecIngestGate(batch, baseIdx, baseCb)
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), ${graft.operators.VectorOps.baseAppendLifecycleSql}, cand AS (
+        SELECT b.vec_id, b.cell, m.vec_id AS c_id,
+          ROUND(list_inner_product(m.emb, b.emb) / (m.nrm * b.nrm), 6) AS cos
+        FROM (SELECT * FROM ball WHERE vec_id % 10 = 3) b
+        JOIN (SELECT * FROM ball WHERE vec_id % 10 <> 3) m USING (cell)
+      ), best AS (
+        SELECT vec_id, c_id, cos FROM (
+          SELECT vec_id, c_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+          FROM cand)
+        WHERE rn = 1
+      ), gated AS (
+        SELECT vec_id, cell, COUNT(*) AS n_candidates,
+          CAST(SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
+        FROM cand GROUP BY vec_id, cell
+      )
+      SELECT g.vec_id, g.cell, g.n_candidates, g.n_similar,
+        b.c_id AS best_vec_id, b.cos AS best_cos
+      FROM gated g JOIN best b USING (vec_id)
+      ORDER BY g.vec_id
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     streamTumblingAgg, streamSlidingAgg, streamSessionWindow,
     streamDedupWatermark, streamStatefulCustom, streamStaticJoin,
     streamStreamJoin, streamUpsertLatest, streamOuterIntervalJoin,
     streamDistinctUsers, streamSessionTimer, streamTwsLast3Trail,
-    streamForeachbatchSink, streamIncrementalDedup, streamAnnServeGate)
+    streamForeachbatchSink, streamIncrementalDedup, streamAnnServeGate,
+    streamVecAppend)
 }

@@ -240,6 +240,51 @@ object StreamTransforms {
         coalesce(-col("tc")("negcos"), lit(-1.0)).as("best_cos"))
   }
 
+  /** Streaming VECTOR-INGEST gate against the persisted BASE index —
+    * the write-path half of the vector stack as a stream transform
+    * (`stream_vec_append`, the vector analogue of
+    * [[incrementalDedupGate]]): each ARRIVING embedding assigns
+    * row-locally to its nearest base cell (broadcast codebook, compiled
+    * argmin — exactly the cell its append will land in) and is answered
+    * with per-vector ingest aggregates over that cell's existing
+    * members: candidates scanned, members over the similarity floor
+    * (τ = 0.35, calibrated to this near-isotropic synthetic corpus —
+    * best corpus cosines sit at 0.28–0.45; a production embedding
+    * corpus would use ~0.9), and the best match by rounded cosine with
+    * id tiebreak — the admit/flag decision an ingest pipeline makes
+    * BEFORE appending. Aggregation-only (rank windows don't stream);
+    * `batch` may be streaming: the candidate join is stream-static
+    * against the CELL-BUCKETED index (merge-hinted — at scale the index
+    * is the huge side and must stream from its buckets, never
+    * broadcast), and state is one counter struct per in-flight vector.
+    * Gating against a FROZEN base generation makes the result
+    * independent of micro-batch boundaries: stream ≡ batch.
+    */
+  def vecIngestGate(batch: DataFrame, baseIdx: DataFrame,
+      baseCb: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    val b = batch
+      .withColumn("nrm", sqrt(GraftFunctions.dot(col("emb"), col("emb"))))
+    val assigned = graft.operators.VectorOps
+      .withNearestCells(b, baseCb, keep = 1, rounded = true)
+      .select(col("vec_id").cast("long").as("in_id"), col("emb").as("in_emb"),
+        col("nrm").as("in_nrm"), col("cell"))
+    assigned
+      .join(baseIdx.withColumnRenamed("vec_id", "c_id").hint("merge"), Seq("cell"))
+      .withColumn("cos", round(
+        GraftFunctions.dot(col("emb"), col("in_emb"))
+          / (col("nrm") * col("in_nrm")), 6))
+      .groupBy(col("in_id"), col("cell"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).as("n_similar"),
+        min(struct((-col("cos")).as("negcos"), col("c_id").as("c_id"))).as("tc"))
+      .select(col("in_id").as("vec_id"), col("cell"),
+        col("n_candidates"), col("n_similar"),
+        col("tc")("c_id").as("best_vec_id"),
+        (-col("tc")("negcos")).as("best_cos"))
+  }
+
   /** Streaming upsert: each user's LATEST event (last-write-wins keyed
     * state, the cache/dimension-refresh pattern). As a streaming query
     * this is a plain keyed aggregation in update mode — each microbatch

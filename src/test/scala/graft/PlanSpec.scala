@@ -898,6 +898,45 @@ class PlanSpec extends SparkSpecBase {
       s"cell-keyed shuffle against the bucketed compacted generation:\n$pc")
   }
 
+  test("stream_vec_append gate: only the batch shuffles, bucketed index side does not") {
+    val df = operators.Streaming.streamVecAppend.fn(spark, sfDir)
+    val p = planString(df)
+    assert(p.contains(operators.IvfIndex.baseIndexTable(sfDir)),
+      s"gate must read the persisted base index table:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"index join must not broadcast the index (huge side at scale):\n$p")
+    // exactly ONE cell-keyed Exchange — the arriving batch; the bucketed
+    // index side reads co-partitioned
+    val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).size
+    assert(cellExchanges == 1,
+      s"exactly ONE cell-keyed Exchange (the arriving batch); index side is bucketed — got $cellExchanges:\n$p")
+  }
+
+  test("appendVecBatch frame: anti-join rides the bucketing, only the batch shuffles") {
+    import org.apache.spark.sql.functions._
+    // the frame appendVecBatch writes: row-local assign → (cell, vec_id)
+    // anti-join against the live bucketed table. The bucketed side must
+    // read co-partitioned (no Exchange); only the batch side shuffles.
+    val (_, baseCb) = operators.IvfIndex.ensureBase(spark, sfDir)
+    operators.IvfIndex.ensureAppended(spark, sfDir) // a live bucketed target
+    val name = operators.IvfIndex.appendedIndexTable(sfDir)
+    val batch = operators.VectorOps.withNorm(spark, sfDir)
+      .filter(operators.IvfIndex.isAppendBatch(col("vec_id")))
+      .select(col("vec_id"), col("emb"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dot(col("emb"), col("emb"))))
+    val frame = operators.VectorOps.withNearestCells(batch, baseCb, keep = 1, rounded = true)
+      .select(col("vec_id").cast("long").as("vec_id"), col("emb"), col("nrm"), col("cell"))
+      .join(spark.table(name).select(col("cell"), col("vec_id")).hint("merge"),
+        Seq("cell", "vec_id"), "left_anti")
+    val p = planString(frame)
+    assert("SortMergeJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"idempotence anti-join must sort-merge against the bucketed table:\n$p")
+    val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(p).size
+    assert(cellExchanges == 1,
+      s"exactly ONE cell-keyed Exchange (the arriving batch) — got $cellExchanges:\n$p")
+  }
+
   test("spilled-family reads: bucketed spilled scan, broadcast probes, no cell shuffle") {
     // multi-assignment serve: spilled index reads from its buckets, the
     // probes broadcast, the (q, vec) dedup is candidate-bounded — no

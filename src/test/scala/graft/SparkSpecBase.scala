@@ -24,6 +24,7 @@ object SparkSpecBase {
       .config("spark.sql.warehouse.dir", "/tmp/graft_scratch/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

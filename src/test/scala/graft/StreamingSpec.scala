@@ -473,6 +473,88 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("vector ingest: streamed gate equals batch; foreachBatch append is idempotent across double delivery and restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (baseIdx, baseCb) = operators.IvfIndex.ensureBase(spark, sfDir)
+    val batchDf = operators.VectorOps.withNorm(spark, sfDir)
+      .filter(operators.IvfIndex.isAppendBatch($"vec_id"))
+      .select($"vec_id", $"emb")
+    val vecs = batchDf.as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
+    assume(vecs.size >= 3, "need at least 3 batch vectors at this SF")
+    val deliveries = vecs.grouped(vecs.size / 3 + 1).toSeq
+
+    // 1) the GATE through the real streaming engine: stream-static join
+    //    against the frozen base index, per-vector agg in update mode
+    val msGate = MemoryStream[(Long, Array[Double])]
+    val qGate = StreamTransforms.vecIngestGate(
+        msGate.toDF().toDF("vec_id", "emb"), baseIdx, baseCb)
+      .writeStream.format("memory").queryName("vecgate").outputMode("update")
+      .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_vecgate_${System.nanoTime()}")
+      .start()
+    try {
+      deliveries.foreach { b => msGate.addData(b); qGate.processAllAvailable() }
+    } finally qGate.stop()
+    assert(collectSorted(spark.table("vecgate")) ==
+      collectSorted(StreamTransforms.vecIngestGate(batchDf, baseIdx, baseCb)),
+      "streamed gate rows must equal the declared batch gate")
+
+    // 2) the APPEND through foreachBatch into a spec-scoped index
+    //    generation, with a forced DOUBLE DELIVERY of micro-batch 1
+    val gen = s"graft_ivf_specgen_${System.nanoTime()}"
+    val genLoc = new java.io.File(s"/tmp/graft_scratch/$gen")
+    operators.IvfIndex.seedIndexGeneration(spark, baseIdx, gen, genLoc)
+    def files(): Map[String, Long] =
+      Option(genLoc.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val seeded = files()
+    try {
+      val msUp = MemoryStream[(Long, Array[Double])]
+      val qUp = msUp.toDF().toDF("vec_id", "emb").writeStream
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_vecup_${System.nanoTime()}")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          operators.IvfIndex.appendVecBatch(df, gen, baseCb)
+          // at-least-once: delivery 1 replays — the (cell, vec_id)
+          // anti-join must absorb it
+          if (id == 1L) operators.IvfIndex.appendVecBatch(df, gen, baseCb)
+        }
+        .start()
+      try {
+        deliveries.foreach { b => msUp.addData(b); qUp.processAllAvailable() }
+      } finally qUp.stop()
+
+      // stream-maintained generation == the one-shot batch append
+      val want = collectSorted(
+        operators.IvfIndex.ensureAppended(spark, sfDir)._1
+          .select($"vec_id", $"cell"))
+      assert(collectSorted(spark.table(gen).select($"vec_id", $"cell")) == want,
+        "stream-maintained index must equal the one-shot batch append generation")
+      // seeded (pre-stream) files byte-untouched: appends only ADD files
+      val after = files()
+      assert(seeded.forall { case (n, m) => after.get(n).contains(m) },
+        "streaming appends must never rewrite the seeded base files")
+      assert(after.size > seeded.size, "appends must add per-bucket files")
+
+      // 3) RESTART: a fresh query (new checkpoint) replays the last
+      //    delivery in full — state must not change
+      val msRe = MemoryStream[(Long, Array[Double])]
+      val qRe = msRe.toDF().toDF("vec_id", "emb").writeStream
+        .option("checkpointLocation", s"/tmp/graft_scratch/ckpt_vecre_${System.nanoTime()}")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          operators.IvfIndex.appendVecBatch(df, gen, baseCb)
+        }
+        .start()
+      try {
+        msRe.addData(deliveries.last); qRe.processAllAvailable()
+      } finally qRe.stop()
+      assert(collectSorted(spark.table(gen).select($"vec_id", $"cell")) == want,
+        "post-restart replay must leave the index unchanged")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $gen")
+    }
+  }
+
   test("ann serve gate: streamed query batches equal the declared batch gate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
