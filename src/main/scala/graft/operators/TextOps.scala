@@ -2287,9 +2287,139 @@ object TextOps extends QueryModule {
       ORDER BY npmi DESC, tok_a, tok_b LIMIT 20
     """.stripMargin.trim))
 
+  /** REGISTRY RETRACTION (SURVEY §2 I-tredec, VERDICT r11 #4 — the
+    * right-to-be-forgotten op): a source withdrawn for licensing (the
+    * deterministic md5-batch [[ShingleRegistry.RetractedBatch]] = 5)
+    * must leave the registry AS IF NEVER INGESTED, without rewriting
+    * history. The retraction-capable generation is the contributor-
+    * BITMASK registry ([[ShingleRegistry.ensureBitmask]]: per shingle
+    * the OR of 2^batch over its contributing batches plus min
+    * first_batch); with contributors indexed, the retraction is ONE
+    * scan of the bucketed registry — no shuffle, no join — landing two
+    * persisted side tables ([[ShingleRegistry.ensureRetraction]]):
+    * TOMBSTONES (mask == 2^5, no surviving contributor) and REMAPS
+    * (first was 5, others survive → lowest surviving bit). Registry
+    * files stay byte-untouched (spec-proven). Declared output = the
+    * post-retraction SERVE state per first-shipping batch: tombstones
+    * anti-joined, remaps applied — exactly min-batch-excluding-5, which
+    * the oracle re-derives from scratch.
+    *
+    * Scale notes (100 TB): the bitmask build is the registry build plus
+    * one BIT_OR column (map-side combinable); retraction work is a
+    * bucketed scan with source-bounded kilobyte outputs; the serve-state
+    * audit below broadcasts both side tables against the bucketed scan
+    * (zero shingle Exchange, PlanSpec-asserted).
+    */
+  val dedupRegistryRetract = Q(
+    "dedup_registry_retract",
+    (spark, dir) => {
+      import spark.implicits._
+      val reg = ShingleRegistry.ensureBitmask(spark, dir)
+      val (ts, remap) = ShingleRegistry.ensureRetraction(spark, dir)
+      val counts = reg
+        .join(broadcast(ts), Seq("shingle"), "left_anti")
+        .join(broadcast(remap), Seq("shingle"), "left")
+        .select(coalesce($"new_first_batch", $"first_batch").as("first_batch"))
+        .groupBy($"first_batch").agg(count(lit(1)).as("n_shingles"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum($"n_shingles").as("total"))))
+        .select($"first_batch", $"n_shingles",
+          round($"n_shingles".cast(DoubleType) / $"total", 6).as("share"))
+        .orderBy($"first_batch")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM documents
+      ), live AS (
+        SELECT s.shingle, CAST(MIN(b.batch) AS BIGINT) AS first_batch
+        FROM sh s JOIN b USING (doc_id)
+        WHERE b.batch <> 5
+        GROUP BY 1
+      ), counts AS (
+        SELECT first_batch, COUNT(*) AS n_shingles FROM live GROUP BY 1
+      )
+      SELECT first_batch, n_shingles,
+        ROUND(CAST(n_shingles AS DOUBLE) / SUM(n_shingles) OVER (), 6) AS share
+      FROM counts
+      ORDER BY first_batch
+    """.stripMargin.trim))
+
+  /** REGISTRY RETRACTION COMPACTION (SURVEY §2 I-tredec) — the
+    * write-forward apply once tombstones accumulate, the
+    * `vec_ivf_compact_apply` discipline on text
+    * ([[ShingleRegistry.ensureRetractCompacted]]): a new shingle-
+    * bucketed generation holding exactly the LIVE rows with CLEANSED
+    * masks (bit 5 cleared) and remapped first_batch; the bitmask
+    * generation and both side tables stay byte-untouched, so a failed
+    * compaction leaves the tombstone-filtered serve path serving.
+    * Declared output audits the compacted generation per first_batch —
+    * count plus the exact md5-prefix hash sum of member shingles (a
+    * content checksum the oracle reproduces) — read back from the
+    * persisted table with zero shingle Exchange.
+    */
+  val dedupRegistryRetractCompact = Q(
+    "dedup_registry_retract_compact",
+    (spark, dir) => {
+      import spark.implicits._
+      val compacted = ShingleRegistry.ensureRetractCompacted(spark, dir)
+      compacted
+        .groupBy($"first_batch")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(conv(substring(md5($"shingle"), 1, 8), 16, 10).cast("long"))
+            .as("shingle_hashsum"))
+        .orderBy($"first_batch")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+          tok
+        FROM (
+          SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS tok,
+            UNNEST(range(len(string_split(lower(text), ' ')))) AS pos
+          FROM documents) WHERE tok <> ''
+      ), sh AS (
+        SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      ), b AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 8 AS batch
+        FROM documents
+      ), live AS (
+        SELECT s.shingle, CAST(MIN(b.batch) AS BIGINT) AS first_batch
+        FROM sh s JOIN b USING (doc_id)
+        WHERE b.batch <> 5
+        GROUP BY 1
+      )
+      SELECT first_batch, COUNT(*) AS n_shingles,
+        CAST(SUM(CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)) AS BIGINT)
+          AS shingle_hashsum
+      FROM live GROUP BY 1 ORDER BY first_batch
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     textPmiCooccurrence,
     dedupIncrementalRegistry, dedupRegistryUpsert,
+    dedupRegistryRetract, dedupRegistryRetractCompact,
     textZipfSlope,
     textNormalizeStats, textTokenizeWordcount, textNgramBigrams,
     textExactDedup, textJaccardSimpairs, textMinhashLsh, dedupSimhash,

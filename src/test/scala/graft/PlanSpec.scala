@@ -937,6 +937,27 @@ class PlanSpec extends SparkSpecBase {
       s"exactly ONE cell-keyed Exchange (the arriving batch) — got $cellExchanges:\n$p")
   }
 
+  test("registry retraction reads: bucketed scans, broadcast side tables, no shingle shuffle") {
+    // serve-state audit: bitmask registry scans from its buckets, the
+    // kilobyte tombstone/remap tables broadcast — zero shingle Exchange
+    val p = planString(operators.TextOps.dedupRegistryRetract.fn(spark, sfDir))
+    assert(p.contains(operators.ShingleRegistry.bitmaskTable(sfDir)),
+      s"must read the persisted bitmask registry:\n$p")
+    assert(p.contains(operators.ShingleRegistry.retractTombstoneTable(sfDir)) &&
+      p.contains(operators.ShingleRegistry.retractRemapTable(sfDir)),
+      s"must read both retraction side tables:\n$p")
+    assert(!"Exchange hashpartitioning\\(shingle".r.findFirstIn(p).isDefined,
+      s"shingle-keyed shuffle on the retraction serve path:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"side tables must broadcast:\n$p")
+    // compaction audit reads the compacted generation, no shingle shuffle
+    val pc = planString(operators.TextOps.dedupRegistryRetractCompact.fn(spark, sfDir))
+    assert(pc.contains(operators.ShingleRegistry.retractCompactTable(sfDir)),
+      s"must read the persisted compacted registry generation:\n$pc")
+    assert(!"Exchange hashpartitioning\\(shingle".r.findFirstIn(pc).isDefined,
+      s"shingle-keyed shuffle in the compacted audit:\n$pc")
+  }
+
   test("spilled-family reads: bucketed spilled scan, broadcast probes, no cell shuffle") {
     // multi-assignment serve: spilled index reads from its buckets, the
     // probes broadcast, the (q, vec) dedup is candidate-bounded — no

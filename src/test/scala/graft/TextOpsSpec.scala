@@ -503,4 +503,63 @@ class TextOpsSpec extends SparkSpecBase {
     val pruned = v2.where($"shingle" === one)
     assert(pruned.count() == 1L)
   }
+
+  test("registry retraction: bitmask exact, side tables partition bit-5 rows, history untouched, compaction == serve view") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bit = 1L << operators.ShingleRegistry.RetractedBatch
+    val reg = operators.ShingleRegistry.ensureBitmask(spark, sfDir)
+    // the bitmask is the EXACT contributor index: re-derive it in-plan
+    // and compare (shingle, batches, first_batch) row for row
+    val expected = operators.TextOps.shingles(Tables.documents(spark, sfDir))
+      .withColumn("batch", operators.ShingleRegistry.batchOf($"doc_id"))
+      .groupBy($"shingle")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(batch AS INT)))").as("batches"),
+        min($"batch").as("first_batch"))
+    assert(reg.exceptAll(expected).isEmpty && expected.exceptAll(reg).isEmpty,
+      "persisted bitmask registry diverges from the in-plan re-derivation")
+    // first_batch is always the lowest set bit of the mask
+    assert(reg.filter(expr("CAST(log2(batches & -batches) AS BIGINT)") =!= $"first_batch")
+      .count() == 0, "first_batch must equal the lowest set mask bit")
+
+    def files(table: String): Map[String, Long] = {
+      val w = spark.conf.get("spark.sql.warehouse.dir")
+      val base = if (w.startsWith("file:")) new java.net.URI(w).getPath else w
+      Option(new java.io.File(base, table).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val regBuilt = files(operators.ShingleRegistry.bitmaskTable(sfDir))
+    val (ts, remap) = operators.ShingleRegistry.ensureRetraction(spark, sfDir)
+    assert(files(operators.ShingleRegistry.bitmaskTable(sfDir)) == regBuilt,
+      "retraction must leave the registry files byte-untouched")
+    // the side tables partition the bit-5 rows exactly: tombstones are
+    // the exclusive rows, remaps the shared-but-first rows, and they
+    // never overlap
+    val tsSet = ts.as[String].collect().toSet
+    val remapRows = remap.as[(String, Long)].collect().toMap
+    assert(tsSet.nonEmpty && remapRows.nonEmpty,
+      "retraction fixture vacuous: need both exclusive and shared batch-5 shingles")
+    assert(tsSet.intersect(remapRows.keySet).isEmpty,
+      "a shingle cannot be both tombstoned and remapped")
+    val exclusive = reg.filter($"batches" === bit).select($"shingle").as[String].collect().toSet
+    assert(tsSet == exclusive, "tombstones must be exactly the exclusive bit-5 rows")
+    // every remap points to a SURVIVING contributor strictly above none
+    remapRows.values.foreach(b =>
+      assert(b != operators.ShingleRegistry.RetractedBatch && b >= 0 && b <= 7))
+    // compaction: live rows only, bit cleared, first remapped — and the
+    // compacted view equals the tombstone-filtered serve view
+    val compacted = operators.ShingleRegistry.ensureRetractCompacted(spark, sfDir)
+    assert(compacted.filter(($"batches".bitwiseAND(lit(bit))) =!= 0).count() == 0,
+      "compacted masks must have the withdrawn bit cleared")
+    val serveView = reg
+      .join(broadcast(ts), Seq("shingle"), "left_anti")
+      .join(broadcast(remap), Seq("shingle"), "left")
+      .select($"shingle", coalesce($"new_first_batch", $"first_batch").as("first_batch"))
+    val compactView = compacted.select($"shingle", $"first_batch")
+    assert(compactView.exceptAll(serveView).isEmpty && serveView.exceptAll(compactView).isEmpty,
+      "compacted generation must equal the tombstone-filtered serve view")
+    assert(files(operators.ShingleRegistry.bitmaskTable(sfDir)) == regBuilt,
+      "compaction must leave the registry files byte-untouched")
+  }
 }
