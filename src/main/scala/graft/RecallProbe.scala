@@ -136,6 +136,26 @@ object RecallProbe {
         prodCand, liveE, q, exactLive, nQ)
     }
 
+    // 4d. SPILLED END-TO-END (r12, the `vec_ann_refine_serve_spill`
+    //     recipe): per-copy residual ADC over the multi-assignment
+    //     codes, each vector keeping its best reachable copy, shortlist
+    //     R=20, exact refine — at the shipped operating point nprobe=16
+    //     (the per-(q,vec) min collapses copies, so only the max-probe
+    //     point is meaningful here).
+    if (sys.env.get("SPILL_E2E").contains("1")) {
+      val (_, scb) = IvfIndex.ensureSpilled(spark, dir)
+      val (scodes, srcb) = IvfIndex.ensurePqrSpilled(spark, dir)
+      val probesS = rankedProbes(q, scb, keep = 16)
+      val copyCand = adcCand(scodes, srcb, probesS, rawLut = false, scb,
+        VectorOps.PqrM, VectorOps.PqrW)
+      val candS = copyCand.groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("cr")).as("cr"), min(col("adist")).as("adist"))
+      report("spilled end-to-end ADC (per-copy min, factor=4 spill=2)",
+        candS, exact, nQ, nps = Seq(16L))
+      reportRefined("spilled end-to-end REFINED (vec_ann_refine_serve_spill recipe)",
+        candS, e, q, exact, nQ, nps = Seq(16L))
+    }
+
     // 4b. build-time multi-assignment / finer-geometry sweep (VERDICT
     //     r11 #2): raise the cell-stage ceiling past 0.640 within the
     //     ≤20% scanned budget — spill each vector to its s nearest
@@ -258,11 +278,12 @@ object RecallProbe {
     * recipe at every curve point.
     */
   private def reportRefined(label: String, cand: DataFrame, e: DataFrame,
-      q: DataFrame, exact: DataFrame, nQ: Long, r: Int = 20): Unit = {
+      q: DataFrame, exact: DataFrame, nQ: Long, r: Int = 20,
+      nps: Seq[Long] = NPs): Unit = {
     val wNp = Window.partitionBy(col("nprobe"), col("q_id"))
       .orderBy(col("adist"), col("vec_id"))
     val shortlist = cand
-      .withColumn("nprobe", explode(array(NPs.map(lit): _*)))
+      .withColumn("nprobe", explode(array(nps.map(lit): _*)))
       .filter(col("cr") <= col("nprobe"))
       .withColumn("srn", row_number().over(wNp))
       .filter(col("srn") <= r)
@@ -287,7 +308,7 @@ object RecallProbe {
       .collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     println(s"== $label (nQ=$nQ) ==")
-    NPs.foreach { np =>
+    nps.foreach { np =>
       val (h3, h5) = byNp.getOrElse(np, (0L, 0L))
       println(f"nprobe=$np%d recall@3=${h3.toDouble / (nQ * 3)}%.3f recall@5=${h5.toDouble / (nQ * 5)}%.3f")
     }

@@ -1019,6 +1019,51 @@ object IvfIndex {
     (spark.table(idxT), spark.table(cbT))
   }
 
+  def pqrSpillCodesTable(dir: String): String = s"graft_pqr_spill_codes_${tag(dir)}"
+  def pqrSpillCodebookTable(dir: String): String = s"graft_pqr_spill_cb_${tag(dir)}"
+
+  private val PqrSpillAlgo =
+    s"$SpillAlgo|pqr-k${VectorOps.PqrK}-m${VectorOps.PqrM}-lloyd${VectorOps.PqLloydIters}"
+
+  /** Find-or-build the residual-PQ artifacts of the SPILLED geometry —
+    * the FAISS multi-assignment codes layout: every spilled COPY
+    * (vector × crank-cell) encodes its residual vs THAT cell's
+    * centroid, so ADC inside any probed cell scores the copy against
+    * the geometry it actually sits in; the residual codebook trains on
+    * the PRIMARY (crank = 1) residuals only — training on all copies
+    * would double-count every vector. Codes table = SpillK·n rows,
+    * cell-bucketed, keyed (vec_id, cell); same fingerprint /
+    * re-registration contract as every artifact family.
+    */
+  def ensurePqrSpilled(spark: SparkSession, dir: String): (DataFrame, DataFrame) = synchronized {
+    val codesT = pqrSpillCodesTable(dir)
+    val cbT = pqrSpillCodebookTable(dir)
+    findOrBuild(spark, fingerprint(dir, PqrSpillAlgo),
+      Seq[(String, Ddl)](codesT -> bucketedCodesDdl, cbT -> subCodebookDdl)) { () =>
+      val (sidx, scb) = ensureSpilled(spark, dir)
+      val cents = VectorOps.trainPqResidualCodebook(
+        sidx.filter(col("crank") === 1), scb)
+      val resid = VectorOps.withResiduals(sidx, scb)
+        .select(col("vec_id"), col("cell"), col("remb").as("emb"))
+      VectorOps.withPqStructs(resid, cents, VectorOps.PqrM, VectorOps.PqrW)
+        .select(col("vec_id"), col("cell"),
+          expr("transform(pq, x -> CAST(x.cid AS BIGINT))").as("codes"))
+        .repartition(NBuckets, col("cell"))
+        .write
+        .bucketBy(NBuckets, "cell")
+        .sortBy("cell", "vec_id")
+        .option("path", tableLoc(spark, codesT).getAbsolutePath)
+        .saveAsTable(codesT)
+      cents
+        .select(col("sub").cast("long").as("sub"), col("cid"), col("cv"))
+        .coalesce(1)
+        .write
+        .option("path", tableLoc(spark, cbT).getAbsolutePath)
+        .saveAsTable(cbT)
+    }
+    (spark.table(codesT), spark.table(cbT))
+  }
+
   def pqCodesTable(dir: String): String = s"graft_pq_codes_${tag(dir)}"
   def pqCodebookTable(dir: String): String = s"graft_pq_codebook_${tag(dir)}"
 

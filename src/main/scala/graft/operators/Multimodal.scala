@@ -198,6 +198,67 @@ object Multimodal extends QueryModule {
       GROUP BY bucket ORDER BY bucket
     """.stripMargin.trim))
 
+  /** TRAINING-SHARD PACKING (SURVEY §2 I-tredec) — the WebDataset/
+    * tar-shard step an image/video pipeline runs after curation: media
+    * loaders want ~fixed-size sequential shards, not millions of small
+    * objects. Blobs pack GREEDILY in doc_id order per LANGUAGE (real
+    * pipelines shard per source/language stream so one shard never
+    * mixes loaders); the shard boundary is the cumulative byte size
+    * crossing the 16 KiB target — shard_idx = ⌊(cumsum − n_bytes) /
+    * 16384⌋, the first-fit-in-order rule whose whole packing is a pure
+    * running-sum window. Declared output = the per-(lang, shard)
+    * manifest: blob count, shard bytes, id range, fill ratio.
+    *
+    * Scale notes (100 TB): the window is KEYED by language — one
+    * shuffle on lang, no global ordering anywhere (the global-window
+    * anti-pattern `win_rank_global_scalable` exists to avoid); the
+    * rollup is map-side combinable. Per-stream packing is also the
+    * correct production semantics: shard numbering restarts per stream,
+    * so streams pack independently and in parallel.
+    */
+  val multimodalShardPack = Q(
+    "multimodal_shard_pack",
+    (spark, dir) => {
+      import spark.implicits._
+      val S = 16384L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", octet_length($"text").cast("long").as("n_bytes"))
+        .withColumn("cum", sum($"n_bytes").over(w))
+        .withColumn("shard_idx", expr(s"(cum - n_bytes) div $S"))
+        .groupBy($"lang", $"shard_idx")
+        .agg(
+          count(lit(1)).as("n_blobs"),
+          sum($"n_bytes").as("shard_bytes"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .withColumn("fill_ratio",
+          round($"shard_bytes".cast(org.apache.spark.sql.types.DoubleType) / S, 6))
+        .orderBy($"lang", $"shard_idx")
+    },
+    Some("""
+      WITH sized AS (
+        SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      ), packed AS (
+        SELECT doc_id, lang, n_bytes,
+          (CAST(SUM(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+            - n_bytes) // 16384 AS shard_idx
+        FROM sized
+      )
+      SELECT lang, shard_idx,
+        COUNT(*) AS n_blobs,
+        CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        MIN(doc_id) AS first_doc,
+        MAX(doc_id) AS last_doc,
+        ROUND(CAST(SUM(n_bytes) AS DOUBLE) / 16384, 6) AS fill_ratio
+      FROM packed
+      GROUP BY lang, shard_idx
+      ORDER BY lang, shard_idx
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(multimodalBinaryMeta, multimodalFrameSample,
-    multimodalChunkManifest, multimodalAspectBucketStats)
+    multimodalChunkManifest, multimodalAspectBucketStats,
+    multimodalShardPack)
 }

@@ -1206,6 +1206,11 @@ object TextOps extends QueryModule {
     // build here (its own shared-stage line, not the incremental-dedup
     // query's clock); later sessions re-register metadata only
     ShingleRegistry.ensure(spark, dir)
+    // r12 retraction artifacts: bitmask generation + tombstone/remap
+    // side tables + compacted generation, same once-per-corpus rule
+    ShingleRegistry.ensureBitmask(spark, dir)
+    ShingleRegistry.ensureRetraction(spark, dir)
+    ShingleRegistry.ensureRetractCompacted(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -105,6 +105,12 @@ object VectorOps extends QueryModule {
     // delete lifecycle artifacts (tombstone table + compacted generation)
     IvfIndex.ensureTombstones(spark, dir)
     IvfIndex.ensureCompacted(spark, dir)
+    // r12 artifacts: the multi-assignment (spilled) family + its
+    // residual codes, and the append-family tombstones the composed
+    // production serve row excludes
+    IvfIndex.ensureSpilled(spark, dir)
+    IvfIndex.ensurePqrSpilled(spark, dir)
+    IvfIndex.ensureTombstonesApp(spark, dir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -3925,10 +3931,183 @@ object VectorOps extends QueryModule {
       ORDER BY q_id, rn
     """.stripMargin.trim))
 
+  /** END-TO-END SERVE ON THE SPILLED GEOMETRY (SURVEY §2 I-tredec) —
+    * the follow-through on the raised ceiling: `vec_ann_ivf_serve_spill`
+    * proves 0.760 recall@3 is REACHABLE at ≤20% scanned; this row ships
+    * the production serve path that approaches it without reading full
+    * vectors in the scan. [[IvfIndex.ensurePqrSpilled]] persists
+    * residual-PQ codes PER SPILLED COPY (each (vector, crank-cell) row
+    * encodes its residual vs that cell — the FAISS multi-assignment
+    * codes layout; the codebook trains on the primary residuals only),
+    * and the serve is the refine recipe at the spilled operating point:
+    * nprobe=16 ranked probes vs the factor-4 codebook, per-(query,
+    * cell) residual LUT, ADC over the probed cells' codes where a
+    * vector reachable through TWO probed cells keeps its BEST (min)
+    * copy distance, top R=20 shortlist, exact re-rank reading ONLY
+    * those R full vectors from the spilled index's crank-1 rows.
+    * RECALL.md r12 records the refined recall vs the single-assignment
+    * refine path at the same scan budget.
+    *
+    * Scale notes (100 TB): the ADC scan is codes-only over
+    * ~SpillK·nprobe/nlist of the corpus (bucketed, zero cell Exchange);
+    * the min-per-(q, vec) dedup is candidate-bounded; refine adds Q×R
+    * broadcast lookups. Copies cost 2× codes storage — 64× smaller than
+    * duplicating vectors, the multi-assignment trade FAISS ships.
+    */
+  val vecAnnRefineServeSpill = Q(
+    "vec_ann_refine_serve_spill",
+    (spark, dir) => {
+      import spark.implicits._
+      val R = 20
+      val (sidx, scb) = IvfIndex.ensureSpilled(spark, dir)
+      val (scodes, srcb) = IvfIndex.ensurePqrSpilled(spark, dir)
+      val e = withNorm(spark, dir)
+      val q = e.filter($"vec_id" % 10 === 7 && $"vec_id" < 500)
+      // 16 ranked probe cells per query vs the factor-4 codebook
+      val cbArr = oneRowArray(scb, "cbarr", col("cell"), col("cvec"), col("cnrm"))
+      val probes = q.crossJoin(broadcast(cbArr))
+        .select($"vec_id".as("q_id"), $"emb".as("q_emb"),
+          explode(graft.functions.NearestCentroidFunctions.nearestCells(
+            $"emb", $"nrm", $"cbarr", 16, rounded = true)).as("tc"))
+        .select($"q_id", $"q_emb", $"tc"("cell").as("cell"))
+      // per-(query, probed cell) residual LUT
+      val lut = probes
+        .join(broadcast(scb.select($"cell", $"cvec")), Seq("cell"))
+        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
+        .select($"q_id", $"cell",
+          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
+        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
+          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
+        .join(broadcast(srcb), Seq("sub"))
+        .withColumn("qd2", round(
+          GraftFunctions.dot($"v", $"v")
+            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
+            + GraftFunctions.dot($"cv", $"cv"), 6))
+        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // ADC per copy, then each vector keeps its BEST reachable copy
+      val wAdc = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      val shortlist = scodes
+        .join(broadcast(probes.select($"q_id", $"cell")), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"cell", $"vec_id",
+          posexplode($"codes").as(Seq("sub", "cid")))
+        .select($"q_id", $"cell", $"vec_id",
+          $"sub".cast("long").as("sub"), $"cid")
+        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
+        .groupBy($"q_id", $"vec_id", $"cell")
+        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .groupBy($"q_id", $"vec_id")
+        .agg(min($"ad".cast(DoubleType)).as("adist"))
+        .withColumn("srn", row_number().over(wAdc))
+        .filter($"srn" <= R)
+        .select($"q_id", $"vec_id")
+      // exact refine from the crank-1 rows (each vector once)
+      val wTop = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      sidx.filter($"crank" === 1)
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(q.select($"vec_id".as("q_id"), $"emb".as("q_emb"))), Seq("q_id"))
+        .withColumn("d2", round(
+          GraftFunctions.dot($"emb", $"emb")
+            - lit(2.0) * GraftFunctions.dot($"emb", $"q_emb")
+            + GraftFunctions.dot($"q_emb", $"q_emb"), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter($"rn" <= 3)
+        .select($"q_id", $"vec_id", $"d2", $"rn".cast("long").as("rn"))
+        .orderBy($"q_id", $"rn")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+          SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ), $spillLifecycleSql, sprese AS (
+        SELECT a.vec_id,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM sassign a JOIN spcentn c USING (cell)
+        WHERE a.crank = 1
+      ), ${pqCodebookSqlGen("sprese", "r", PqrK, PqrM, PqrW)}, spresall AS (
+        SELECT a.vec_id, a.cell,
+          list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.cvec[i]) AS emb
+        FROM sassign a JOIN spcentn c USING (cell)
+      ), spras AS (
+        SELECT vec_id, cell, sub,
+          list_slice(emb, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM spresall, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), sprad AS (
+        SELECT s.vec_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS d2
+        FROM spras s JOIN rpqcb c ON s.sub = c.sub
+      ), spracodes AS (
+        SELECT vec_id, cell, sub, cid FROM (
+          SELECT vec_id, cell, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, cell, sub ORDER BY d2, cid) AS rn
+          FROM sprad)
+        WHERE rn = 1
+      ), qe AS (
+        SELECT vec_id AS q_id, emb AS q_emb FROM e
+        WHERE vec_id % 10 = 7 AND vec_id < 500
+      ), probes AS (
+        SELECT vec_id AS q_id, cell FROM (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+          FROM ssims WHERE vec_id % 10 = 7 AND vec_id < 500)
+        WHERE cr <= 16
+      ), qres AS (
+        SELECT p.q_id, p.cell,
+          list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] - c.cvec[i]) AS qr
+        FROM probes p JOIN qe q ON p.q_id = q.q_id JOIN spcentn c USING (cell)
+      ), qsl AS (
+        SELECT q_id, cell, sub, list_slice(qr, sub*$PqrW + 1, sub*$PqrW + $PqrW) AS v
+        FROM qres, (SELECT UNNEST(range($PqrM)) AS sub)
+      ), qlut AS (
+        SELECT s.q_id, s.cell, s.sub, c.cid,
+          ROUND(list_inner_product(s.v, s.v)
+                - 2.0 * list_inner_product(s.v, c.cv)
+                + list_inner_product(c.cv, c.cv), 6) AS qd2
+        FROM qsl s JOIN rpqcb c ON s.sub = c.sub
+      ), cop AS (
+        SELECT p.q_id, k.vec_id, k.cell,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,6))) AS DOUBLE) AS adist
+        FROM spracodes k
+        JOIN probes p USING (cell)
+        JOIN qlut l ON l.q_id = p.q_id AND l.cell = k.cell
+                   AND l.sub = k.sub AND l.cid = k.cid
+        WHERE k.vec_id <> p.q_id
+        GROUP BY p.q_id, k.vec_id, k.cell
+      ), adists AS (
+        SELECT q_id, vec_id, MIN(adist) AS adist FROM cop GROUP BY q_id, vec_id
+      ), shortlist AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS srn
+          FROM adists)
+        WHERE srn <= 20
+      ), refined AS (
+        SELECT s.q_id, s.vec_id,
+          ROUND(list_inner_product(a.emb, a.emb)
+                - 2.0 * list_inner_product(a.emb, q.q_emb)
+                + list_inner_product(q.q_emb, q.q_emb), 6) AS d2
+        FROM shortlist s
+        JOIN (SELECT vec_id, emb FROM sassign WHERE crank = 1) a
+          ON a.vec_id = s.vec_id
+        JOIN qe q ON q.q_id = s.q_id
+      )
+      SELECT q_id, vec_id, d2, rn FROM (
+        SELECT q_id, vec_id, d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+        FROM refined)
+      WHERE rn <= 3
+      ORDER BY q_id, rn
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(
     vecAnnServeProduction,
     vecIvfSpillBuild,
     vecAnnIvfServeSpill,
+    vecAnnRefineServeSpill,
     vecIvfDeleteTombstone,
     vecAnnIvfServeTombstoned,
     vecIvfCompactApply,

@@ -937,6 +937,31 @@ class PlanSpec extends SparkSpecBase {
       s"exactly ONE cell-keyed Exchange (the arriving batch) — got $cellExchanges:\n$p")
   }
 
+  test("vec_ann_refine_serve_spill: spilled codes ADC + crank-1 refine, broadcast-only, no cell shuffle") {
+    val p = planString(operators.VectorOps.vecAnnRefineServeSpill.fn(spark, sfDir))
+    assert(p.contains(operators.IvfIndex.pqrSpillCodesTable(sfDir)),
+      s"must read the persisted spilled residual codes:\n$p")
+    assert(p.contains(operators.IvfIndex.pqrSpillCodebookTable(sfDir)),
+      s"must read the persisted spilled residual codebook:\n$p")
+    assert(p.contains(operators.IvfIndex.spillIndexTable(sfDir)),
+      s"must read the spilled index for the R refine lookups:\n$p")
+    assert(!"Exchange hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"cell-keyed shuffle on the spilled refine path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"broadcast-only spilled refine path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/LUT/shortlist sides must broadcast:\n$p")
+  }
+
+  test("multimodal_shard_pack: keyed window, no global ordering") {
+    val p = planString(operators.Multimodal.multimodalShardPack.fn(spark, sfDir))
+    // the running sum must be a lang-keyed window: partitioned Exchange
+    // on lang, never a single-partition global window
+    assert("Exchange hashpartitioning\\(lang".r.findFirstIn(p).isDefined,
+      s"shard packing must partition by lang:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global single-partition window in the packing plan:\n$p")
+  }
+
   test("registry retraction reads: bucketed scans, broadcast side tables, no shingle shuffle") {
     // serve-state audit: bitmask registry scans from its buckets, the
     // kilobyte tombstone/remap tables broadcast — zero shingle Exchange
