@@ -1719,7 +1719,251 @@ object Flagships extends QueryModule {
       """.stripMargin.trim
     })
 
+  /** TPC-H Q2 shape adapted to this corpus (SURVEY §2 I-tredec; there
+    * is no partsupp table — TESTDATA.md): the supply relation is the
+    * OBSERVED trade history — per (part, supplier) the minimum 6-dp
+    * unit price seen in lineitem — and for every LARGE part of size
+    * ≤ 10 the query returns the EUROPE supplier(s) achieving the
+    * region-wide minimum unit cost for that part. This keeps Q2's
+    * signature: a correlated min over a scoped relation, re-joined by
+    * equality to recover the achieving rows.
+    *
+    * Scale notes (100 TB): one partial-aggregated fact pass builds the
+    * (part, supplier) pair-min; everything after runs on the bounded
+    * scoped pair table with broadcast dims (region/nation/supplier/part
+    * filters), and the per-part min re-join broadcasts a parts-subset-
+    * sized frame.
+    */
+  val tpchQ2MinCostSupplier = Q(
+    "tpch_q2_min_cost_supplier",
+    (spark, dir) => {
+      import spark.implicits._
+      val eur = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).where($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val parts = Tables.part(spark, dir)
+        .where($"p_type" === "LARGE" && $"p_size" <= 10)
+        .select($"p_partkey")
+      val pairCost = Tables.lineitem(spark, dir)
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(round($"l_extendedprice".cast(DoubleType) / $"l_quantity", 6))
+          .as("unit_cost"))
+      val scoped = pairCost
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(eur), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"s_name", $"n_name", $"s_acctbal", $"unit_cost")
+      val minc = scoped.groupBy($"p_partkey").agg(min($"unit_cost").as("min_cost"))
+      scoped
+        .join(broadcast(minc), Seq("p_partkey"))
+        .where($"unit_cost" === $"min_cost")
+        .select($"p_partkey", $"s_name", $"n_name",
+          $"s_acctbal".cast(DoubleType).as("s_acctbal"), $"unit_cost")
+        .orderBy($"p_partkey", $"s_name")
+    },
+    Some("""
+      WITH pair_cost AS (
+        SELECT l_partkey, l_suppkey,
+          MIN(ROUND(CAST(l_extendedprice AS DOUBLE) / l_quantity, 6)) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+      ), scoped AS (
+        SELECT p.p_partkey, s.s_name, n.n_name, s.s_acctbal, pc.unit_cost
+        FROM pair_cost pc
+        JOIN part p ON pc.l_partkey = p.p_partkey
+        JOIN supplier s ON pc.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size <= 10
+      )
+      SELECT p_partkey, s_name, n_name,
+        CAST(s_acctbal AS DOUBLE) AS s_acctbal, unit_cost
+      FROM scoped
+      WHERE unit_cost = (SELECT MIN(unit_cost) FROM scoped i
+                         WHERE i.p_partkey = scoped.p_partkey)
+      ORDER BY p_partkey, s_name
+    """.stripMargin.trim))
+
+  /** TPC-H Q9 shape adapted (SURVEY §2 I-tredec; supply cost :=
+    * p_retailprice / 2, a deterministic function of the part): profit
+    * per (supplier nation, order year) over parts named '%red%'.
+    * Decimal discipline per §2.0: revenue and retail-cost accumulate
+    * as EXACT decimal sums; the /2 and the subtraction happen once per
+    * output row in double, so no decimal-scale-change rounding is ever
+    * compared across engines.
+    *
+    * Scale notes (100 TB): part/nation broadcast; the lineitem-orders
+    * join is the one fact-fact shuffle; sums are map-side combinable.
+    */
+  val tpchQ9ProductProfit = Q(
+    "tpch_q9_product_profit",
+    (spark, dir) => {
+      import spark.implicits._
+      val redParts = Tables.part(spark, dir)
+        .where($"p_name".like("%red%"))
+        .select($"p_partkey", $"p_retailprice")
+      val supp = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+      Tables.lineitem(spark, dir)
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", $"o_year")
+        .agg(
+          sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("rev"),
+          sum(dec($"p_retailprice") * $"l_quantity").as("cost"))
+        .select($"n_name", $"o_year",
+          round($"rev".cast(DoubleType) - $"cost".cast(DoubleType) / 2, 6)
+            .as("profit"))
+        .orderBy($"n_name", $"o_year".desc)
+    },
+    Some("""
+      SELECT n_name, o_year,
+        ROUND(CAST(rev AS DOUBLE) - CAST(cost AS DOUBLE) / 2, 6) AS profit
+      FROM (
+        SELECT n.n_name,
+          CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+          SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS rev,
+          SUM(CAST(p.p_retailprice AS DECIMAL(18,2)) * l.l_quantity) AS cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2)
+      ORDER BY n_name, o_year DESC
+    """.stripMargin.trim))
+
+  /** TPC-H Q11 shape adapted (SURVEY §2 I-tredec): per-part traded
+    * value (exact decimal revenue sum) restricted to ASIA suppliers,
+    * kept where value exceeds 0.1% of the ASIA-wide total — Q11's
+    * signature is exactly this scalar-subquery threshold, implemented
+    * as a 1-row broadcast against the grouped aggregate (the
+    * `tpch_q22_idle_balance` discipline: never a collect).
+    */
+  val tpchQ11ImportantStock = Q(
+    "tpch_q11_important_stock",
+    (spark, dir) => {
+      import spark.implicits._
+      val asia = Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).where($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val vals = Tables.lineitem(spark, dir)
+        .join(broadcast(asia), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")).as("v"))
+      val total = vals.agg(sum($"v").as("t"))
+      vals.crossJoin(broadcast(total))
+        .where($"v".cast(DoubleType) > $"t".cast(DoubleType) * 0.001)
+        .select($"l_partkey".as("p_partkey"), $"v".cast(DoubleType).as("value"))
+        .orderBy($"value".desc, $"p_partkey")
+    },
+    Some("""
+      WITH vals AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+      )
+      SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS value
+      FROM vals
+      WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) FROM vals) * 0.001
+      ORDER BY value DESC, p_partkey
+    """.stripMargin.trim))
+
+  /** TPC-H Q16 shape adapted (SURVEY §2 I-tredec): distinct supplier
+    * count per (brand, type, size ≤ 15) from the observed DISTINCT
+    * (part, supplier) trade pairs, excluding Brand#1, PROMO types and
+    * suppliers with a negative account balance (the complaints
+    * exclusion, an anti join). Q16's signature is the count-distinct
+    * rollup over an anti-join-filtered relationship table.
+    */
+  val tpchQ16PartsSupplierCount = Q(
+    "tpch_q16_parts_supplier_count",
+    (spark, dir) => {
+      import spark.implicits._
+      val badSupp = Tables.supplier(spark, dir)
+        .where($"s_acctbal" < 0).select($"s_suppkey")
+      val pf = Tables.part(spark, dir)
+        .where($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" && $"p_size" <= 15)
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(pf), $"l_partkey" === $"p_partkey")
+        .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) t
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 15
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """.stripMargin.trim))
+
+  /** TPC-H Q20 shape adapted (SURVEY §2 I-tredec): suppliers whose
+    * 1997 shipped quantity of any 'small%' part exceeded 60 units —
+    * the HAVING-subquery semi-join chain that makes Q20 the
+    * decorrelation benchmark: lineitem⨝part grouped per (supplier,
+    * part), HAVING-filtered, distinct suppliers SEMI-joined back to
+    * the supplier dimension with nation attached.
+    */
+  val tpchQ20PotentialPromotion = Q(
+    "tpch_q20_potential_promotion",
+    (spark, dir) => {
+      import spark.implicits._
+      val smallParts = Tables.part(spark, dir)
+        .where($"p_name".like("small%")).select($"p_partkey")
+      val heavy = Tables.lineitem(spark, dir)
+        .where($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+        .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey", $"l_partkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .where($"qty" > 60)
+        .select($"l_suppkey")
+      Tables.supplier(spark, dir)
+        .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name",
+          $"s_acctbal".cast(DoubleType).as("s_acctbal"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""
+      SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 60)
+      ORDER BY s_suppkey
+    """.stripMargin.trim))
+
   def qs: Seq[Q] = Seq(graphHarmonicCloseness, graphBottleneckPaths,
+    tpchQ2MinCostSupplier, tpchQ9ProductProfit, tpchQ11ImportantStock,
+    tpchQ16PartsSupplierCount, tpchQ20PotentialPromotion,
     tpchQ3Toporders, tpchQ5RegionalVolume, tpchQ18Bigorders,
     tpchQ10Returns, tpchQ7NationVolume, tpchQ21WaitingSuppliers,
     tpchQ4PriorityExists, tpchQ12LatePriority, tpchQ13Custdist,
