@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import graft.Tables.dec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -1755,9 +1756,14 @@ object Flagships extends QueryModule {
         .join(broadcast(parts), $"l_partkey" === $"p_partkey")
         .join(broadcast(eur), $"l_suppkey" === $"s_suppkey")
         .select($"p_partkey", $"s_name", $"n_name", $"s_acctbal", $"unit_cost")
-      val minc = scoped.groupBy($"p_partkey").agg(min($"unit_cost").as("min_cost"))
+      // per-part min as a WINDOW over the scoped pairs (r13): the old
+      // agg-and-join-back shape re-ran the whole lineitem rollup for the
+      // min-cost side (20 parquet scans in the physical plan → 5, one of
+      // lineitem); the window's partitions are bounded by suppliers per
+      // part, and the filter is the same min-cost predicate.
+      val wPart = Window.partitionBy($"p_partkey")
       scoped
-        .join(broadcast(minc), Seq("p_partkey"))
+        .withColumn("min_cost", min($"unit_cost").over(wPart))
         .where($"unit_cost" === $"min_cost")
         .select($"p_partkey", $"s_name", $"n_name",
           $"s_acctbal".cast(DoubleType).as("s_acctbal"), $"unit_cost")
@@ -1857,6 +1863,10 @@ object Flagships extends QueryModule {
             $"n_regionkey" === $"r_regionkey")),
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
+      // the part-keyed aggregate has two consumers (the 0.1% threshold
+      // scalar and the declared rows), but both sit above the same
+      // partkey exchange, which AQE stage reuse dedupes at runtime — the
+      // fact pass runs once without an explicit cut (r13, measured)
       val vals = Tables.lineitem(spark, dir)
         .join(broadcast(asia), $"l_suppkey" === $"s_suppkey")
         .groupBy($"l_partkey")

@@ -2202,52 +2202,58 @@ object TextOps extends QueryModule {
     * (`agg_market_basket_lift`) is the RATIO form on baskets, PMI is
     * its LOG form on text, JS/MI measure whole-distribution affinity.
     *
-    * Scale notes (100 TB): the real-pipeline vocabulary cut comes
-    * first — top-100 tokens by document frequency (bounded, then
-    * broadcast back as ONE array literal) — so the per-doc pair
-    * fan-out is ≤ |vocab∩doc|², never tokens². Per-doc distinct token
-    * sets are ROW-LOCAL (array_distinct — no (doc, tok) exchange at
-    * all), the vocab filter is a row-local array_intersect against
-    * the broadcast array, and pairs explode row-locally from the
-    * sorted result (the market-basket recipe: no pair self-join, no
-    * doc-keyed shuffle anywhere) into a ≤ vocab² cell table that is
-    * lineage-cut before the bounded PMI algebra. The only fact-scale
-    * exchanges are the two token-keyed partial aggs (df count, cell
-    * count). ln appears only on exact integer operands, rounded at
-    * 6 dp (the MI discipline with 6 dp headroom instead of 12).
+    * Scale notes (100 TB): ONE corpus scan (r13) — the per-doc distinct
+    * token sets are materialized once and feed every pass. The
+    * real-pipeline vocabulary cut comes first — top-100 tokens by
+    * document frequency (bounded, then broadcast back as ONE array
+    * literal) — so the per-doc pair fan-out is ≤ |vocab∩doc|², never
+    * tokens². df(tok) doubles as the single-token document count (both
+    * count docs whose distinct token set contains tok), so no single
+    * cells are ever exploded. Per-doc distinct token sets are ROW-LOCAL
+    * (array_distinct — no (doc, tok) exchange at all), the vocab filter
+    * is a row-local array_intersect against the broadcast array, and
+    * pairs explode row-locally from the sorted result (the
+    * market-basket recipe: no pair self-join, no doc-keyed shuffle
+    * anywhere). The only fact-scale exchanges are the two token-keyed
+    * partial aggs (df count, pair count). ln appears only on exact
+    * integer operands, rounded at 6 dp (the MI discipline with 6 dp
+    * headroom instead of 12).
     */
   val textPmiCooccurrence = Q(
     "text_pmi_cooccurrence",
     (spark, dir) => {
       import spark.implicits._
-      val sets = Tables.documents(spark, dir)
-        .select($"doc_id",
+      // ONE parquet scan of documents (r13, VERDICT r12 #4): the per-doc
+      // distinct token sets are materialized once (lineage cut) and feed
+      // BOTH token-keyed fact aggregations; the old shape re-scanned and
+      // re-tokenized the corpus for the vocab df pass, the cell pass AND
+      // the N count. The per-token doc-frequency table further serves
+      // double duty: its top-100 IS the vocab, and df(tok) IS the
+      // single-token document count c_a (both count docs whose distinct
+      // token set contains tok), so the cell explode no longer emits
+      // single-token rows at all.
+      val sets = graft.Checkpoints.cut(Tables.documents(spark, dir)
+        .select(
           expr("array_distinct(filter(split(lower(text), ' '), t -> t != ''))")
-            .as("toks"))
-      val vocabArr = sets
+            .as("toks")))
+      val vocab = graft.Checkpoints.cut(sets
         .select(explode($"toks").as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("df"))
-        .orderBy($"df".desc, $"tok").limit(100)
-        .agg(collect_list($"tok").as("vocab"))
-      val cells = sets
+        .orderBy($"df".desc, $"tok").limit(100))
+      val vocabArr = vocab.agg(collect_list($"tok").as("vocab"))
+      val pairs = sets
         .crossJoin(broadcast(vocabArr))
         .select(expr("array_sort(array_intersect(toks, vocab))").as("toks"))
         .select(explode(expr(
-          """concat(
-            |  transform(toks, a -> struct(a AS tok_a, CAST(NULL AS STRING) AS tok_b)),
-            |  flatten(transform(toks, (a, i) ->
-            |    transform(slice(toks, i + 2, size(toks)), b ->
-            |      struct(a AS tok_a, b AS tok_b)))))""".stripMargin)).as("pr"))
+          """flatten(transform(toks, (a, i) ->
+            |  transform(slice(toks, i + 2, size(toks)), b ->
+            |    struct(a AS tok_a, b AS tok_b))))""".stripMargin)).as("pr"))
         .groupBy($"pr.tok_a".as("tok_a"), $"pr.tok_b".as("tok_b"))
-        .agg(count(lit(1)).as("c"))
-        .transform(graft.Checkpoints.cut)
-      val tot = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
-      val singles = cells.where($"tok_b".isNull)
-      val pairs = cells.where($"tok_b".isNotNull)
-        .select($"tok_a", $"tok_b", $"c".as("c_ab"))
+        .agg(count(lit(1)).as("c_ab"))
+      val tot = sets.agg(count(lit(1)).as("n"))
       pairs
-        .join(broadcast(singles.select($"tok_a", $"c".as("c_a"))), "tok_a")
-        .join(broadcast(singles.select($"tok_a".as("tok_b"), $"c".as("c_b"))), "tok_b")
+        .join(broadcast(vocab.select($"tok".as("tok_a"), $"df".as("c_a"))), "tok_a")
+        .join(broadcast(vocab.select($"tok".as("tok_b"), $"df".as("c_b"))), "tok_b")
         .crossJoin(broadcast(tot))
         .select(
           $"tok_a", $"tok_b", $"c_ab", $"c_a", $"c_b",
@@ -3396,13 +3402,20 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val sh = cachedShingles(Tables.documents(spark, dir))
-      val pres = sh
+      // ONE shingle-keyed exchange (r13): per shingle, the distinct batch
+      // set and its min come out of a single aggregation; the old shape
+      // computed the (shingle, batch) distinct TWICE (once for the
+      // first-batch agg, once for the join probe) plus a shingle-keyed
+      // join — collect_set IS the distinct, min over raw batches IS the
+      // first batch.
+      val perShingle = sh
         .select($"shingle",
           (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
             .cast("long") % 8).as("batch"))
-        .distinct()
-      val firstb = pres.groupBy($"shingle").agg(min($"batch").as("fb"))
-      pres.join(firstb, "shingle")
+        .groupBy($"shingle")
+        .agg(min($"batch").as("fb"), collect_set($"batch").as("bs"))
+      perShingle
+        .select($"fb", explode($"bs").as("batch"))
         .groupBy($"batch")
         .agg(
           count(lit(1)).as("n_shingles"),
@@ -3468,6 +3481,10 @@ object TextOps extends QueryModule {
         .withColumn("rn", row_number().over(wDoc))
         .withColumn("grp", $"pos" - $"rn")
       val wGrp = Window.partitionBy($"doc_id", $"grp")
+      // two consumers (word-score agg + phrase assembly) share the
+      // doc-keyed exchange below the windows — AQE stage reuse dedupes
+      // it at runtime (r13: an explicit lineage cut here measured SLOWER,
+      // 1.00 s → 1.27 s, by serializing the consumers into extra jobs)
       val withLen = nonstop.withColumn("plen", count(lit(1)).over(wGrp))
       val wordScore = withLen.groupBy($"tok")
         .agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))

@@ -1715,11 +1715,16 @@ object Windows extends QueryModule {
             .cast(DoubleType) / first($"bs")).as("sd"))
         .where($"sd" > 0.0)
         .select($"bs", round(log($"r" / $"sd"), 12).as("lnrs"))
-      val pts = blocks.groupBy($"bs")
+      // 5-row frame with TWO consumers (the OLS fit and the declared
+      // output join): the cut stops each consumer from re-running the
+      // long post-exchange window chain (block windows + per-bs rollup)
+      // — AQE stage reuse only dedupes up to the last exchange, and the
+      // expensive windows here live ABOVE it (r13: 1.33 s → 1.22 s)
+      val pts = graft.Checkpoints.cut(blocks.groupBy($"bs")
         .agg(count(lit(1)).as("n_blocks"),
           round(sum($"lnrs".cast(DecimalType(28, 12))).cast(DoubleType) /
             count(lit(1)), 12).as("y"))
-        .select($"bs", $"n_blocks", round(log($"bs".cast(DoubleType)), 12).as("x"), $"y")
+        .select($"bs", $"n_blocks", round(log($"bs".cast(DoubleType)), 12).as("x"), $"y"))
       val fit = pts.agg(
         count(lit(1)).as("n"),
         sum($"x".cast(DecimalType(28, 12))).cast(DoubleType).as("sx"),
