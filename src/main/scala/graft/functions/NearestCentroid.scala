@@ -253,6 +253,139 @@ case class NearestCentroidL2(emb: Expression, cb: Expression)
     copy(emb = newChildren(0), cb = newChildren(1))
 }
 
+/** Compiled all-subspace PQ encode over a broadcast FLAT (sub, cid, cv,
+  * cnn2) codebook array sorted by (sub, cid) — the r13 escalation of the
+  * same SCALE.md lesson the two expressions above encode: the residual-PQ
+  * codebooks are k=128 centroids per subspace × m=16 subspaces, and the
+  * interpreted `array_min(transform(...))` argmin the encode paths used
+  * walked 128 candidates × 16 subspaces per vector in interpreted HOF
+  * code, dominating the persisted-artifact cold builds (three residual
+  * trainings ≈ 36 s of the sf0.1 shared stage). One eval call per vector
+  * runs every subspace's candidate loop in plain JVM code.
+  *
+  * Numerical contract, IDENTICAL to the HOF formulation in
+  * [[graft.operators.VectorOps.withPqCodes]]/`withPqStructs`:
+  * per subspace `sub`, v = slice(emb, sub·w+1, w), dss2 = v·v (ascending
+  * fold), d2 = round₆(dss2 − 2·v·cv + cnn2), winner = lexicographic min
+  * of (d2, cid) with `Double.compare` (NaN largest — `array_min`'s
+  * double ordering) and ascending-cid tiebreak. Returns
+  * ARRAY<STRUCT<cid, d2>> indexed by subspace (position s+1 = subspace
+  * s); a subspace with no codebook entries yields a null-fielded struct,
+  * exactly like `array_min` over an empty filter result.
+  *
+  * The decode cache follows [[CodebookCache]]'s guard discipline: buffer
+  * identity + byte size + a rotate-XOR fold of every entry's cnn2 bits.
+  */
+case class PqEncodeAll(emb: Expression, cb: Expression, m: Int, w: Int)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(emb, cb)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode_all"
+
+  private def cbElem: StructType =
+    cb.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def cidType: DataType = cbElem.fields(1).dataType
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", cidType, nullable = true),
+    StructField("d2", DoubleType, nullable = true))), containsNull = false)
+
+  @transient private var keyObj: AnyRef = _
+  @transient private var keyOff: Long = -1L
+  @transient private var keyLen: Int = -1
+  @transient private var keySize: Long = -1L
+  @transient private var keyBits: Long = 0L
+  @transient private var subStart: Array[Int] = _ // m+1 offsets into the flat arrays
+  @transient private var cids: Array[Any] = _
+  @transient private var cidKeys: Array[Long] = _
+  @transient private var vecs: Array[Array[Double]] = _
+  @transient private var aux: Array[Double] = _
+
+  private def load(arr: ArrayData): Unit = {
+    val (obj, off, size) = arr match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes.toLong)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1L)
+    }
+    val n = arr.numElements()
+    var bits = 0L
+    var j = 0
+    while (j < n) {
+      bits = java.lang.Long.rotateLeft(bits, 17) ^
+        java.lang.Double.doubleToRawLongBits(arr.getStruct(j, 4).getDouble(3))
+      j += 1
+    }
+    if ((obj eq keyObj) && off == keyOff && n == keyLen &&
+      size == keySize && bits == keyBits) return
+    val newCids = new Array[Any](n)
+    val newKeys = new Array[Long](n)
+    val newVecs = new Array[Array[Double]](n)
+    val newAux = new Array[Double](n)
+    val starts = new Array[Int](m + 1)
+    val intId = cidType == IntegerType
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      val sub = row.getLong(0).toInt
+      // entries arrive sorted by (sub, cid); record where each sub begins
+      var s = sub + 1
+      while (s <= m) { starts(s) = i + 1; s += 1 }
+      val idv = row.get(1, cidType)
+      newCids(i) = idv
+      newKeys(i) = if (intId) idv.asInstanceOf[Int].toLong else idv.asInstanceOf[Long]
+      newVecs(i) = row.getArray(2).toDoubleArray()
+      newAux(i) = row.getDouble(3)
+      i += 1
+    }
+    cids = newCids; cidKeys = newKeys; vecs = newVecs; aux = newAux; subStart = starts
+    keyObj = obj; keyOff = off; keyLen = n; keySize = size; keyBits = bits
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val e = emb.eval(input)
+    val c = cb.eval(input)
+    if (e == null || c == null) return null
+    load(c.asInstanceOf[ArrayData])
+    val x = e.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Any](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * w
+      // slice(emb, off+1, w) truncates at the array end; dot folds ascending
+      val vLen = math.max(0, math.min(w, x.length - off))
+      var dss = 0.0
+      var t = 0
+      while (t < vLen) { val xv = x(off + t); dss += xv * xv; t += 1 }
+      var bestD2 = 0.0
+      var bestI = -1
+      var i = subStart(sub)
+      val end = subStart(sub + 1)
+      while (i < end) {
+        val cv = vecs(i)
+        val n = math.min(vLen, cv.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += x(off + j) * cv(j); j += 1 }
+        val d2 = NearestCentroid.round6(dss - 2.0 * s + aux(i))
+        if (bestI < 0 || {
+          val cmp = java.lang.Double.compare(d2, bestD2)
+          cmp < 0 || (cmp == 0 && cidKeys(i) < cidKeys(bestI))
+        }) { bestD2 = d2; bestI = i }
+        i += 1
+      }
+      out(sub) =
+        if (bestI < 0) new GenericInternalRow(Array[Any](null, null))
+        else new GenericInternalRow(Array[Any](cids(bestI), bestD2))
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqEncodeAll =
+    copy(emb = newChildren(0), cb = newChildren(1))
+}
+
 /** Column-API surface (engine-internal; not SQL-registered — the SQL
   * mirrors re-derive the same math from first principles).
   */
@@ -266,4 +399,8 @@ object NearestCentroidFunctions {
   def nearestCentroidL2(emb: Column, cb: Column): Column =
     Bridge.column(NearestCentroidL2(
       Bridge.expression(emb), Bridge.expression(cb)))
+
+  def pqEncodeAll(emb: Column, cb: Column, m: Int, w: Int): Column =
+    Bridge.column(PqEncodeAll(
+      Bridge.expression(emb), Bridge.expression(cb), m, w))
 }

@@ -71,46 +71,58 @@ object VectorOps extends QueryModule {
     * then measure their own plans, not whichever family member happened
     * to build the codebook first.
     */
+  /** Per-step wall clock for the shared-stage builds, logged to stderr
+    * (r13): the cold-warehouse build is a full shared-stage line item of
+    * ~80 s at sf0.1, and optimizing it needs attribution — stdout stays
+    * clean for the bench JSON contract.
+    */
+  private def timed[T](step: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[shared-vec] $step ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   def prepareSharedStages(
       spark: org.apache.spark.sql.SparkSession, dir: String): Double = {
     val t0 = System.nanoTime()
-    ivfCodebook(withNorm(spark, dir)).count()
+    timed("ivfCodebook")(ivfCodebook(withNorm(spark, dir)).count())
     // the in-plan trained PQ codebook (vec_ann_ivfpq + recall report)
     // shares the same once-per-corpus discipline
-    trainPqCodebook(withNorm(spark, dir)).count()
+    timed("trainPqCodebook")(trainPqCodebook(withNorm(spark, dir)).count())
     // the memoized exact-kNN graph is shared by vec_knn_graph_stats and
     // vec_twonn_intrinsic_dim — clock its build here (VERDICT r5 #1:
     // shared stages get their own line, not whichever query runs first)
-    cachedKnn5(spark, dir).count()
+    timed("cachedKnn5")(cachedKnn5(spark, dir).count())
     // persisted IVF index + PQ codes/codebook: first bench run on a
     // corpus pays the builds here (their own shared-stage line item, not
     // the serve rows' clocks); subsequent sessions re-register metadata
-    IvfIndex.ensure(spark, dir)
-    IvfIndex.ensurePq(spark, dir)
-    IvfIndex.ensurePqResidual(spark, dir)
+    timed("ensure")(IvfIndex.ensure(spark, dir))
+    timed("ensurePq")(IvfIndex.ensurePq(spark, dir))
+    timed("ensurePqResidual")(IvfIndex.ensurePqResidual(spark, dir))
     // generation-2 (applied rebalance + refreshed residual codes)
     // builds: shared by the apply + refresh + freshest-generation serve
     // rows, same once-per-corpus discipline
-    IvfIndex.ensureRebalanced(spark, dir)
-    IvfIndex.ensurePqrG2(spark, dir)
+    timed("ensureRebalanced")(IvfIndex.ensureRebalanced(spark, dir))
+    timed("ensurePqrG2")(IvfIndex.ensurePqrG2(spark, dir))
     // r11 lifecycle artifacts: the generation-3 chain link and the
     // incremental-ADD family (base generation + appended index + base/
     // appended residual codes) — all once-per-corpus builds the chain /
     // append / serve-app rows then find on disk
-    IvfIndex.ensureGen(spark, dir, 3)
-    IvfIndex.ensureBase(spark, dir)
-    IvfIndex.ensureAppended(spark, dir)
-    IvfIndex.ensurePqrBase(spark, dir)
-    IvfIndex.ensurePqrAppended(spark, dir)
+    timed("ensureGen3")(IvfIndex.ensureGen(spark, dir, 3))
+    timed("ensureBase")(IvfIndex.ensureBase(spark, dir))
+    timed("ensureAppended")(IvfIndex.ensureAppended(spark, dir))
+    timed("ensurePqrBase")(IvfIndex.ensurePqrBase(spark, dir))
+    timed("ensurePqrAppended")(IvfIndex.ensurePqrAppended(spark, dir))
     // delete lifecycle artifacts (tombstone table + compacted generation)
-    IvfIndex.ensureTombstones(spark, dir)
-    IvfIndex.ensureCompacted(spark, dir)
+    timed("ensureTombstones")(IvfIndex.ensureTombstones(spark, dir))
+    timed("ensureCompacted")(IvfIndex.ensureCompacted(spark, dir))
     // r12 artifacts: the multi-assignment (spilled) family + its
     // residual codes, and the append-family tombstones the composed
     // production serve row excludes
-    IvfIndex.ensureSpilled(spark, dir)
-    IvfIndex.ensurePqrSpilled(spark, dir)
-    IvfIndex.ensureTombstonesApp(spark, dir)
+    timed("ensureSpilled")(IvfIndex.ensureSpilled(spark, dir))
+    timed("ensurePqrSpilled")(IvfIndex.ensurePqrSpilled(spark, dir))
+    timed("ensureTombstonesApp")(IvfIndex.ensureTombstonesApp(spark, dir))
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -365,26 +377,25 @@ object VectorOps extends QueryModule {
   private[graft] def withPqCodes(df: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
       m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
+    // compiled all-subspace encode (r13, SCALE.md escalation): ONE eval
+    // call per vector runs every subspace's candidate loop in JVM code —
+    // the interpreted array_min(transform(...)) walked k candidates per
+    // (row, sub) in HOF code, which dominated the residual-PQ (k=128,
+    // m=16) trainings. Values bit-identical (same slices, same ascending
+    // dot folds, same 6 dp round, same (d2, cid) lexicographic min), so
+    // every SQL mirror is untouched.
     val cbm = oneRowArray(
-      cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv")))
-        .groupBy(col("sub"))
-        .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnn2"))))
-          .as("arr")),
-      "cbmap", col("sub"), col("arr"))
-    val scored = transform(
-      element_at(col("cbmap"), (col("sub") + 1).cast("int"))("arr"),
-      c => struct(
-        round(col("dss2") - lit(2.0) * GraftFunctions.dot(col("v"), c("cv"))
-          + c("cnn2"), 6).as("d2"),
-        c("cid").as("cid")))
+      cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv"))),
+      "pqarr", col("sub"), col("cid"), col("cv"), col("cnn2"))
     df.crossJoin(broadcast(cbm))
+      .withColumn("enc", graft.functions.NearestCentroidFunctions
+        .pqEncodeAll(col("emb"), col("pqarr"), m, w))
       .withColumn("sub", explode(array((0 until m).map(i => lit(i.toLong)): _*)))
       .withColumn("v", expr(s"slice(emb, sub*$w+1, $w)"))
-      .withColumn("dss2", GraftFunctions.dot(col("v"), col("v")))
-      .withColumn("tc", array_min(scored))
+      .withColumn("tc", element_at(col("enc"), (col("sub") + 1).cast("int")))
       .withColumn("cid", col("tc")("cid"))
       .withColumn("d2", col("tc")("d2"))
-      .drop("cbmap", "dss2", "tc")
+      .drop("pqarr", "enc", "tc")
   }
 
   /** Fixed Lloyd passes for the [[PqK]]-centroid-per-subspace PQ
@@ -651,32 +662,22 @@ object VectorOps extends QueryModule {
   private[graft] def withPqStructs(df: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame,
       m: Int = 4, w: Int = 16): org.apache.spark.sql.DataFrame = {
-    // same hoisting discipline as [[withNearestCentroidD2]]: slices and
-    // their self-dots materialize ONCE per row (not once per centroid
-    // evaluation — HOF lambdas are interpreted and slice() allocates),
-    // and each centroid's ‖c‖² rides the broadcast array. Bit-identical
-    // values, so the SQL mirrors are untouched.
+    // compiled all-subspace encode (r13 — see [[withPqCodes]]); the
+    // projection below repacks ARRAY<STRUCT<cid, d2>> (position = sub)
+    // into the original ARRAY<STRUCT<sub, cid, d2>> shape so every
+    // consumer and mirror sees byte-identical values and schema.
     val cb = oneRowArray(
       cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv"))),
       "pqarr", col("sub"), col("cid"), col("cv"), col("cnn2"))
-    val slices = transform(sequence(lit(0), lit(m - 1)),
-      sub => slice(col("emb"), sub * lit(w) + lit(1), lit(w)))
-    val selfDots = transform(col("slc2"), s => GraftFunctions.dot(s, s))
     val pq = transform(sequence(lit(0), lit(m - 1)), sub => {
-      val sl = element_at(col("slc2"), sub + lit(1))
-      val dss = element_at(col("dss2"), sub + lit(1))
-      val best = array_min(transform(
-        filter(col("pqarr"), c => c("sub") === sub),
-        c => struct(
-          round(dss - lit(2.0) * GraftFunctions.dot(sl, c("cv")) + c("cnn2"), 6).as("d2"),
-          c("cid").as("cid"))))
+      val best = element_at(col("enc"), sub + lit(1))
       struct(sub.as("sub"), best("cid").as("cid"), best("d2").as("d2"))
     })
     df.crossJoin(broadcast(cb))
-      .withColumn("slc2", slices)
-      .withColumn("dss2", selfDots)
+      .withColumn("enc", graft.functions.NearestCentroidFunctions
+        .pqEncodeAll(col("emb"), col("pqarr"), m, w))
       .withColumn("pq", pq)
-      .drop("pqarr", "slc2", "dss2")
+      .drop("pqarr", "enc")
   }
 
   val vecNormsStats = Q(
