@@ -386,6 +386,119 @@ case class PqEncodeAll(emb: Expression, cb: Expression, m: Int, w: Int)
     copy(emb = newChildren(0), cb = newChildren(1))
 }
 
+/** Compiled full ADC lookup table over the same flat (sub, cid, cv,
+  * cnn2) codebook layout as [[PqEncodeAll]] (r13): given a residual
+  * vector, emit ARRAY<DOUBLE> of length m·k where slot sub·k + cid holds
+  * round₆(v·v − 2·v·cv + cnn2) with v = slice(qr, sub·w+1, w) — the
+  * per-(query, cell) LUT the refine-serve rows previously materialized
+  * as m·k ROWS per (query, cell) via an explode + broadcast join +
+  * grouped re-pack (three exchanges and an interpreted sort, ~1.5 s of
+  * every serve clock). Values are bit-identical: same slices, same
+  * ascending dot folds (cnn2 equals the per-row dot(cv, cv) the row form
+  * computed), same 6 dp round. Slots with no codebook entry stay NaN —
+  * unreachable, since encode cids come from the same codebook.
+  */
+case class PqLutAll(qr: Expression, cb: Expression, m: Int, w: Int, k: Int)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(qr, cb)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_lut_all"
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private var keyObj: AnyRef = _
+  @transient private var keyOff: Long = -1L
+  @transient private var keyLen: Int = -1
+  @transient private var keySize: Long = -1L
+  @transient private var keyBits: Long = 0L
+  @transient private var subs: Array[Int] = _
+  @transient private var cidKeys: Array[Int] = _
+  @transient private var vecs: Array[Array[Double]] = _
+  @transient private var aux: Array[Double] = _
+
+  private def load(arr: ArrayData): Unit = {
+    val (obj, off, size) = arr match {
+      case u: UnsafeArrayData => (u.getBaseObject, u.getBaseOffset, u.getSizeInBytes.toLong)
+      case other => (other.asInstanceOf[AnyRef], 0L, -1L)
+    }
+    val n = arr.numElements()
+    var bits = 0L
+    var j = 0
+    while (j < n) {
+      bits = java.lang.Long.rotateLeft(bits, 17) ^
+        java.lang.Double.doubleToRawLongBits(arr.getStruct(j, 4).getDouble(3))
+      j += 1
+    }
+    if ((obj eq keyObj) && off == keyOff && n == keyLen &&
+      size == keySize && bits == keyBits) return
+    val cidType = cb.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fields(1).dataType
+    val intId = cidType == IntegerType
+    val newSubs = new Array[Int](n)
+    val newKeys = new Array[Int](n)
+    val newVecs = new Array[Array[Double]](n)
+    val newAux = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 4)
+      newSubs(i) = row.getLong(0).toInt
+      newKeys(i) =
+        if (intId) row.getInt(1) else row.getLong(1).toInt
+      newVecs(i) = row.getArray(2).toDoubleArray()
+      newAux(i) = row.getDouble(3)
+      i += 1
+    }
+    subs = newSubs; cidKeys = newKeys; vecs = newVecs; aux = newAux
+    keyObj = obj; keyOff = off; keyLen = n; keySize = size; keyBits = bits
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val e = qr.eval(input)
+    val c = cb.eval(input)
+    if (e == null || c == null) return null
+    load(c.asInstanceOf[ArrayData])
+    val x = e.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Double](m * k)
+    java.util.Arrays.fill(out, Double.NaN)
+    // per-subspace self-dots of the query slices, once each
+    val dss = new Array[Double](m)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * w
+      val vLen = math.max(0, math.min(w, x.length - off))
+      var s = 0.0
+      var t = 0
+      while (t < vLen) { val xv = x(off + t); s += xv * xv; t += 1 }
+      dss(sub) = s
+      sub += 1
+    }
+    val n = vecs.length
+    var i = 0
+    while (i < n) {
+      val sb = subs(i)
+      if (sb < m) {
+        val off = sb * w
+        val vLen = math.max(0, math.min(w, x.length - off))
+        val cv = vecs(i)
+        val nn = math.min(vLen, cv.length)
+        var s = 0.0
+        var j = 0
+        while (j < nn) { s += x(off + j) * cv(j); j += 1 }
+        val slot = sb * k + cidKeys(i)
+        if (slot >= 0 && slot < out.length)
+          out(slot) = NearestCentroid.round6(dss(sb) - 2.0 * s + aux(i))
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqLutAll =
+    copy(qr = newChildren(0), cb = newChildren(1))
+}
+
 /** Column-API surface (engine-internal; not SQL-registered — the SQL
   * mirrors re-derive the same math from first principles).
   */
@@ -403,4 +516,8 @@ object NearestCentroidFunctions {
   def pqEncodeAll(emb: Column, cb: Column, m: Int, w: Int): Column =
     Bridge.column(PqEncodeAll(
       Bridge.expression(emb), Bridge.expression(cb), m, w))
+
+  def pqLutAll(qr: Column, cb: Column, m: Int, w: Int, k: Int): Column =
+    Bridge.column(PqLutAll(
+      Bridge.expression(qr), Bridge.expression(cb), m, w, k))
 }

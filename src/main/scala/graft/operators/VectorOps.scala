@@ -541,6 +541,47 @@ object VectorOps extends QueryModule {
   private[graft] val PqrM = 16
   private[graft] val PqrW = 4
 
+  /** Per-(query, probed cell) residual ADC lookup table as ONE flat
+    * array row — slot = sub·PqrK + cid — computed by the compiled
+    * [[graft.functions.PqLutAll]] expression so the ADC scan can look
+    * distances up ROW-LOCALLY. Replaces (r13) the row-form LUT the serve
+    * rows materialized (×PqrM explode, broadcast codebook join, qd2
+    * projection) and then broadcast-hash-joined as a
+    * Q×nprobe×PqrM×PqrK-row relation against the ×PqrM-exploded codes:
+    * three exchanges, a 1.6M-entry broadcast build and a re-aggregation,
+    * ~1.5 s of every refine-serve clock at sf0.1. Values bit-identical —
+    * same qr slices, same ascending dot folds (cnn2 = dot(cv, cv) as the
+    * row form computed per row), same 6 dp round.
+    */
+  private def residualLut(probes: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      rcb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rcbArr = oneRowArray(
+      rcb.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv"))),
+      "pqarr", col("sub"), col("cid"), col("cv"), col("cnn2"))
+    probes
+      .join(broadcast(cb.select(col("cell"), col("cvec"))), Seq("cell"))
+      .withColumn("qr", zip_with(col("q_emb"), col("cvec"), (a, b) => a - b))
+      .crossJoin(broadcast(rcbArr))
+      .select(col("q_id"), col("cell"),
+        graft.functions.NearestCentroidFunctions
+          .pqLutAll(col("qr"), col("pqarr"), PqrM, PqrW, PqrK).as("lutarr"))
+  }
+
+  /** Row-local ADC distance over `codes` against the (q, cell) row's
+    * `lutarr`: Σ_sub lutarr[sub·PqrK + codes[sub]] with the EXACT decimal
+    * accumulation discipline of the sum it replaces — each qd2 enters as
+    * DECIMAL(18,6) and accumulates at (28,6) (the precision-only cast of
+    * the (29,6) add result is exact; 16 six-dp terms cannot overflow it),
+    * so the value equals `sum(CAST(qd2 AS DECIMAL(18,6)))` bit-for-bit.
+    */
+  private def adcRowLocal: Column = expr(
+    s"""aggregate(
+       |  zip_with(sequence(0L, ${PqrM - 1}L), codes, (s, c) -> s * $PqrK + c),
+       |  CAST(0 AS DECIMAL(28,6)),
+       |  (acc, slot) -> CAST(acc + CAST(element_at(lutarr, CAST(slot + 1 AS INT))
+       |                 AS DECIMAL(18,6)) AS DECIMAL(28,6)))""".stripMargin)
+
   private[graft] val pqResidualCodebookSql: String =
     pqCodebookSqlGen("rese", "r", PqrK, PqrM, PqrW)
 
@@ -2838,32 +2879,20 @@ object VectorOps extends QueryModule {
           $"tc"("cell").as("cell"))
       // per-(query, probed cell) residual LUT: the query's residual vs
       // THAT cell, sliced and scored against the residual PQ codebook
-      val lut = probes
-        .join(broadcast(ivfCb.select($"cell", $"cvec")), Seq("cell"))
-        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
-        .select($"q_id", $"cell",
-          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
-        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
-          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
-        .join(broadcast(rcb), Seq("sub"))
-        .withColumn("qd2", round(
-          GraftFunctions.dot($"v", $"v")
-            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-            + GraftFunctions.dot($"cv", $"cv"), 6))
-        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // compiled one-row LUT (r13): see [[residualLut]]
+      val lut = residualLut(probes, ivfCb, rcb)
       // ONE ADC pass at nprobe=8; each candidate carries its cell's
       // probe rank, so narrower nprobe cuts never rescan the codes
+      // row-local array ADC (r13): single-assignment codes mean each
+      // (q, vec) candidate appears exactly once, so the per-row lookup
+      // sum IS the old grouped decimal sum - no explode, no 1.6M-entry
+      // broadcast hash join, no re-aggregation exchange
       val cand = rcodes
         .join(broadcast(probes.select($"q_id", $"cell", $"cr")), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"cell", $"cr", $"vec_id",
-          posexplode($"codes").as(Seq("sub", "cid")))
-        .select($"q_id", $"cell", $"cr", $"vec_id",
-          $"sub".cast("long").as("sub"), $"cid")
-        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
-        .groupBy($"q_id", $"vec_id", $"cr")
-        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
-        .withColumn("adist", $"ad".cast(DoubleType))
+        .join(broadcast(lut), Seq("q_id", "cell"))
+        .withColumn("ad", adcRowLocal)
+        .select($"q_id", $"vec_id", $"cr", $"ad".cast(DoubleType).as("adist"))
       val wNp = Window.partitionBy($"nprobe", $"q_id").orderBy($"adist", $"vec_id")
       val approx = cand
         .withColumn("nprobe", explode(array(lit(1L), lit(3L), lit(8L))))
@@ -3049,32 +3078,19 @@ object VectorOps extends QueryModule {
         .select($"q_id", $"q_emb", $"tc"("cell").as("cell"))
       // stage 1b: per-(query, probed cell) residual LUT — the query's
       // residual vs THAT cell, scored against the residual PQ codebook
-      val lut = probes
-        .join(broadcast(ivfCb.select($"cell", $"cvec")), Seq("cell"))
-        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
-        .select($"q_id", $"cell",
-          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
-        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
-          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
-        .join(broadcast(rcb), Seq("sub"))
-        .withColumn("qd2", round(
-          GraftFunctions.dot($"v", $"v")
-            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-            + GraftFunctions.dot($"cv", $"cv"), 6))
-        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // compiled one-row LUT (r13): see [[residualLut]]
+      val lut = residualLut(probes, ivfCb, rcb)
       // stage 1c: ADC over the probed cells' persisted codes → top-R
       // shortlist per query
       val wAdc = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      // row-local array ADC (r13, see vec_ann_recall_curve): the
+      // per-row lookup sum equals the old grouped decimal sum because
+      // single-assignment codes give one row per (q, vec)
       val shortlist = rcodes
         .join(broadcast(probes.select($"q_id", $"cell")), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"cell", $"vec_id",
-          posexplode($"codes").as(Seq("sub", "cid")))
-        .select($"q_id", $"cell", $"vec_id",
-          $"sub".cast("long").as("sub"), $"cid")
-        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
-        .groupBy($"q_id", $"vec_id")
-        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .join(broadcast(lut), Seq("q_id", "cell"))
+        .withColumn("ad", adcRowLocal)
         .withColumn("adist", $"ad".cast(DoubleType))
         .withColumn("srn", row_number().over(wAdc))
         .filter($"srn" <= R)
@@ -3823,32 +3839,17 @@ object VectorOps extends QueryModule {
         .select($"q_id", $"q_emb", $"tc"("cell").as("cell"))
       // per-(query, probed cell) residual LUT against the base-trained
       // residual codebook
-      val lut = probes
-        .join(broadcast(baseCb.select($"cell", $"cvec")), Seq("cell"))
-        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
-        .select($"q_id", $"cell",
-          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
-        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
-          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
-        .join(broadcast(rcb), Seq("sub"))
-        .withColumn("qd2", round(
-          GraftFunctions.dot($"v", $"v")
-            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-            + GraftFunctions.dot($"cv", $"cv"), 6))
-        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // compiled one-row LUT (r13): see [[residualLut]]
+      val lut = residualLut(probes, baseCb, rcb)
       // ADC over the appended codes with tombstones excluded UP FRONT
       val wAdc = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      // row-local array ADC (r13, see vec_ann_recall_curve)
       val shortlist = rcodes
         .join(broadcast(ts.select($"vec_id")), Seq("vec_id"), "left_anti")
         .join(broadcast(probes.select($"q_id", $"cell")), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"cell", $"vec_id",
-          posexplode($"codes").as(Seq("sub", "cid")))
-        .select($"q_id", $"cell", $"vec_id",
-          $"sub".cast("long").as("sub"), $"cid")
-        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
-        .groupBy($"q_id", $"vec_id")
-        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .join(broadcast(lut), Seq("q_id", "cell"))
+        .withColumn("ad", adcRowLocal)
         .withColumn("adist", $"ad".cast(DoubleType))
         .withColumn("srn", row_number().over(wAdc))
         .filter($"srn" <= R)
@@ -3972,31 +3973,18 @@ object VectorOps extends QueryModule {
             $"emb", $"nrm", $"cbarr", 16, rounded = true)).as("tc"))
         .select($"q_id", $"q_emb", $"tc"("cell").as("cell"))
       // per-(query, probed cell) residual LUT
-      val lut = probes
-        .join(broadcast(scb.select($"cell", $"cvec")), Seq("cell"))
-        .withColumn("qr", zip_with($"q_emb", $"cvec", (a, b) => a - b))
-        .select($"q_id", $"cell",
-          explode(array((0 until PqrM).map(lit): _*)).as("sub"), $"qr")
-        .select($"q_id", $"cell", $"sub".cast("long").as("sub"),
-          expr(s"slice(qr, sub*$PqrW+1, $PqrW)").as("v"))
-        .join(broadcast(srcb), Seq("sub"))
-        .withColumn("qd2", round(
-          GraftFunctions.dot($"v", $"v")
-            - lit(2.0) * GraftFunctions.dot($"v", $"cv")
-            + GraftFunctions.dot($"cv", $"cv"), 6))
-        .select($"q_id", $"cell", $"sub", $"cid", $"qd2")
+      // compiled one-row LUT (r13): see [[residualLut]]
+      val lut = residualLut(probes, scb, srcb)
       // ADC per copy, then each vector keeps its BEST reachable copy
       val wAdc = Window.partitionBy($"q_id").orderBy($"adist", $"vec_id")
+      // row-local array ADC (r13): each spilled COPY is one codes row,
+      // so the per-row lookup sum is the old per-(q, vec, cell) grouped
+      // decimal sum; only the min-across-copies aggregation remains
       val shortlist = scodes
         .join(broadcast(probes.select($"q_id", $"cell")), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"cell", $"vec_id",
-          posexplode($"codes").as(Seq("sub", "cid")))
-        .select($"q_id", $"cell", $"vec_id",
-          $"sub".cast("long").as("sub"), $"cid")
-        .join(broadcast(lut), Seq("q_id", "cell", "sub", "cid"))
-        .groupBy($"q_id", $"vec_id", $"cell")
-        .agg(sum($"qd2".cast(DecimalType(18, 6))).as("ad"))
+        .join(broadcast(lut), Seq("q_id", "cell"))
+        .withColumn("ad", adcRowLocal)
         .groupBy($"q_id", $"vec_id")
         .agg(min($"ad".cast(DoubleType)).as("adist"))
         .withColumn("srn", row_number().over(wAdc))
