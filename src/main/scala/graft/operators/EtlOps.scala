@@ -520,6 +520,23 @@ object EtlOps extends QueryModule {
       val runId = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
       val ov = s"orders_$runId"
       Tables.orders(spark, dir).createOrReplaceTempView(ov)
+      // resolve the spine bounds ONCE (r13): the recursion's stop
+      // condition carried a scalar subquery over orders, and every
+      // recursion step is its own scheduled job — re-running the
+      // MIN/MAX scan per step plus the two months-CTE subqueries cost
+      // ~8 extra jobs at sf0.1 (1.45 s → ~0.8 s). One bounded 1-row
+      // aggregate (the broadcast-threshold pattern) feeds the bounds in
+      // as literals; the recursion, spine and rollup are unchanged.
+      import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+      val b = Tables.orders(spark, dir)
+        .agg(fmin(org.apache.spark.sql.functions.col("o_orderdate")).as("lo"),
+          fmax(org.apache.spark.sql.functions.col("o_orderdate")).as("hi"))
+        .selectExpr(
+          "(year(hi) - year(lo)) * 12 + (month(hi) - month(lo)) AS span",
+          "CAST(DATE_TRUNC('month', lo) AS DATE) AS m0")
+        .head()
+      val span = b.getInt(0)
+      val m0 = b.getDate(1)
       // spark.sql analyzes eagerly, binding the view's plan into the
       // returned frame — the view can be dropped as soon as the frame
       // exists (repeated invocations must not accumulate temp views)
@@ -528,16 +545,11 @@ object EtlOps extends QueryModule {
           SELECT CAST(v AS BIGINT) FROM VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11) t(v)
           UNION ALL
           SELECT i + 12 FROM idx
-          WHERE i + 12 <= (SELECT (year(MAX(o_orderdate)) - year(MIN(o_orderdate))) * 12
-                                  + (month(MAX(o_orderdate)) - month(MIN(o_orderdate)))
-                           FROM $ov)
+          WHERE i + 12 <= $span
         ), months AS (
-          SELECT CAST(add_months((SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE) FROM $ov), i)
-                 AS TIMESTAMP) AS m
+          SELECT CAST(add_months(DATE '$m0', i) AS TIMESTAMP) AS m
           FROM idx
-          WHERE i <= (SELECT (year(MAX(o_orderdate)) - year(MIN(o_orderdate))) * 12
-                             + (month(MAX(o_orderdate)) - month(MIN(o_orderdate)))
-                      FROM $ov)
+          WHERE i <= $span
         ), monthly AS (
           SELECT DATE_TRUNC('month', o_orderdate) AS m,
             COUNT(*) AS n_orders,
