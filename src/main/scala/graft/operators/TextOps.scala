@@ -3786,7 +3786,11 @@ object TextOps extends QueryModule {
       // single bounded count agg yields per-source sizes AND shared
       // counts; the ≤ sources² cell table is lineage-cut. A hot shingle
       // costs its (≤ sources²) local fan-out, never a join blowup.
-      val cells = shingles(docs)
+      // read the memoized per-doc shingle relation (r13): this was the
+      // one declared consumer still re-running the tokenize + 3-gram
+      // explode instead of hitting the shared cache every other shingle
+      // row rides
+      val cells = cachedShingles(docs)
         .join(docs.select($"doc_id", $"source"), "doc_id")
         .groupBy($"shingle").agg(collect_set($"source").as("srcs"))
         .select(explode(expr(
