@@ -128,6 +128,10 @@ object Flagships extends QueryModule {
       val o = Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
       val c = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+      // NOTE (r13): a broadcast hint on bigOrders measured SLOWER
+      // (0.92 → 1.49 s) — forcing the fact aggregation into a serial
+      // broadcast-build job loses to AQE's runtime SMJ→BHJ conversion,
+      // which overlaps the agg with the orders scan. Left unhinted.
       o.join(bigOrders, $"o_orderkey" === $"l_orderkey")
         .join(broadcast(c), $"o_custkey" === $"c_custkey")
         .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
@@ -268,9 +272,13 @@ object Flagships extends QueryModule {
       val o = Tables.orders(spark, dir)
         .where($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate")
+      // broadcast the F-status order keys (r13, guide §3.1): the
+      // unhinted join sort-merged lineitem against orders, paying a
+      // fact-scale exchange for what a ~50k-row broadcast covers —
+      // lateLines is now derived row-locally from the scan
       val lateLines = Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(o), $"l_orderkey" === $"o_orderkey")
         .where($"l_shipdate" > date_add($"o_orderdate", 90))
         .select($"l_orderkey", $"l_suppkey")
       val allLines = Tables.lineitem(spark, dir)
@@ -281,13 +289,16 @@ object Flagships extends QueryModule {
         .where($"s_nationkey" < 10)
         .select($"s_suppkey", $"s_name")
       lateLines
+        // the nation<10 supplier cut applies only to the OUTER side —
+        // moving it before the semi/anti joins shrinks what they shuffle
+        // (the inner sides must keep every supplier's lines, unchanged)
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
         .join(allLines,
           $"l_orderkey" === $"l2_orderkey" && $"l_suppkey" =!= $"l2_suppkey",
           "left_semi")
         .join(otherLate,
           $"l_orderkey" === $"l3_orderkey" && $"l_suppkey" =!= $"l3_suppkey",
           "left_anti")
-        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy($"numwait".desc, $"s_name")
@@ -709,7 +720,12 @@ object Flagships extends QueryModule {
           $"l_extendedprice", $"l_discount")
         .join(broadcast(p), $"l_partkey" === $"p_partkey")
         .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-        .join(o, $"l_orderkey" === $"o_orderkey")
+        // the two-year EUROPE order keys are ~6% of orders and derive
+        // row-locally (scan + two broadcast joins, no exchange) — a
+        // planning-time broadcast removes the lineitem shuffle outright
+        // (r13, guide §3.1; unlike q18's fact-agg side, building this
+        // broadcast costs one cheap scan job)
+        .join(broadcast(o), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_year")
         .agg(
           sum(when($"supp_nation" === "NATION_8", vol).otherwise(dec(lit(0))))
@@ -1911,10 +1927,16 @@ object Flagships extends QueryModule {
       val pf = Tables.part(spark, dir)
         .where($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" && $"p_size" <= 15)
         .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      // broadcast-filter BEFORE the distinct exchange (r13, guide §2.3):
+      // the part predicate keeps ~30% of lineitem, and the join is
+      // row-local (broadcast, p_partkey unique), so filtering first
+      // shuffles a third of the pairs for the identical distinct set
       Tables.lineitem(spark, dir)
-        .select($"l_partkey", $"l_suppkey").distinct()
+        .select($"l_partkey", $"l_suppkey")
         .join(broadcast(pf), $"l_partkey" === $"p_partkey")
         .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .select($"l_partkey", $"l_suppkey", $"p_brand", $"p_type", $"p_size")
+        .distinct()
         .groupBy($"p_brand", $"p_type", $"p_size")
         .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
