@@ -22,14 +22,15 @@ object ExplainDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans", "r13")
+    val round = sys.env.getOrElse("SPARK_GRAFT_PLANS_ROUND", "r14")
+    val outDir = Paths.get("plans", round)
     Files.createDirectories(outDir)
     for (nm <- names) {
       val df = SparkEntry.queries(nm)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(outDir.resolve(s"${nm}_$tag.txt"), plan)
-      println(s"EXPLAIN $nm -> plans/r13/${nm}_$tag.txt (${plan.length} chars)")
+      println(s"EXPLAIN $nm -> plans/$round/${nm}_$tag.txt (${plan.length} chars)")
     }
     spark.stop()
   }

@@ -272,13 +272,15 @@ object Flagships extends QueryModule {
       val o = Tables.orders(spark, dir)
         .where($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate")
-      // broadcast the F-status order keys (r13, guide §3.1): the
-      // unhinted join sort-merged lineitem against orders, paying a
-      // fact-scale exchange for what a ~50k-row broadcast covers —
-      // lateLines is now derived row-locally from the scan
+      // NO broadcast hint on the F-status orders side (r14, VERDICT r13
+      // #1): F-status is ~49% of orders — fact-proportional, so a hard
+      // hint OOMs at cluster scale. AQE's runtime SMJ→BHJ conversion
+      // broadcasts it exactly when the runtime size fits (the q18
+      // calibration), which keeps the sf0.1 win without baking the
+      // local-SF size assumption into the plan.
       val lateLines = Tables.lineitem(spark, dir)
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-        .join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
         .where($"l_shipdate" > date_add($"o_orderdate", 90))
         .select($"l_orderkey", $"l_suppkey")
       val allLines = Tables.lineitem(spark, dir)
@@ -720,12 +722,13 @@ object Flagships extends QueryModule {
           $"l_extendedprice", $"l_discount")
         .join(broadcast(p), $"l_partkey" === $"p_partkey")
         .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-        // the two-year EUROPE order keys are ~6% of orders and derive
-        // row-locally (scan + two broadcast joins, no exchange) — a
-        // planning-time broadcast removes the lineitem shuffle outright
-        // (r13, guide §3.1; unlike q18's fact-agg side, building this
-        // broadcast costs one cheap scan job)
-        .join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+        // NO broadcast hint on the orders-derived side (r14, VERDICT r13
+        // #1): the two-year EUROPE keys are ~6% of orders — still
+        // fact-proportional, so a hard hint is a 100 TB OOM. AQE converts
+        // SMJ→BHJ at runtime when the filtered side measures small (it
+        // does at sf0.1), without committing the plan to a size the
+        // cluster can't hold.
+        .join(o, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_year")
         .agg(
           sum(when($"supp_nation" === "NATION_8", vol).otherwise(dec(lit(0))))
