@@ -867,14 +867,15 @@ object Flagships extends QueryModule {
     * Scale notes (100 TB): the ONLY fact-scale work is the edge
     * aggregation (map-side combinable, shuffle keyed on 625 nation
     * pairs); the iteration runs on the aggregated graph — node-count
-    * sized, orders below the corpus — with the per-iteration
-    * contribution join keyed on the tiny node table, so 8 rounds cost
-    * 8 tiny shuffles, not 8 fact passes (the edge table is
-    * checkpointed once, exactly like the CC loop's pair table).
+    * sized, orders below the corpus — collected once and powered on the
+    * driver (r14: the unrolled window-over-join lineage was 29 Spark
+    * jobs of scheduling for a 25-row answer).
     * Determinism: out-weight shares divide one exact decimal by
     * another (cast to double identically on both engines), per-round
-    * contributions round to 9 dp before an exact DECIMAL(28,9) sum, so
-    * iteration count — not float ordering — decides every digit.
+    * contributions round to 9 dp before an exact scale-9 decimal sum
+    * (order-independent), so iteration count — not float ordering —
+    * decides every digit; the driver loop replicates those expressions
+    * operation-for-operation.
     */
   lazy val graphPagerankTrade = Q(
     "graph_pagerank_trade",
@@ -884,62 +885,51 @@ object Flagships extends QueryModule {
       val edges = nationTradeEdges(spark, dir)
         .select($"src", $"dst",
           ($"wgt".cast(DoubleType) / sum($"wgt").over(w).cast(DoubleType)).as("ratio"))
-        // nation-pair sized (≤625 rows): 1 partition keeps every
-        // iteration's jobs at a handful of tasks. Checkpoints.cut routes
-        // to reliable cluster-FS checkpoint when a checkpoint dir is
-        // configured (the promise the scale notes make), else
-        // executor-local blocks.
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
       val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
-      val nTotal = graft.Checkpoints.cut(
-        nodes.agg(count(lit(1)).as("nn")).coalesce(1))
-      val srcNodes = graft.Checkpoints.cut(
-        edges.select($"src".as("node")).distinct().coalesce(1))
-      // Self-loops with ratio 0 make every node a contribution RECEIVER
-      // (the zero terms change no sum — exact decimal 0): each round
-      // then references the previous iterate exactly ONCE, so all 8
-      // rounds unroll into one linear-lineage plan with zero per-round
-      // checkpoint jobs and zero separate dangling-mass aggregations
-      // (the r8 rewrite of the r7 cut-per-round loop: dangling mass is
-      // an unpartitioned window over the 25-row iterate, carried to the
-      // receivers on the join and recovered with a constant max()).
-      val edgesAug = graft.Checkpoints.cut(
-        edges.select($"src", $"dst", $"ratio")
-          .unionAll(nodes.select($"node".as("src"), $"node".as("dst"),
-            lit(0.0).as("ratio")))
-          .coalesce(1))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      var pr = nodes.select($"node").crossJoin(broadcast(nTotal))
-        .select($"node", (lit(1.0) / $"nn").as("pr"))
-      for (i <- 1 to 8) {
+      // DRIVER-SIDE power iteration (r14, VERDICT r13 #8 / guide §5):
+      // the ratio table is ≤ nation² rows and the iterate ≤ nations rows
+      // BY CONSTRUCTION, yet the unrolled window-over-join lineage cost
+      // 29 Spark jobs (checkpoints, broadcast builds, the mid-point cut)
+      // for a 25-row answer. The out-weight ratios (exact-decimal
+      // division, computed in Spark as before) and node list are
+      // collected ONCE; each round replicates the Spark arithmetic
+      // bit-for-bit — contribution = round(pr·ratio, 9) HALF_UP (the
+      // round6 recipe at 9 dp), summed as exact scale-9 BigDecimals
+      // (the DECIMAL(28,9) sum), dangling mass cast the same way, and
+      // pr' = round(0.15/n + 0.85·(s + dm/n), 9) in the identical
+      // expression order. The iterate returns as a LocalTableScan and
+      // the name join / 6 dp output below is unchanged Spark.
+      def round9(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def bd9(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+      val edgeP: Seq[(Any, Any, Double)] =
+        edges.collect().toSeq.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      val nodeIds: Seq[Any] = nodes.select($"node").collect().toSeq.map(_.get(0))
+      val nnD = nodeIds.size.toDouble
+      val srcSet: Set[Any] = edgeP.map(_._1).toSet
+      var prP: Map[Any, Double] = nodeIds.map(n => (n, 1.0 / nnD)).toMap
+      for (_ <- 1 to 8) {
         // dangling-node mass (no out-edges) redistributes uniformly —
         // the standard fix that conserves probability mass exactly
-        val prAug = pr
-          .join(broadcast(srcNodes.select($"node", lit(true).as("has_out"))),
-            Seq("node"), "left")
-          .withColumn("dm",
-            coalesce(
-              sum(when($"has_out".isNull, $"pr")
-                .cast(org.apache.spark.sql.types.DecimalType(28, 9))).over(wAll)
-                .cast(DoubleType),
-              lit(0.0)))
-        pr = edgesAug
-          .join(prAug.select($"node".as("src"), $"pr".as("prs"), $"dm"), "src")
-          .groupBy($"dst")
-          .agg(
-            sum(round($"prs" * $"ratio", 9)
-              .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("s"),
-            max($"dm").as("dm"))
-          .crossJoin(broadcast(nTotal))
-          .select($"dst".as("node"),
-            round(lit(0.15) / $"nn"
-              + lit(0.85) * ($"s".cast(DoubleType) + $"dm" / $"nn"),
-              9).as("pr"))
-        // one mid-point cut: halves the depth Catalyst re-optimizes for
-        // the window-over-join chain at the cost of a single tiny job
-        if (i == 4) pr = graft.Checkpoints.cut(pr.coalesce(1))
+        val dm = nodeIds.collect { case n if !srcSet(n) => bd9(prP(n)) }
+          .reduceOption(_.add(_)).map(_.doubleValue).getOrElse(0.0)
+        val zero = java.math.BigDecimal.ZERO.setScale(9)
+        val s = scala.collection.mutable.Map[Any, java.math.BigDecimal](
+          nodeIds.map(n => (n, zero)): _*)
+        for ((src, dst, ratio) <- edgeP)
+          s(dst) = s(dst).add(bd9(round9(prP(src) * ratio)))
+        prP = nodeIds.map(n =>
+          (n, round9(0.15 / nnD + 0.85 * (s(n).doubleValue + dm / nnD)))).toMap
       }
+      import scala.jdk.CollectionConverters._
+      val pr = spark.createDataFrame(
+        prP.toSeq.map { case (n, p) => org.apache.spark.sql.Row(n, p) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodes.schema("node").dataType),
+          org.apache.spark.sql.types.StructField("pr", DoubleType))))
       pr.join(broadcast(nodes), "node")
         .select($"node".as("n_nationkey"), $"n_name", round($"pr", 6).as("pagerank"))
         .orderBy($"pagerank".desc, $"n_nationkey")
@@ -1032,26 +1022,47 @@ object Flagships extends QueryModule {
         .withColumn("rn", row_number().over(wTop))
         .filter($"rn" <= 3)
         .select($"a", $"b", $"w")
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
       val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("node"), $"n_name")
-      var lab = nodes.select($"node", $"node".as("lab"))
+      // DRIVER-SIDE synchronous LPA rounds (r14, VERDICT r13 #8 / guide
+      // §5): the backbone is ≤ 3·nations edges and the label table
+      // ≤ nations rows BY CONSTRUCTION, yet the per-round checkpoint
+      // loop paid 35 Spark jobs for a 25-row answer. The backbone
+      // (aggregated/thinned in Spark, decimal arithmetic unchanged) and
+      // the node list are collected ONCE; vote sums add the exact
+      // scale-2 decimals (BigDecimal.add — order-independent), the
+      // argmax replicates the (vw desc, lab asc) row_number tiebreak
+      // via compareTo, isolated nodes keep their label (the left-join
+      // coalesce); labels return as a LocalTableScan and the
+      // size/name join below is unchanged Spark.
+      val symP: Seq[(Any, Any, java.math.BigDecimal)] =
+        sym.collect().toSeq.map(r => (r.get(0), r.get(1), r.getDecimal(2)))
+      val nodeIds: Seq[Any] = nodes.select($"node").collect().toSeq.map(_.get(0))
+      var labP: Map[Any, Any] = nodeIds.map(n => (n, n)).toMap
       for (_ <- 1 to 3) {
-        val votes = sym
-          .join(lab.select($"node".as("b"), $"lab"), "b")
-          .groupBy($"a", $"lab")
-          .agg(sum($"w").as("vw"))
-        val wArg = org.apache.spark.sql.expressions.Window
-          .partitionBy($"a").orderBy($"vw".desc, $"lab")
-        val newLab = votes
-          .withColumn("rn", row_number().over(wArg))
-          .filter($"rn" === 1)
-          .select($"a".as("node"), $"lab".as("nw"))
-        lab = lab.select($"node", $"lab".as("old"))
-          .join(newLab, Seq("node"), "left")
-          .select($"node", coalesce($"nw", $"old").as("lab"))
-        lab = graft.Checkpoints.cut(lab.coalesce(1))
+        val votes = symP
+          .flatMap { case (a, b, w2) => labP.get(b).map(l => ((a, l), w2)) }
+          .groupBy(_._1)
+          .map { case ((a, l), ws) =>
+            (a, l, ws.map(_._2).reduce(_.add(_))) }
+        val newLab = votes.groupBy(_._1).map { case (a, vs) =>
+          // (vw desc, lab asc) — the row_number tiebreak, numerically
+          val winner = vs.reduce { (x, y) =>
+            val c = x._3.compareTo(y._3)
+            if (c > 0) x
+            else if (c < 0) y
+            else if (x._2.asInstanceOf[Number].longValue <=
+                     y._2.asInstanceOf[Number].longValue) x else y
+          }
+          (a, winner._2)
+        }
+        labP = labP.map { case (n, old) => (n, newLab.getOrElse(n, old)) }
       }
+      import scala.jdk.CollectionConverters._
+      val lab = spark.createDataFrame(
+        labP.toSeq.map { case (n, l) => org.apache.spark.sql.Row(n, l) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodes.schema("node").dataType),
+          org.apache.spark.sql.types.StructField("lab", nodes.schema("node").dataType))))
       val sizes = lab.groupBy($"lab").agg(count(lit(1)).as("community_size"))
       lab.join(broadcast(nodes), "node")
         .join(broadcast(sizes), "lab")
@@ -1126,9 +1137,11 @@ object Flagships extends QueryModule {
     *
     * Scale notes: the only fact-scale work is the one edge aggregation
     * (identical to PageRank's — revenue-weighted supplier→customer
-    * nation pairs, exact decimal); peeling runs on the checkpointed
-    * ≤nation² edge table, each round two broadcast semi-joins + one
-    * count, all nation-pair sized regardless of corpus scale.
+    * nation pairs, exact decimal); the strong-edge table is ≤ nation²
+    * rows regardless of corpus scale, so peeling rides the driver on the
+    * collected pairs (r14 — the per-round checkpoint loop paid 25 Spark
+    * jobs of pure scheduling for a 15-row answer) and the survivors
+    * return as a local relation for the unchanged output aggregation.
     */
   val graphKcoreTrade = Q(
     "graph_kcore_trade",
@@ -1142,27 +1155,32 @@ object Flagships extends QueryModule {
         .agg(sum($"wgt").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("w"))
       val thr = und.agg(
         (sum($"w").cast(DoubleType) / count(lit(1))).as("t"))
-      var live = und.crossJoin(broadcast(thr))
+      val live0 = und.crossJoin(broadcast(thr))
         .where($"w".cast(DoubleType) >= $"t")
         .select($"u", $"v")
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
-      // checkpoint per peeling round: each round references the previous
-      // live table THREE times (u-degree, v-degree, the semi-join pair),
-      // so an unrolled single plan grows 3^rounds subtrees — measured 3×
-      // SLOWER than paying 4 tiny checkpoint actions (r7)
+      // DRIVER-SIDE peeling (r14, VERDICT r13 #8 / guide §5): live0 is
+      // ≤ nation² rows BY CONSTRUCTION (nation is the bounded 25-row
+      // dimension), yet the per-round checkpoint loop paid 5 eager jobs +
+      // 4 broadcast builds for pure integer degree-counting — 25 Spark
+      // jobs total for a 15-row answer. The strong-edge table (built and
+      // thresholded in Spark, all decimal arithmetic unchanged) is
+      // collected ONCE; peeling is exact integer set logic replicating
+      // the unionAll/groupBy/count ≥ k/semi-join rounds verbatim; the
+      // survivor pairs return as a LocalTableScan with the identical
+      // schema and the output aggregation below is unchanged Spark.
+      val liveSchema = live0.schema
+      var liveP: Seq[(Any, Any)] =
+        live0.collect().toSeq.map(r => (r.get(0), r.get(1)))
       for (_ <- 1 to 4) {
-        val keep = live.select($"u".as("node")).unionAll(live.select($"v".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("d"))
-          .where($"d" >= k)
-          .select($"node")
-        live = graft.Checkpoints.cut(
-          live
-            .join(broadcast(keep.select($"node".as("u"))), Seq("u"), "left_semi")
-            .join(broadcast(keep.select($"node".as("v"))), Seq("v"), "left_semi")
-            .select($"u", $"v")
-            .coalesce(1))
+        val deg = (liveP.map(_._1) ++ liveP.map(_._2))
+          .groupBy(identity).map { case (n, g) => (n, g.size) }
+        val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+        liveP = liveP.filter(p => keep(p._1) && keep(p._2))
       }
+      import scala.jdk.CollectionConverters._
+      val live = spark.createDataFrame(
+        liveP.map { case (u, v) => org.apache.spark.sql.Row(u, v) }.asJava,
+        liveSchema)
       val coreDeg = live.select($"u".as("node")).unionAll(live.select($"v".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("core_degree"))
       val nodes = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
@@ -1507,10 +1525,10 @@ object Flagships extends QueryModule {
     * (Boldi–Vigna): unreachable pairs contribute 0 instead of breaking
     * the mean. Graph = the same symmetrized top-3-per-node backbone LPA
     * clusters (near-complete raw graph makes closeness degenerate);
-    * distances by 4 unrolled min-plus rounds over unit hops (≤5-hop
-    * horizon, declared — the same bounded-round contract as k-core/LPA),
-    * each round checkpointed on the ≤625-row pair table. Per node:
-    * reach count, eccentricity (within horizon), harmonic score.
+    * distances by 4 min-plus rounds over unit hops (≤5-hop horizon,
+    * declared — the same bounded-round contract as k-core/LPA), run on
+    * the driver over the collected ≤3·nations-row backbone (r14). Per
+    * node: reach count, eccentricity (within horizon), harmonic score.
     *
     * Scale notes (100 TB): fact-scale work is the ONE shared edge
     * aggregation (memoized stage); everything iterative runs on the
@@ -1533,21 +1551,33 @@ object Flagships extends QueryModule {
         .withColumn("rn", row_number().over(wTop))
         .filter($"rn" <= 3)
         .select($"a", $"b")
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
-      var dist = sym.select($"a".as("u"), $"b".as("v"), lit(1L).as("d"))
+      // DRIVER-SIDE min-plus rounds (r14, VERDICT r13 #8 / guide §5):
+      // the backbone is ≤ 3·nations directed edges BY CONSTRUCTION, yet
+      // the per-round checkpoint loop paid 32 Spark jobs for a 25-row
+      // answer. The backbone (aggregated and thinned in Spark, decimal
+      // arithmetic unchanged) is collected ONCE; each round replicates
+      // the carry ∪ (extend, nxt ≠ u) → min-per-(u,v) relaxation with
+      // exact integer hop counts; the distance table returns as a
+      // LocalTableScan and the harmonic aggregation below is unchanged.
+      val symP: Seq[(Any, Any)] = sym.collect().toSeq.map(r => (r.get(0), r.get(1)))
+      val adj = symP.groupBy(_._1)
+      var distP: Map[(Any, Any), Long] =
+        symP.map { case (a, b) => ((a, b), 1L) }.toMap
       for (_ <- 1 to 4) {
-        dist = dist
-          .unionAll(dist
-            .join(sym.select($"a".as("v"), $"b".as("nxt")), "v")
-            .where($"nxt" =!= $"u")
-            .select($"u", $"nxt".as("v"), ($"d" + 1).as("d")))
-          .groupBy($"u", $"v")
-          .agg(min($"d").as("d"))
-        // the next round references dist twice (carry + extension):
-        // cut per round or the plan grows 2^rounds (the k-core lesson)
-        dist = graft.Checkpoints.cut(dist.coalesce(1))
+        val ext = distP.toSeq.flatMap { case ((u, v), d) =>
+          adj.getOrElse(v, Nil).collect { case (_, nxt) if nxt != u => ((u, nxt), d + 1L) }
+        }
+        distP = (distP.toSeq ++ ext)
+          .groupBy(_._1).map { case (k2, ds) => (k2, ds.map(_._2).min) }
       }
+      import scala.jdk.CollectionConverters._
+      val dist = spark.createDataFrame(
+        distP.toSeq.map { case ((u, v), d) => org.apache.spark.sql.Row(u, v, d) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", sym.schema("a").dataType),
+          org.apache.spark.sql.types.StructField("v", sym.schema("b").dataType),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.LongType))))
       val nodes = Tables.nation(spark, dir).select($"n_nationkey".as("u"), $"n_name")
       dist
         .groupBy($"u")
@@ -1626,10 +1656,10 @@ object Flagships extends QueryModule {
     *
     * Scale notes (100 TB): fact-scale work is the ONE shared memoized
     * edge aggregation; the top-3 thinning bounds the relax table at
-    * ≤ nations² rows, and each of the 4 unrolled rounds is
-    * bounded-table join + max-agg, checkpointed per round (the plan-
-    * doubling lesson). The declared ≤5-hop horizon is the bounded-
-    * round contract the closeness row set.
+    * ≤ nations² rows, so the 4 relaxation rounds ride the driver over
+    * the collected backbone (r14 — the per-round checkpoint loop paid
+    * 32 Spark jobs of scheduling for a 25-row answer). The declared
+    * ≤5-hop horizon is the bounded-round contract the closeness row set.
     */
   lazy val graphBottleneckPaths = Q(
     "graph_bottleneck_paths",
@@ -1646,19 +1676,38 @@ object Flagships extends QueryModule {
         .withColumn("rn", row_number().over(wTop))
         .filter($"rn" <= 3)
         .select($"a", $"b", $"w")
-        .coalesce(1)
-        .transform(graft.Checkpoints.cut)
-      var best = sym.select($"a".as("u"), $"b".as("v"), $"w")
+      // DRIVER-SIDE (max, min) relaxation (r14, VERDICT r13 #8 / guide
+      // §5): the backbone is ≤ 3·nations edges BY CONSTRUCTION and the
+      // semiring only COMPARES the exact decimal weights (never adds),
+      // so the per-round checkpoint loop's 32 Spark jobs were pure
+      // scheduling. The backbone (aggregated/thinned in Spark, decimal
+      // arithmetic unchanged) is collected ONCE; each round replicates
+      // carry ∪ (extend with least) → max-per-(u,v) using
+      // BigDecimal.compareTo (Spark decimal ordering); the relax table
+      // returns as a LocalTableScan and the output block is unchanged.
+      val bdMin = (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        if (x.compareTo(y) <= 0) x else y
+      val symP: Seq[(Any, Any, java.math.BigDecimal)] =
+        sym.collect().toSeq.map(r => (r.get(0), r.get(1), r.getDecimal(2)))
+      val adj = symP.groupBy(_._1)
+      var bestP: Map[(Any, Any), java.math.BigDecimal] =
+        symP.map { case (a, b, w2) => ((a, b), w2) }.toMap
       for (_ <- 1 to 4) {
-        best = best
-          .unionAll(best
-            .join(sym.select($"a".as("v"), $"b".as("nxt"), $"w".as("w2")), "v")
-            .where($"nxt" =!= $"u")
-            .select($"u", $"nxt".as("v"), least($"w", $"w2").as("w")))
-          .groupBy($"u", $"v")
-          .agg(max($"w").as("w"))
-        best = graft.Checkpoints.cut(best.coalesce(1))
+        val ext = bestP.toSeq.flatMap { case ((u, v), w2) =>
+          adj.getOrElse(v, Nil).collect {
+            case (_, nxt, w3) if nxt != u => ((u, nxt), bdMin(w2, w3)) }
+        }
+        bestP = (bestP.toSeq ++ ext)
+          .groupBy(_._1).map { case (k2, ws) => (k2, ws.map(_._2).reduce(
+            (x, y) => if (x.compareTo(y) >= 0) x else y)) }
       }
+      import scala.jdk.CollectionConverters._
+      val best = spark.createDataFrame(
+        bestP.toSeq.map { case ((u, v), w2) => org.apache.spark.sql.Row(u, v, w2) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("u", sym.schema("a").dataType),
+          org.apache.spark.sql.types.StructField("v", sym.schema("b").dataType),
+          org.apache.spark.sql.types.StructField("w", sym.schema("w").dataType))))
       val wPeer = org.apache.spark.sql.expressions.Window
         .partitionBy($"u").orderBy($"w".desc, $"v")
       val names = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
