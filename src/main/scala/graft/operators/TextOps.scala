@@ -52,6 +52,31 @@ object TextOps extends QueryModule {
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
 
+  /** The ONE memoized positional-token relation (r14, VERDICT r13 #4):
+    * ~14 declared text rows (wordcount, vocab, zipf, heaps, rake, langid,
+    * tf-idf, perplexity, …) each re-ran the tokenize explode over the
+    * corpus — the same relation every time. Same shared-stage tier as
+    * [[cachedShingles]]: corpus-scale, built once per corpus on the
+    * Bench shared-text clock, released by [[evictSharedStages]].
+    */
+  private val tokensCache = new graft.PlanCache(1)
+
+  def cachedTokens(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tokensCache.getOrCompute(tokens(docs)) { f => f.cache(); f }
+
+  /** Memoized per-doc DISTINCT token arrays — the row-local set relation
+    * the PMI row's vocab/df/pair passes all consume (no (doc, tok)
+    * exchange anywhere: `array_distinct` is per row). Shared-stage tier
+    * as above.
+    */
+  private val tokenSetsCache = new graft.PlanCache(1)
+
+  def cachedTokenSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tokenSetsCache.getOrCompute(
+      docs.select(
+        expr("array_distinct(filter(split(lower(text), ' '), t -> t != ''))")
+          .as("toks"))) { f => f.cache(); f }
+
   /** Distinct 3-gram word shingles per doc — ROW-LOCAL formulation
     * (VERDICT r6 #6): empty tokens filtered with order kept, a 3-window
     * slid over the token array, duplicates dropped within the row. Zero
@@ -105,7 +130,7 @@ object TextOps extends QueryModule {
     "text_tokenize_wordcount",
     (spark, dir) => {
       import spark.implicits._
-      tokens(Tables.documents(spark, dir))
+      cachedTokens(Tables.documents(spark, dir))
         .groupBy($"tok")
         .agg(count(lit(1)).as("cnt"))
         .orderBy($"cnt".desc, $"tok")
@@ -421,7 +446,7 @@ object TextOps extends QueryModule {
     */
   def simhashSignatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bits = 32
-    val tok = tokens(docs).select(col("doc_id"), col("tok"),
+    val tok = cachedTokens(docs).select(col("doc_id"), col("tok"),
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val bitCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
@@ -473,7 +498,7 @@ object TextOps extends QueryModule {
         "es" -> Seq("el", "la", "los", "y", "un"),
         "fr" -> Seq("le", "la", "les", "et", "un"),
         "zh" -> Seq("de", "shi", "le", "zai", "he"))
-      val tok = tokens(Tables.documents(spark, dir))
+      val tok = cachedTokens(Tables.documents(spark, dir))
       val scores = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
         count(when($"tok".isin(ws: _*), 1)).as(s"score_$l")
       }
@@ -521,7 +546,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val stop = Seq("the", "a", "and", "of", "value", "data")
-      val tok = tokens(Tables.documents(spark, dir))
+      val tok = cachedTokens(Tables.documents(spark, dir))
       val tokStats = tok.groupBy($"doc_id").agg(
         count(lit(1)).as("n_tokens"),
         count(when($"tok".isin(stop: _*), 1)).as("n_stop"),
@@ -568,7 +593,7 @@ object TextOps extends QueryModule {
     "text_token_stats",
     (spark, dir) => {
       import spark.implicits._
-      tokens(Tables.documents(spark, dir))
+      cachedTokens(Tables.documents(spark, dir))
         .groupBy($"doc_id")
         .agg(
           count(lit(1)).as("ws_tokens"),
@@ -738,7 +763,7 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val toks = tokens(docs)
+      val toks = cachedTokens(docs)
       val tf = toks.filter($"doc_id" < 50)
         .groupBy($"doc_id", $"tok")
         .agg(count(lit(1)).as("tf"))
@@ -1229,6 +1254,13 @@ object TextOps extends QueryModule {
     val t0 = System.nanoTime()
     timed("shingles")(
       cachedShingles(Tables.documents(spark, dir)).count())
+    // the positional-token and distinct-token-set memos (r14): built on
+    // this clock, honestly attributed, so the ~14 token-family consumers
+    // measure their OWN aggregation instead of a repeated tokenize
+    timed("tokens")(
+      cachedTokens(Tables.documents(spark, dir)).count())
+    timed("tokenSets")(
+      cachedTokenSets(Tables.documents(spark, dir)).count())
     val pairs = timed("pairs") {
       val p = corpusJaccardPairs(spark, dir)
       p.count() // materializes the cached pair frame (and its shingles)
@@ -1259,6 +1291,8 @@ object TextOps extends QueryModule {
     interCache.evictAll()
     pairsCache.evictAll()
     labelsCache.evictAll()
+    tokensCache.evictAll()
+    tokenSetsCache.evictAll()
   }
 
   val dedupConnectedComponents = Q(
@@ -1495,7 +1529,7 @@ object TextOps extends QueryModule {
       import spark.implicits._
       val labels = connectedComponents(corpusJaccardPairs(spark, dir))
         .withColumnRenamed("id", "doc_id")
-      val ntok = tokens(Tables.documents(spark, dir))
+      val ntok = cachedTokens(Tables.documents(spark, dir))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
       val ranked = labels.join(ntok, "doc_id")
         .withColumn("rk", row_number().over(
@@ -1697,14 +1731,14 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
-      val tokCnt = tokens(docs)
+      val tokCnt = cachedTokens(docs)
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       val tokStats = tokCnt
         .groupBy($"doc_id")
         .agg(sum($"c").as("n_tok"), count(lit(1)).as("n_distinct_tok"),
           max($"c").as("top_cnt"))
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      val allShingles = tokens(docs)
+      val allShingles = cachedTokens(docs)
         .select($"doc_id", $"tok",
           lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
         .filter($"t2".isNotNull)
@@ -1795,7 +1829,7 @@ object TextOps extends QueryModule {
         "fr" -> Seq("le", "la", "les", "et", "un"),
         "zh" -> Seq("de", "shi", "le", "zai", "he"))
       val langs = markers.keys.toSeq.sorted
-      val tok = tokens(Tables.documents(spark, dir))
+      val tok = cachedTokens(Tables.documents(spark, dir))
       val scoreCols = langs.map(l =>
         count(when($"tok".isin(markers(l): _*), 1)).as(s"score_$l"))
       val perDoc = tok.groupBy($"doc_id")
@@ -2034,7 +2068,7 @@ object TextOps extends QueryModule {
     "text_zipf_slope",
     (spark, dir) => {
       import spark.implicits._
-      val top = tokens(Tables.documents(spark, dir))
+      val top = cachedTokens(Tables.documents(spark, dir))
         .groupBy($"tok").agg(count(lit(1)).as("freq"))
         .orderBy($"freq".desc, $"tok").limit(100)
       val w = Window.orderBy($"freq".desc, $"tok")
@@ -2265,10 +2299,10 @@ object TextOps extends QueryModule {
       // single-token document count c_a (both count docs whose distinct
       // token set contains tok), so the cell explode no longer emits
       // single-token rows at all.
-      val sets = graft.Checkpoints.cut(Tables.documents(spark, dir)
-        .select(
-          expr("array_distinct(filter(split(lower(text), ' '), t -> t != ''))")
-            .as("toks")))
+      // the per-doc distinct token sets are the shared memoized relation
+      // (r14, VERDICT r13 #4) — same frame, built once on the shared-text
+      // clock instead of a per-construction localCheckpoint job
+      val sets = cachedTokenSets(Tables.documents(spark, dir))
       val vocab = graft.Checkpoints.cut(sets
         .select(explode($"toks").as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -2501,7 +2535,7 @@ object TextOps extends QueryModule {
     "text_js_divergence_langpair",
     (spark, dir) => {
       import spark.implicits._
-      val freq = tokens(Tables.documents(spark, dir))
+      val freq = cachedTokens(Tables.documents(spark, dir))
         .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
         .repartition(1)
         .transform(graft.Checkpoints.cut)
@@ -2791,7 +2825,7 @@ object TextOps extends QueryModule {
     */
   private def docXentBits(
       spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val tok = tokens(Tables.documents(spark, dir)).select(col("doc_id"), col("tok"))
+    val tok = cachedTokens(Tables.documents(spark, dir)).select(col("doc_id"), col("tok"))
     val model = tok.groupBy(col("tok")).agg(count(lit(1)).as("cc"))
     val total = model.agg(sum(col("cc")).as("t"))
     val docTok = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
@@ -2946,7 +2980,7 @@ object TextOps extends QueryModule {
       // weight in [0,1]: min(1, 4·stopword_ratio), rounded to 4dp so the
       // keep threshold compares identical values in both engines —
       // favors natural prose over keyword-mash
-      val scored = tokens(Tables.documents(spark, dir))
+      val scored = cachedTokens(Tables.documents(spark, dir))
         .groupBy($"doc_id", $"lang")
         .agg(
           count(lit(1)).as("n_tokens"),
@@ -3106,7 +3140,7 @@ object TextOps extends QueryModule {
     "text_vocab_coverage",
     (spark, dir) => {
       import spark.implicits._
-      val freq = tokens(Tables.documents(spark, dir))
+      val freq = cachedTokens(Tables.documents(spark, dir))
         .groupBy($"tok").agg(count(lit(1)).as("cnt"))
       val ord = Window.orderBy($"cnt".desc, $"tok")
       val ranked = freq
@@ -3509,7 +3543,7 @@ object TextOps extends QueryModule {
       import spark.implicits._
       val stop = Seq("the", "a", "and", "of", "value", "data")
       val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      val nonstop = tokens(Tables.documents(spark, dir))
+      val nonstop = cachedTokens(Tables.documents(spark, dir))
         .where(!$"tok".isin(stop: _*))
         .withColumn("rn", row_number().over(wDoc))
         .withColumn("grp", $"pos" - $"rn")
@@ -3596,7 +3630,7 @@ object TextOps extends QueryModule {
     "text_heaps_law",
     (spark, dir) => {
       import spark.implicits._
-      val tok = tokens(Tables.documents(spark, dir))
+      val tok = cachedTokens(Tables.documents(spark, dir))
         .select($"tok",
           (conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
             .cast("long") % 8).as("batch"))
@@ -3705,7 +3739,7 @@ object TextOps extends QueryModule {
         "es" -> Seq("el", "la", "los", "y", "un"),
         "fr" -> Seq("le", "la", "les", "et", "un"),
         "zh" -> Seq("de", "shi", "le", "zai", "he"))
-      val tok = tokens(Tables.documents(spark, dir))
+      val tok = cachedTokens(Tables.documents(spark, dir))
       val scores = markers.toSeq.sortBy(_._1).map { case (l, ws) =>
         count(when($"tok".isin(ws: _*), 1)).as(s"score_$l")
       }
