@@ -97,6 +97,30 @@ object VectorOps extends QueryModule {
     // persisted IVF index + PQ codes/codebook: first bench run on a
     // corpus pays the builds here (their own shared-stage line item, not
     // the serve rows' clocks); subsequent sessions re-register metadata
+    // cold-build JIT warmup (r14, VERDICT r13 #6): the FIRST PqEncodeAll
+    // consumer (ensurePqResidual, k=128 m=16) paid ~4 s of interpreter
+    // time before HotSpot compiled the encode loop — later structurally
+    // identical builds ran ~3 s vs 7.3. A few thousand tiny synthetic
+    // encodes push eval past the C2 threshold BEFORE the real build;
+    // gated on the artifact being absent so a warm warehouse never pays
+    // the (~0.3 s) warmup.
+    if (!spark.catalog.tableExists(IvfIndex.pqrCodesTable(dir)))
+      timed("jitWarmup") {
+        val cents = spark.range(8).select(
+          (col("id") / lit(4)).cast("long").as("sub"),
+          (col("id") % lit(4)).cast("long").as("cid"),
+          expr("transform(sequence(1, 4), x -> CAST(x * (id + 1) AS DOUBLE))").as("cv"))
+        val cbm = oneRowArray(
+          cents.withColumn("cnn2", GraftFunctions.dot(col("cv"), col("cv"))),
+          "pqarr", col("sub"), col("cid"), col("cv"), col("cnn2"))
+        spark.range(5000)
+          .select(expr("transform(sequence(1, 8), x -> CAST(x + id AS DOUBLE))").as("emb"))
+          .crossJoin(broadcast(cbm))
+          .select(graft.functions.NearestCentroidFunctions
+            .pqEncodeAll(col("emb"), col("pqarr"), 2, 4).as("enc"))
+          .agg(sum(expr("size(enc)"))) // agg forces eval; count() would prune it
+          .collect()
+      }
     timed("ensure")(IvfIndex.ensure(spark, dir))
     timed("ensurePq")(IvfIndex.ensurePq(spark, dir))
     timed("ensurePqResidual")(IvfIndex.ensurePqResidual(spark, dir))
