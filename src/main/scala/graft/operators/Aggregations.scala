@@ -1966,28 +1966,45 @@ object Aggregations extends QueryModule {
         .agg(count(lit(1)).as("c"))
         .repartition(1)
         .transform(graft.Checkpoints.cut)
-      val wRow = Window.partitionBy($"cur")
-      val pm = cells
-        .where($"nxt".isNotNull)
-        .select($"cur", $"nxt",
-          round($"c".cast(DoubleType) / sum($"c").over(wRow), 9).as("p"))
-      val states = pm.select($"cur".as("t"))
-        .union(pm.select($"nxt".as("t")))
-        .distinct()
-      val k = states.agg(count(lit(1)).as("kk"))
-      var pi = states.crossJoin(broadcast(k))
-        .select($"t", (lit(1.0) / $"kk").as("pr"))
+      // DRIVER-SIDE power rounds (r14, VERDICT r13 #2 / guide §5): the
+      // checkpointed cell table is k×(k+1) rows (k = event-type
+      // vocabulary — the same bounded-table assumption the existing
+      // repartition(1) + unrolled 8-round plan already makes), yet the
+      // unrolled join chain cost 12 Spark jobs and a 73 kB plan for a
+      // 5-row answer. The cells are collected once; each round
+      // replicates the Spark expressions operation-for-operation —
+      // row-normalized p = round(c/Σc, 9), contribution round(p·pr, 12)
+      // HALF_UP summed as exact scale-12 decimals, π' = round(Σ, 9),
+      // absorbing states coalesce to 0.0 — and the iterate returns as a
+      // local relation; the empirical-share join below is unchanged.
+      def round9(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      def bd12(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      val cellRows: Seq[(String, String, Long)] = cells.collect().toSeq
+        .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+      val rowSums = cellRows.filter(_._2 != null).groupBy(_._1)
+        .map { case (cur, rs) => (cur, rs.map(_._3).sum) }
+      val pmP = cellRows.collect { case (cur, nxt, c) if nxt != null =>
+        (cur, nxt, round9(c.toDouble / rowSums(cur).toDouble)) }
+      val statesP: Seq[String] = (pmP.map(_._1) ++ pmP.map(_._2)).distinct
+      val kkD = statesP.size.toDouble
+      var piP: Map[String, Double] = statesP.map(t => (t, 1.0 / kkD)).toMap
       for (_ <- 1 to 8) {
-        val nextPi = pm
-          .join(pi.select($"t".as("cur"), $"pr"), "cur")
-          .groupBy($"nxt".as("t"))
-          .agg(round(
-            sum(round($"p" * $"pr", 12).cast(DecimalType(28, 12))).cast(DoubleType),
-            9).as("pr"))
-        pi = states
-          .join(nextPi, Seq("t"), "left")
-          .select($"t", coalesce($"pr", lit(0.0d)).as("pr"))
+        val sums = pmP.groupBy(_._2).map { case (t, rs) =>
+          (t, rs.map { case (cur, _, p) => bd12(p * piP(cur)) }.reduce(_.add(_))) }
+        piP = statesP.map(t =>
+          (t, sums.get(t).map(s => round9(s.doubleValue)).getOrElse(0.0))).toMap
       }
+      import scala.jdk.CollectionConverters._
+      val pi = spark.createDataFrame(
+        piP.toSeq.map { case (t, p) => org.apache.spark.sql.Row(t, p) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pr", DoubleType))))
       val emp = cells.groupBy($"cur".as("t")).agg(sum($"c").as("n"))
       val tot = emp.agg(sum($"n").as("total"))
       pi
