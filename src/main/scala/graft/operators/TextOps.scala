@@ -2308,14 +2308,19 @@ object TextOps extends QueryModule {
         .groupBy($"tok").agg(count(lit(1)).as("df"))
         .orderBy($"df".desc, $"tok").limit(100))
       val vocabArr = vocab.agg(collect_list($"tok").as("vocab"))
+      // pair fan-out via TWO codegen'd generators (r14, guide §4): the
+      // nested flatten(transform(..., transform(slice(...)))) ran every
+      // pair through INTERPRETED lambda code (the SCALE.md r9 HOF
+      // lesson) — posexplode + slice-explode emit the identical ordered
+      // pairs ((toks[i], toks[j]), j > i — slice is 1-based, so i+2
+      // starts at 0-based i+1) from compiled generator loops. Bisect:
+      // pair stage 1.20 → 0.63 s at sf0.1.
       val pairs = sets
         .crossJoin(broadcast(vocabArr))
         .select(expr("array_sort(array_intersect(toks, vocab))").as("toks"))
-        .select(explode(expr(
-          """flatten(transform(toks, (a, i) ->
-            |  transform(slice(toks, i + 2, size(toks)), b ->
-            |    struct(a AS tok_a, b AS tok_b))))""".stripMargin)).as("pr"))
-        .groupBy($"pr.tok_a".as("tok_a"), $"pr.tok_b".as("tok_b"))
+        .select($"toks", posexplode($"toks").as(Seq("i", "tok_a")))
+        .select($"tok_a", explode(expr("slice(toks, i + 2, size(toks))")).as("tok_b"))
+        .groupBy($"tok_a", $"tok_b")
         .agg(count(lit(1)).as("c_ab"))
       val tot = sets.agg(count(lit(1)).as("n"))
       pairs
